@@ -1,0 +1,131 @@
+"""Text encoders producing the document/query embedding space.
+
+The reference uses sentence-transformers MiniLM checkpoints
+(all-MiniLM-L6-v2, 384-dim; reference core.py:118, indexer.py:229-243).
+This framework defines an `Encoder` protocol with two implementations:
+
+  - `HashingEncoder` (default, offline-safe): deterministic feature-hashing
+    encoder. Tokens and token bigrams hash into a fixed bucket table whose
+    embeddings are drawn once from a seeded PRNG on device; a text's
+    embedding is the idf-flat mean of its token-bucket vectors (bigrams
+    down-weighted), L2-normalized. Cosine similarity then reflects lexical
+    n-gram overlap — deterministic, no network, no weights on disk — and the
+    encode itself is a batched device gather+mean under jit.
+
+  - `MiniLMEncoder` (models/bert.py): a Flax MiniLM-class transformer that
+    loads real HF sentence-transformers weights when present on disk,
+    matching the reference's embedding quality.
+
+`default_encoder()` picks MiniLM when weights are available, else hashing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Protocol, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.text.extractor import extract_tokens
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def stable_hash(token: str) -> int:
+    """Deterministic 64-bit FNV-1a (Python's hash() is salted per-process)."""
+    h = _FNV_OFFSET
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+class Encoder(Protocol):
+    dim: int
+    name: str
+
+    def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
+        """Return [len(texts), dim] float32 embeddings (not normalized)."""
+        ...
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gather_mean(table: jax.Array, ids: jax.Array, weights: jax.Array) -> jax.Array:
+    """[B, L] bucket ids + weights -> [B, D] weighted-mean embeddings."""
+    vecs = jnp.take(table, ids, axis=0)  # [B, L, D]
+    w = weights[..., None]
+    summed = jnp.sum(vecs * w, axis=1)
+    denom = jnp.maximum(jnp.sum(weights, axis=1, keepdims=True), 1e-9)
+    return summed / denom
+
+
+class HashingEncoder:
+    """Deterministic offline feature-hashing encoder (see module docstring)."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        n_buckets: int = 1 << 15,
+        seed: int = 42,
+        bigram_weight: float = 0.5,
+        max_tokens: int = 256,
+        name: str = "hashing-encoder",
+    ) -> None:
+        self.dim = dim
+        self.n_buckets = n_buckets
+        self.seed = seed
+        self.bigram_weight = bigram_weight
+        self.max_tokens = max_tokens
+        self.name = name
+        self._table: Optional[jax.Array] = None
+
+    @property
+    def table(self) -> jax.Array:
+        if self._table is None:
+            key = jax.random.PRNGKey(self.seed)
+            self._table = jax.random.normal(
+                key, (self.n_buckets, self.dim), dtype=jnp.float32
+            ) / jnp.sqrt(jnp.float32(self.dim))
+        return self._table
+
+    def _features(self, text: str) -> List[tuple]:
+        toks = extract_tokens(text)
+        feats = [(stable_hash(t) % self.n_buckets, 1.0) for t in toks]
+        for a, b in zip(toks, toks[1:]):
+            feats.append((stable_hash(a + "_" + b) % self.n_buckets, self.bigram_weight))
+        return feats[: self.max_tokens] or [(0, 0.0)]
+
+    def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), dtype=np.float32)
+        feats = [self._features(t) for t in texts]
+        L = max(len(f) for f in feats)
+        # Bucket pad length to limit jit recompiles across calls.
+        L = max(8, 1 << (L - 1).bit_length())
+        B = len(texts)
+        ids = np.zeros((B, L), dtype=np.int32)
+        ws = np.zeros((B, L), dtype=np.float32)
+        for i, f in enumerate(feats):
+            for j, (fid, w) in enumerate(f):
+                ids[i, j] = fid
+                ws[i, j] = w
+        out = _gather_mean(self.table, jnp.asarray(ids), jnp.asarray(ws))
+        return np.asarray(out, dtype=np.float32)
+
+
+def default_encoder(dim: int = 384, kind: str = "auto", **kwargs) -> Encoder:
+    """Pick the best available encoder: MiniLM with real weights if present,
+    else the deterministic hashing encoder."""
+    if kind in ("auto", "minilm"):
+        try:
+            from hybridsearch_tpu.models.minilm import MiniLMEncoder, weights_available
+
+            if kind == "minilm" or weights_available():
+                return MiniLMEncoder(dim=dim, **kwargs)
+        except Exception:
+            if kind == "minilm":
+                raise
+    return HashingEncoder(dim=dim, **kwargs)

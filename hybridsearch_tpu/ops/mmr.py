@@ -1,0 +1,65 @@
+"""Maximal Marginal Relevance selection as a device kernel.
+
+Replaces the reference's O(k^2 * n) Python loop (reference
+pipelines.py:531-569): candidate-candidate similarity is one matmul, then k
+rounds of a masked argmax under lax.fori_loop.
+
+    mmr_i = lambda * relevance_i - (1 - lambda) * max_{j in selected} sim(i, j)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from hybridsearch_tpu.ops.dense import l2_normalize
+
+NEG = jnp.float32(-1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def mmr_select(
+    relevance: jax.Array,
+    embeddings: jax.Array,
+    k: int,
+    lam: float | jax.Array = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Select k diverse items from C candidates.
+
+    Args:
+      relevance: [C] relevance scores (higher = better).
+      embeddings: [C, D] candidate embeddings.
+      k: number of items to select (static; k <= C).
+      lam: trade-off lambda (reference default 0.5, pipelines.py:521).
+    Returns:
+      (order [k] int32 selected indices in selection order,
+       mmr_scores [k] float32 the MMR score at selection time).
+    """
+    C = relevance.shape[0]
+    rel = relevance.astype(jnp.float32)
+    emb = l2_normalize(embeddings.astype(jnp.float32))
+    sim = jnp.dot(emb, emb.T, preferred_element_type=jnp.float32)  # [C, C]
+
+    def body(i, state):
+        selected_mask, max_sim, order, scores = state
+        # First pick is pure relevance (max_sim starts at 0 with lam applied).
+        mmr = lam * rel - (1.0 - lam) * max_sim
+        mmr = jnp.where(selected_mask, NEG, mmr)
+        pick = jnp.argmax(mmr)
+        order = order.at[i].set(pick.astype(jnp.int32))
+        scores = scores.at[i].set(mmr[pick])
+        selected_mask = selected_mask.at[pick].set(True)
+        max_sim = jnp.maximum(max_sim, sim[:, pick])
+        return selected_mask, max_sim, order, scores
+
+    init = (
+        jnp.zeros((C,), dtype=bool),
+        jnp.zeros((C,), dtype=jnp.float32),
+        jnp.full((k,), -1, dtype=jnp.int32),
+        jnp.zeros((k,), dtype=jnp.float32),
+    )
+    _, _, order, scores = jax.lax.fori_loop(0, k, body, init)
+    return order, scores

@@ -1,0 +1,136 @@
+"""ctypes bindings to the native C++ textops library (native/textops.cc).
+
+Provides host-side hot-loop primitives that the reference outsourced to
+third-party native deps (rapidfuzz C++ edit distance, reference core.py:185;
+regex tokenization): tokenize, Levenshtein distance, partial_ratio, and
+MinHash shingle hashing. Pure-Python fallbacks keep everything working when
+the library hasn't been built (build with `make -C native`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+_LIB: Optional[ctypes.CDLL] = None
+_LOAD_TRIED = False
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _LOAD_TRIED
+    if _LOAD_TRIED:
+        return _LIB
+    _LOAD_TRIED = True
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    for cand in (
+        os.path.join(here, "native", "libtextops.so"),
+        os.path.join(os.path.dirname(__file__), "libtextops.so"),
+    ):
+        if os.path.exists(cand):
+            try:
+                lib = ctypes.CDLL(cand)
+                lib.hst_tokenize.restype = ctypes.c_int64
+                lib.hst_tokenize.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64,
+                ]
+                lib.hst_levenshtein.restype = ctypes.c_int64
+                lib.hst_levenshtein.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64
+                ]
+                lib.hst_partial_ratio.restype = ctypes.c_double
+                lib.hst_partial_ratio.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, ctypes.c_int64
+                ]
+                lib.hst_minhash_shingles.restype = ctypes.c_int64
+                lib.hst_minhash_shingles.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                ]
+                _LIB = lib
+            except OSError:
+                _LIB = None
+            break
+    return _LIB
+
+
+def native_available() -> bool:
+    return _lib() is not None
+
+
+def native_tokenize(text: str) -> List[str]:
+    """Tokenize via the C++ library. Raises if unavailable (callers fall back
+    to the Python regex path)."""
+    lib = _lib()
+    if lib is None:
+        raise ImportError("libtextops.so not built")
+    data = text.encode("utf-8", errors="replace")
+    cap = max(16, len(data) // 2 + 1)
+    starts = (ctypes.c_int64 * cap)()
+    ends = (ctypes.c_int64 * cap)()
+    n = lib.hst_tokenize(data, len(data), starts, ends, cap)
+    lowered = data.lower()
+    return [lowered[starts[i] : ends[i]].decode("utf-8", "replace") for i in range(n)]
+
+
+def levenshtein(a: str, b: str) -> int:
+    lib = _lib()
+    if lib is not None:
+        ab, bb = a.encode(), b.encode()
+        return int(lib.hst_levenshtein(ab, len(ab), bb, len(bb)))
+    # Python fallback (two-row DP)
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def partial_ratio(a: str, b: str) -> float:
+    """Best-window similarity of the shorter string against the longer, in
+    [0, 100] — same contract as rapidfuzz.fuzz.partial_ratio used by the
+    reference's fuzzy lexical arm (reference core.py:185)."""
+    lib = _lib()
+    if lib is not None:
+        ab, bb = a.encode(), b.encode()
+        return float(lib.hst_partial_ratio(ab, len(ab), bb, len(bb)))
+    if not a or not b:
+        return 0.0
+    short, long_ = (a, b) if len(a) <= len(b) else (b, a)
+    n = len(short)
+    best = 0.0
+    for start in range(0, len(long_) - n + 1) or [0]:
+        window = long_[start : start + n]
+        dist = levenshtein(short, window)
+        score = 100.0 * (1.0 - dist / max(n, 1))
+        if score > best:
+            best = score
+        if best >= 100.0:
+            break
+    return best
+
+
+def minhash_shingle_hashes(text: str, shingle_len: int = 3) -> List[int]:
+    """64-bit FNV-1a hashes of character shingles (dedup fingerprinting,
+    reference deduplication.py:84-124)."""
+    lib = _lib()
+    data = text.encode("utf-8", errors="replace")
+    n_shingles = max(0, len(data) - shingle_len + 1)
+    if lib is not None and n_shingles > 0:
+        out = (ctypes.c_uint64 * n_shingles)()
+        n = lib.hst_minhash_shingles(data, len(data), shingle_len, out, n_shingles)
+        return list(out[:n])
+    # Python FNV-1a fallback
+    hashes = []
+    for i in range(n_shingles):
+        h = 0xCBF29CE484222325
+        for byte in data[i : i + shingle_len]:
+            h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        hashes.append(h)
+    return hashes

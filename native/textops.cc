@@ -1,0 +1,125 @@
+// textops — native host-side text primitives for hybridsearch_tpu.
+//
+// First-party C++ replacement for the native machinery the reference
+// delegated to third-party libs: rapidfuzz's edit-distance kernels
+// (reference core.py:185, autocomplete.py:126-131), regex tokenization
+// (reference extractor.py:15), and MinHash shingle hashing
+// (reference deduplication.py:84-124).
+//
+// Exposed as a C ABI consumed via ctypes (hybridsearch_tpu/text/native.py).
+// Build: make -C native
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Tokenize: find runs of [A-Za-z0-9_] in `data`. Writes up to `cap`
+// (start, end) byte-offset pairs; returns the number of tokens found.
+int64_t hst_tokenize(const char* data, int64_t len, int64_t* starts,
+                     int64_t* ends, int64_t cap) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < len && n < cap) {
+    unsigned char c = static_cast<unsigned char>(data[i]);
+    bool word = (c == '_' || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+                 (c >= 'a' && c <= 'z'));
+    if (!word) {
+      ++i;
+      continue;
+    }
+    int64_t start = i;
+    while (i < len) {
+      unsigned char d = static_cast<unsigned char>(data[i]);
+      bool w = (d == '_' || (d >= '0' && d <= '9') || (d >= 'A' && d <= 'Z') ||
+                (d >= 'a' && d <= 'z'));
+      if (!w) break;
+      ++i;
+    }
+    starts[n] = start;
+    ends[n] = i;
+    ++n;
+  }
+  return n;
+}
+
+// Levenshtein distance with the standard two-row DP, O(|a|*|b|) time,
+// O(min) memory.
+int64_t hst_levenshtein(const char* a, int64_t la, const char* b, int64_t lb) {
+  if (la < lb) {
+    std::swap(a, b);
+    std::swap(la, lb);
+  }
+  if (lb == 0) return la;
+  std::vector<int64_t> prev(lb + 1), cur(lb + 1);
+  for (int64_t j = 0; j <= lb; ++j) prev[j] = j;
+  for (int64_t i = 1; i <= la; ++i) {
+    cur[0] = i;
+    const char ca = a[i - 1];
+    for (int64_t j = 1; j <= lb; ++j) {
+      int64_t cost = (ca == b[j - 1]) ? 0 : 1;
+      cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost});
+    }
+    std::swap(prev, cur);
+  }
+  return prev[lb];
+}
+
+// partial_ratio: best similarity (0..100) of the shorter string against any
+// equal-length window of the longer one — the contract of
+// rapidfuzz.fuzz.partial_ratio as used by the reference's fuzzy lexical arm.
+// Uses banded early exit: tracks the best distance so far and skips windows
+// whose first-character mismatch lower bound can't improve it.
+double hst_partial_ratio(const char* a, int64_t la, const char* b, int64_t lb) {
+  if (la == 0 || lb == 0) return 0.0;
+  const char* s = a;
+  const char* l = b;
+  int64_t ls = la, ll = lb;
+  if (ls > ll) {
+    std::swap(s, l);
+    std::swap(ls, ll);
+  }
+  int64_t best = ls;  // worst case: everything differs
+  std::vector<int64_t> prev(ls + 1), cur(ls + 1);
+  for (int64_t start = 0; start + ls <= ll; ++start) {
+    const char* w = l + start;
+    for (int64_t j = 0; j <= ls; ++j) prev[j] = j;
+    for (int64_t i = 1; i <= ls; ++i) {
+      cur[0] = i;
+      const char cw = w[i - 1];
+      int64_t row_min = cur[0];
+      for (int64_t j = 1; j <= ls; ++j) {
+        int64_t cost = (cw == s[j - 1]) ? 0 : 1;
+        cur[j] = std::min({prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost});
+        row_min = std::min(row_min, cur[j]);
+      }
+      if (row_min >= best) break;  // cannot beat current best in this window
+      std::swap(prev, cur);
+    }
+    best = std::min(best, prev[ls]);
+    if (best == 0) break;
+  }
+  return 100.0 * (1.0 - static_cast<double>(best) / static_cast<double>(ls));
+}
+
+// 64-bit FNV-1a hashes over character shingles of length `k`.
+int64_t hst_minhash_shingles(const char* data, int64_t len, int64_t k,
+                             uint64_t* out, int64_t cap) {
+  const uint64_t kOffset = 0xCBF29CE484222325ULL;
+  const uint64_t kPrime = 0x100000001B3ULL;
+  int64_t n = (len >= k) ? (len - k + 1) : 0;
+  n = std::min(n, cap);
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t h = kOffset;
+    for (int64_t j = 0; j < k; ++j) {
+      h ^= static_cast<unsigned char>(data[i + j]);
+      h *= kPrime;
+    }
+    out[i] = h;
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -1,0 +1,73 @@
+"""Dense retrieval kernel parity vs the NumPy oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.evaluation import oracle
+from hybridsearch_tpu.ops import dense
+
+
+@pytest.mark.parametrize("n,d,b,k,block", [(100, 64, 3, 5, 32), (1000, 384, 4, 17, 256),
+                                           (257, 128, 1, 10, 128)])
+def test_scan_topk_matches_oracle(rng, n, d, b, k, block):
+    docs = rng.standard_normal((n, d)).astype(np.float32)
+    qs = rng.standard_normal((b, d)).astype(np.float32)
+    docs_n = oracle.l2_normalize(docs).astype(np.float32)
+    qs_n = oracle.l2_normalize(qs).astype(np.float32)
+
+    ov, oi = oracle.dense_topk(qs_n, docs_n, k, normalized=True)
+    kv, ki = dense.scan_dense_topk(jnp.asarray(qs_n), jnp.asarray(docs_n), k,
+                                   block_n=block)
+    np.testing.assert_allclose(np.asarray(kv), ov, rtol=0, atol=1e-2)
+    # indices can differ on exact ties; verify score-equivalence per slot
+    sv = np.take_along_axis(qs_n @ docs_n.T, np.asarray(ki), axis=1)
+    np.testing.assert_allclose(sv, ov, rtol=0, atol=1e-2)
+
+
+def test_topk_k_larger_than_n(rng):
+    docs = rng.standard_normal((5, 32)).astype(np.float32)
+    qs = rng.standard_normal((2, 32)).astype(np.float32)
+    kv, ki = dense.dense_topk(jnp.asarray(qs), jnp.asarray(docs), 10, normalized=False)
+    assert kv.shape == (2, 5)
+
+
+def test_cosine_scores_match(rng):
+    docs = rng.standard_normal((50, 48)).astype(np.float32)
+    qs = rng.standard_normal((2, 48)).astype(np.float32)
+    got = np.asarray(dense.cosine_scores(jnp.asarray(qs), jnp.asarray(docs)))
+    want = oracle.cosine_scores(qs, docs)
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-2)
+
+
+def test_permutation_invariance(rng):
+    """Scores are invariant under document permutation (property test)."""
+    docs = rng.standard_normal((64, 32)).astype(np.float32)
+    q = rng.standard_normal((1, 32)).astype(np.float32)
+    perm = rng.permutation(64)
+    v1, i1 = dense.dense_topk(jnp.asarray(q), jnp.asarray(docs), 8, normalized=False)
+    v2, i2 = dense.dense_topk(jnp.asarray(q), jnp.asarray(docs[perm]), 8,
+                              normalized=False)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=0, atol=1e-2)
+    assert set(np.asarray(i1).ravel().tolist()) == set(
+        perm[np.asarray(i2).ravel()].tolist()
+    )
+
+
+def test_scatter_topk_to_dense(rng):
+    vals = jnp.asarray([[0.9, 0.5], [0.8, 0.1]], dtype=jnp.float32)
+    idx = jnp.asarray([[3, 0], [1, -1]], dtype=jnp.int32)
+    out = np.asarray(dense.scatter_topk_to_dense(vals, idx, 5))
+    want = np.zeros((2, 5), dtype=np.float32)
+    want[0, 3], want[0, 0] = 0.9, 0.5
+    want[1, 1] = 0.8  # -1 slot dropped
+    np.testing.assert_allclose(out, want)
+
+
+def test_pairwise_cosine(rng):
+    x = rng.standard_normal((10, 16)).astype(np.float32)
+    got = np.asarray(dense.pairwise_cosine(jnp.asarray(x)))
+    xn = oracle.l2_normalize(x)
+    np.testing.assert_allclose(got, (xn @ xn.T).astype(np.float32), rtol=0,
+                               atol=1e-2)
+    np.testing.assert_allclose(np.diag(got), np.ones(10), rtol=0, atol=1e-2)
