@@ -1,0 +1,217 @@
+"""Indexer: document ingest -> host store + device indexes.
+
+Capability parity with the reference Indexer (reference indexer.py:70-373):
+context manager over a DB path, destructive full reindex, incremental add,
+batched embedding, full reload. Design differences (TPU-first fixes):
+
+  - embeddings persist as device-index shard files + manifest and reload
+    without re-embedding (the reference re-embeds the whole corpus at every
+    process start, api.py:131-135, cli.py:33);
+  - incremental adds update BOTH the dense index and the BM25 postings (the
+    reference's add_documents leaves its FAISS index stale,
+    indexer.py:317-360);
+  - the embed path is a batched device encode, padded to bucketed batch
+    shapes to avoid XLA recompiles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from hybridsearch_tpu.config import EngineConfig
+from hybridsearch_tpu.index.dense_index import DenseIndex
+from hybridsearch_tpu.index.sparse_index import BM25, BM25Plus
+from hybridsearch_tpu.store.docstore import DocStore
+from hybridsearch_tpu.text.extractor import extract_tokens, preprocess_text
+
+
+class Indexer:
+    """Builds and maintains the dense + sparse indexes and the host store."""
+
+    def __init__(
+        self,
+        db_path: str = ":memory:",
+        encoder=None,
+        mesh=None,
+        config: Optional[EngineConfig] = None,
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.db_path = db_path
+        self.store = DocStore(db_path)
+        self.mesh = mesh
+        self._encoder = encoder
+        if encoder is not None and getattr(encoder, "dim", None):
+            # the embedding dim is dictated by the encoder
+            self.config.index.dim = encoder.dim
+        bm25_cls = BM25Plus if self.config.bm25.variant == "bm25plus" else BM25
+        self.bm25 = bm25_cls(
+            k1=self.config.bm25.k1, b=self.config.bm25.b, delta=self.config.bm25.delta
+        )
+        self.dense = DenseIndex(
+            dim=self.config.index.dim,
+            mesh=mesh,
+            block_n=self.config.index.block_n,
+            capacity_round=self.config.index.capacity_round,
+        )
+        self.contents: List[str] = []
+        self.doc_ids: List[int] = []
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def __enter__(self) -> "Indexer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def close(self) -> None:
+        self.store.close()
+
+    @property
+    def encoder(self):
+        if self._encoder is None:
+            from hybridsearch_tpu.models.encoder import default_encoder
+
+            self._encoder = default_encoder(dim=self.config.index.dim)
+        return self._encoder
+
+    # -- embedding ---------------------------------------------------------------
+
+    def embed(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
+        """Batched encode (reference indexer.py:229-243)."""
+        out = []
+        for i in range(0, len(texts), batch_size):
+            out.append(self.encoder.encode(list(texts[i : i + batch_size])))
+        return (
+            np.concatenate(out, axis=0)
+            if out
+            else np.zeros((0, self.config.index.dim), np.float32)
+        )
+
+    # -- indexing ----------------------------------------------------------------
+
+    def index_documents(
+        self,
+        documents: Sequence[str],
+        paths: Optional[Sequence[Optional[str]]] = None,
+    ) -> Dict[str, int]:
+        """Destructive full reindex (reference indexer.py:245-315)."""
+        docs = [preprocess_text(d) for d in documents]
+        token_lists = [extract_tokens(d) for d in docs]
+        ids = self.store.replace_documents(
+            docs, paths, [len(t) for t in token_lists]
+        )
+        vectors = self.embed(docs)
+        self.dense.build(vectors)
+        self.bm25.fit_tokens(token_lists)
+        self.contents = list(docs)
+        self.doc_ids = ids
+        return {"indexed": len(docs), "dim": self.config.index.dim}
+
+    def add_documents(
+        self,
+        documents: Sequence[str],
+        paths: Optional[Sequence[Optional[str]]] = None,
+    ) -> List[int]:
+        """Incremental add keeping dense AND sparse indexes live (fixes
+        reference indexer.py:317-360's stale-FAISS inconsistency). BM25
+        global stats (df, avg_len) change on add, so postings are refit from
+        the cached token lists — O(corpus tokens) host work, amortizable via
+        the job queue for bulk adds."""
+        docs = [preprocess_text(d) for d in documents]
+        token_lists = [extract_tokens(d) for d in docs]
+        ids = self.store.add_documents(docs, paths, [len(t) for t in token_lists])
+        vectors = self.embed(docs)
+        self.dense.add(vectors)
+        self.contents.extend(docs)
+        self.doc_ids.extend(ids)
+        all_tokens = [extract_tokens(c) for c in self.contents]
+        self.bm25.fit_tokens(all_tokens)
+        return ids
+
+    def reload(self) -> int:
+        """Rebuild in-memory state from the host store (re-embedding only if
+        no persisted dense index is available)."""
+        ids, contents = self.store.get_contents()
+        self.contents = contents
+        self.doc_ids = ids
+        if contents:
+            if self.dense.n_docs != len(contents):
+                self.dense.build(self.embed(contents))
+            self.bm25.fit(contents)
+        return len(contents)
+
+    # -- persistence ---------------------------------------------------------------
+
+    def save(self, directory: str) -> None:
+        """Persist dense shards + engine manifest; docs/metadata live in the
+        sqlite store at db_path (SURVEY §5.4 fix)."""
+        os.makedirs(directory, exist_ok=True)
+        self.dense.save(os.path.join(directory, "dense"))
+        manifest = {
+            "engine": "hybridsearch_tpu",
+            "encoder": getattr(self.encoder, "name", "unknown"),
+            "dim": self.config.index.dim,
+            "n_docs": len(self.contents),
+            "db_path": self.db_path,
+            "config": json.loads(self.config.to_json()),
+        }
+        with open(os.path.join(directory, "engine_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    @classmethod
+    def load(
+        cls, directory: str, encoder=None, mesh=None, db_path: Optional[str] = None
+    ) -> "Indexer":
+        with open(os.path.join(directory, "engine_manifest.json")) as f:
+            manifest = json.load(f)
+        config = EngineConfig.from_dict(manifest.get("config", {}))
+        idx = cls(
+            db_path=db_path or manifest.get("db_path", ":memory:"),
+            encoder=encoder,
+            mesh=mesh,
+            config=config,
+        )
+        idx.dense = DenseIndex.load(
+            os.path.join(directory, "dense"), mesh=mesh,
+            block_n=config.index.block_n,
+        )
+        ids, contents = idx.store.get_contents()
+        idx.contents = contents
+        idx.doc_ids = ids
+        if contents:
+            idx.bm25.fit(contents)
+        return idx
+
+    # -- export / import (reference cli.py:129-159) -----------------------------
+
+    def export_json(self, path: str) -> None:
+        import jax
+
+        vecs = self.dense.get_vectors(list(range(self.dense.n_docs)))
+        data = {
+            "documents": self.contents,
+            "doc_ids": self.doc_ids,
+            "vectors": np.asarray(vecs).tolist(),
+        }
+        with open(path, "w") as f:
+            json.dump(data, f)
+
+    def import_json(self, path: str) -> int:
+        with open(path) as f:
+            data = json.load(f)
+        docs = data["documents"]
+        self.store.replace_documents(docs)
+        vecs = np.asarray(data.get("vectors", []), dtype=np.float32)
+        if len(vecs) == len(docs) and len(docs):
+            self.dense.build(vecs)
+        elif docs:
+            self.dense.build(self.embed(docs))
+        self.bm25.fit(docs)
+        self.contents = list(docs)
+        self.doc_ids = list(range(len(docs)))
+        return len(docs)

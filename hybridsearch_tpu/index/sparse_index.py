@@ -1,0 +1,136 @@
+"""BM25 sparse (lexical) index.
+
+API parity with the reference's BM25/BM25Plus (reference bm25.py:16-179:
+fit / score / score_batch / search), re-designed for TPU: instead of
+per-query Python dict loops, all (term, doc) contributions are eager-scored
+at fit time (BM25S-style) into device-resident term-major CSR postings, and
+a query is a padded term-id vector scored by ops/bm25.py's scatter-add
+kernel. Per-query cost is O(sum of posting lengths) device work with no
+host round-trips after query tokenization.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.ops import bm25 as bm25_ops
+from hybridsearch_tpu.text.extractor import Vocabulary, extract_tokens
+
+# Queries are padded to a small set of fixed widths to avoid XLA recompiles.
+_QUERY_WIDTHS = (8, 16, 32, 64, 128)
+
+
+class BM25:
+    """Okapi BM25 with the reference's smoothed IDF (bm25.py:81)."""
+
+    variant = "bm25"
+
+    def __init__(self, k1: float = 1.5, b: float = 0.75, delta: float = 1.0) -> None:
+        self.k1 = k1
+        self.b = b
+        self.delta = delta
+        self.vocab = Vocabulary()
+        self.postings: Optional[bm25_ops.BM25Postings] = None
+        self.n_docs = 0
+        self._doc_tokens: List[List[str]] = []
+
+    # -- fit -------------------------------------------------------------
+
+    def fit(self, corpus: Sequence[str]) -> "BM25":
+        """Tokenize corpus, compute eager (term, doc) weights, upload CSR
+        postings to device (reference fit: bm25.py:45-81)."""
+        tokenized = [extract_tokens(t) for t in corpus]
+        return self.fit_tokens(tokenized)
+
+    def fit_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":
+        self.vocab = Vocabulary()
+        self._doc_tokens = [list(t) for t in tokenized]
+        self.n_docs = len(tokenized)
+        term_ids: List[int] = []
+        doc_ids: List[int] = []
+        counts: List[int] = []
+        doc_lens = np.array([len(t) for t in tokenized], dtype=np.float64)
+        for d, toks in enumerate(tokenized):
+            tf: dict = {}
+            for t in toks:
+                tid = self.vocab.add(t)
+                tf[tid] = tf.get(tid, 0) + 1
+            term_ids.extend(tf.keys())
+            doc_ids.extend([d] * len(tf))
+            counts.extend(tf.values())
+        t_arr = np.asarray(term_ids, dtype=np.int64)
+        d_arr = np.asarray(doc_ids, dtype=np.int64)
+        c_arr = np.asarray(counts, dtype=np.float64)
+        weights = bm25_ops.compute_eager_weights(
+            t_arr, d_arr, c_arr, doc_lens, self.n_docs, len(self.vocab),
+            k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
+        )
+        self.postings = bm25_ops.build_postings_arrays(
+            t_arr, d_arr.astype(np.int32), weights, self.n_docs, len(self.vocab)
+        )
+        return self
+
+    # -- query encoding ----------------------------------------------------
+
+    def _encode_queries(self, queries: Sequence[str]) -> jnp.ndarray:
+        """Token-id encode + pad to a bucketed width (pad id = vocab_size,
+        an empty posting run)."""
+        id_lists = [
+            self.vocab.encode(extract_tokens(q)) or [] for q in queries
+        ]
+        longest = max((len(x) for x in id_lists), default=1)
+        width = next((w for w in _QUERY_WIDTHS if w >= longest), None)
+        if width is None:  # very long query: truncate to the widest bucket
+            width = _QUERY_WIDTHS[-1]
+            id_lists = [x[:width] for x in id_lists]
+        pad = len(self.vocab)
+        out = np.full((len(queries), width), pad, dtype=np.int32)
+        for i, ids in enumerate(id_lists):
+            out[i, : len(ids)] = ids
+        return jnp.asarray(out)
+
+    # -- scoring -------------------------------------------------------------
+
+    def score_all(self, query: str) -> np.ndarray:
+        """Dense [n_docs] score vector for one query."""
+        if self.postings is None or self.n_docs == 0:
+            return np.zeros((0,), dtype=np.float32)
+        qt = self._encode_queries([query])
+        return np.asarray(bm25_ops.bm25_scores(self.postings, qt))[0]
+
+    def score(self, query: str, doc_idx: int) -> float:
+        """Single (query, doc) score (reference bm25.py:83-112)."""
+        return float(self.score_all(query)[doc_idx])
+
+    def score_batch(self, query: str, doc_indices: Sequence[int]) -> List[float]:
+        """Scores for a candidate subset (reference bm25.py:114-127)."""
+        full = self.score_all(query)
+        return [float(full[i]) for i in doc_indices]
+
+    def search(self, query: str, top_k: int = 10) -> List[Tuple[int, float]]:
+        """Top-k (doc_idx, score), excluding zero scores like the reference
+        search (bm25.py:129-158 only returns docs with positive scores)."""
+        scores = self.score_all(query)
+        if scores.size == 0:
+            return []
+        k = min(top_k, self.n_docs)
+        idx = np.argsort(-scores, kind="stable")[:k]
+        return [(int(i), float(scores[i])) for i in idx if scores[i] > 0.0]
+
+    def batch_scores(self, queries: Sequence[str]) -> np.ndarray:
+        """[B, n_docs] scores for a query batch — the batched device path the
+        reference lacks (its /search/batch is a Python loop, api.py:420-447)."""
+        if self.postings is None or self.n_docs == 0:
+            return np.zeros((len(queries), 0), dtype=np.float32)
+        qt = self._encode_queries(list(queries))
+        return np.asarray(bm25_ops.bm25_scores(self.postings, qt))
+
+
+class BM25Plus(BM25):
+    """BM25+ — adds delta inside the per-term sum for matching docs
+    (reference bm25.py:160-179)."""
+
+    variant = "bm25plus"

@@ -58,6 +58,7 @@ def scan_dense_topk(
     k: int,
     block_n: int = 4096,
     normalized: bool = True,
+    bias: jax.Array | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Streaming exact top-k inner-product search.
 
@@ -66,6 +67,10 @@ def scan_dense_topk(
       docs: [N, D] document embeddings (pre-L2-normalized if normalized=True).
       k: number of neighbors.
       block_n: document block size per scan step (MXU-friendly multiple of 128).
+      bias: optional [N] additive per-doc score bias. 0/-inf masks implement
+        tombstoned deletes and metadata pre-filtering inside the kernel —
+        filtering happens *before* top-k, unlike the reference's post-filter
+        (reference api.py:759-791).
     Returns:
       (values [B, k] float32, indices [B, k] int32), sorted descending.
       Slots beyond N (when k > N) hold -inf / -1.
@@ -83,6 +88,11 @@ def scan_dense_topk(
     if Np != N:
         d = jnp.pad(d, ((0, Np - N), (0, 0)))
     d_blocks = d.reshape(nb, block_n, D)
+    if bias is not None:
+        b_pad = jnp.pad(bias.astype(jnp.float32), (0, Np - N))
+        b_blocks = b_pad.reshape(nb, block_n)
+    else:
+        b_blocks = jnp.zeros((nb, block_n), dtype=jnp.float32)
 
     init_vals = jnp.full((B, k), NEG_INF, dtype=jnp.float32)
     init_idxs = jnp.full((B, k), -1, dtype=jnp.int32)
@@ -91,9 +101,10 @@ def scan_dense_topk(
 
     def body(carry, inp):
         vals, idxs = carry
-        blk_i, e_blk = inp
+        blk_i, e_blk, b_blk = inp
         # [B, block_n] block scores on the MXU.
         s = jnp.dot(q, e_blk.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        s = s + b_blk[None, :]
         gidx = blk_i * block_n + col  # [1, block_n]
         valid = gidx < N
         s = jnp.where(valid, s, NEG_INF)
@@ -104,7 +115,9 @@ def scan_dense_topk(
         return (new_v, new_i), None
 
     (vals, idxs), _ = jax.lax.scan(
-        body, (init_vals, init_idxs), (jnp.arange(nb, dtype=jnp.int32), d_blocks)
+        body,
+        (init_vals, init_idxs),
+        (jnp.arange(nb, dtype=jnp.int32), d_blocks, b_blocks),
     )
     return vals, idxs
 

@@ -1,0 +1,236 @@
+"""Hybrid searcher — the hot query path.
+
+Parity with the reference Searcher (reference core.py:112-285) with the
+whole scoring pipeline device-resident:
+
+  encode(query) -> semantic scores -> lexical scores -> min-max normalize
+  -> weighted fusion -> top-k -> (score, content, doc_id) tuples
+
+Differences by design (TPU-first):
+  - both score arrays and the fusion run in one jitted program; the only
+    host work is query tokenization and the final k-row gather of contents;
+  - `/search/batch` semantics are a true batched kernel (the reference loops
+    per query, api.py:420-447);
+  - lexical arm defaults to the BM25 device kernel; the reference's
+    rapidfuzz partial_ratio blend (core.py:178-197) is available as
+    lexical_mode="fuzzy" on the host for small corpora (the native C++
+    textops implementation);
+  - semantic arm is exact by default. semantic_mode="scatter" reproduces
+    the reference's FAISS branch, which retrieves min(top_k*2, N) hits and
+    scatters them into a dense zeros array before fusion (core.py:244-250).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.config import EngineConfig
+from hybridsearch_tpu.index.builder import Indexer
+from hybridsearch_tpu.ops.dense import l2_normalize, scatter_topk_to_dense
+from hybridsearch_tpu.ops.fusion import validate_weights
+from hybridsearch_tpu.retrieval.query_memory import QueryMemory
+from hybridsearch_tpu.text.extractor import extract_tokens
+
+SearchResult = Tuple[float, str, int]
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _fuse_and_topk(
+    sem: jax.Array,
+    lex: jax.Array,
+    w_s: jax.Array,
+    w_l: jax.Array,
+    bias: jax.Array,
+    k: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """minmax-normalize both arms, weighted-sum, add tombstone/filter bias,
+    top-k — one fused program (reference core.py:264-271). The bias is added
+    post-normalization so -inf tombstones exclude docs without poisoning the
+    min/max statistics. (Tombstoned rows still participate in min/max until
+    compaction; the reference has no deletes so there is no parity gap.)"""
+    from hybridsearch_tpu.ops.fusion import minmax_normalize
+
+    hybrid = minmax_normalize(sem) * w_s + minmax_normalize(lex) * w_l
+    hybrid = hybrid + bias[None, :]
+    return jax.lax.top_k(hybrid, k)
+
+
+@jax.jit
+def _semantic_full(q: jax.Array, docs: jax.Array) -> jax.Array:
+    """[B, n] exact cosine scores (docs pre-normalized)."""
+    qn = l2_normalize(q.astype(jnp.float32))
+    return jnp.dot(qn, docs.T, preferred_element_type=jnp.float32)
+
+
+class Searcher:
+    def __init__(
+        self,
+        indexer: Optional[Indexer] = None,
+        db_path: str = ":memory:",
+        encoder=None,
+        mesh=None,
+        use_query_memory: bool = True,
+        lexical_mode: str = "bm25",  # "bm25" | "fuzzy"
+        semantic_mode: str = "exact",  # "exact" | "scatter"
+        config: Optional[EngineConfig] = None,
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.indexer = indexer or Indexer(
+            db_path=db_path, encoder=encoder, mesh=mesh, config=self.config
+        )
+        self.query_memory = (
+            QueryMemory(self.indexer.store) if use_query_memory else None
+        )
+        self.lexical_mode = lexical_mode
+        self.semantic_mode = semantic_mode
+        self.default_weights = (
+            self.config.fusion.semantic_weight,
+            self.config.fusion.lexical_weight,
+        )
+
+    # -- weight resolution (reference core.py:225-233) -------------------------
+
+    def resolve_weights(
+        self,
+        semantic_weight: Optional[float],
+        lexical_weight: Optional[float],
+    ) -> Tuple[float, float]:
+        if semantic_weight is not None or lexical_weight is not None:
+            sw = semantic_weight if semantic_weight is not None else (
+                1.0 - (lexical_weight or 0.0)
+            )
+            lw = lexical_weight if lexical_weight is not None else 1.0 - sw
+        elif self.query_memory is not None and (
+            learned := self.query_memory.get_optimal_weights()
+        ):
+            sw, lw = learned
+        else:
+            sw, lw = self.default_weights
+        validate_weights(sw, lw)
+        return sw, lw
+
+    # -- score arms ---------------------------------------------------------------
+
+    def _semantic_scores(self, q_vecs: np.ndarray, top_k: int) -> jax.Array:
+        dense = self.indexer.dense
+        n = dense.n_docs
+        snap = dense._snap
+        if self.semantic_mode == "scatter" or (
+            self.indexer.mesh is not None and n > 0
+        ):
+            # FAISS-branch parity: top (2k) retrieved, scattered into zeros
+            # (reference core.py:244-250). Also the scalable path: only 2k
+            # candidates leave the kernel.
+            k2 = min(2 * top_k, n)
+            vals, idxs = dense.search(q_vecs, k2)
+            return scatter_topk_to_dense(
+                jnp.asarray(np.maximum(vals, 0.0)), jnp.asarray(idxs), n
+            )
+        q = jnp.asarray(np.asarray(q_vecs, np.float32))
+        return _semantic_full(q, snap.docs[:n])
+
+    def _lexical_scores(self, queries: Sequence[str]) -> jax.Array:
+        n = self.indexer.dense.n_docs
+        if self.lexical_mode == "fuzzy":
+            return jnp.asarray(self._fuzzy_scores_host(queries))
+        scores = self.indexer.bm25.batch_scores(queries)
+        if scores.shape[1] != n:  # bm25 not fit yet
+            return jnp.zeros((len(queries), n), jnp.float32)
+        return jnp.asarray(scores)
+
+    def _fuzzy_scores_host(self, queries: Sequence[str]) -> np.ndarray:
+        """Reference lexical blend: 0.7 * partial_ratio/100 + 0.3 * token
+        overlap (reference core.py:178-197), via native C++ textops."""
+        from hybridsearch_tpu.text.native import partial_ratio
+
+        docs = self.indexer.contents
+        out = np.zeros((len(queries), len(docs)), dtype=np.float32)
+        for qi, query in enumerate(queries):
+            q_low = query.lower()
+            q_toks = set(extract_tokens(query))
+            for di, doc in enumerate(docs):
+                fuzzy = partial_ratio(q_low, doc.lower()) / 100.0
+                d_toks = set(extract_tokens(doc))
+                overlap = (
+                    len(q_toks & d_toks) / len(q_toks) if q_toks else 0.0
+                )
+                out[qi, di] = 0.7 * fuzzy + 0.3 * overlap
+        return out
+
+    # -- search ---------------------------------------------------------------------
+
+    def search(
+        self,
+        query: str,
+        top_k: int = 5,
+        semantic_weight: Optional[float] = None,
+        lexical_weight: Optional[float] = None,
+        log: bool = True,
+    ) -> List[SearchResult]:
+        return self.search_batch(
+            [query], top_k, semantic_weight, lexical_weight, log=log
+        )[0]
+
+    def search_batch(
+        self,
+        queries: Sequence[str],
+        top_k: int = 5,
+        semantic_weight: Optional[float] = None,
+        lexical_weight: Optional[float] = None,
+        log: bool = True,
+    ) -> List[List[SearchResult]]:
+        """Batched hybrid search: one fused device program for the whole
+        query batch."""
+        t0 = time.perf_counter()
+        sw, lw = self.resolve_weights(semantic_weight, lexical_weight)
+        n = self.indexer.dense.n_docs
+        if n == 0:
+            return [[] for _ in queries]
+        q_vecs = self.indexer.encoder.encode(list(queries))
+        sem = self._semantic_scores(q_vecs, top_k)
+        lex = self._lexical_scores(queries)
+        k = min(top_k, n)
+        bias = self.indexer.dense._snap.bias[:n]
+        vals, idxs = _fuse_and_topk(
+            sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
+        )
+        vals_np = np.asarray(jax.device_get(vals))
+        idxs_np = np.asarray(jax.device_get(idxs))
+        latency_ms = (time.perf_counter() - t0) * 1e3
+        results: List[List[SearchResult]] = []
+        contents = self.indexer.contents
+        for b, query in enumerate(queries):
+            row = [
+                (float(vals_np[b, j]), contents[int(idxs_np[b, j])],
+                 int(idxs_np[b, j]))
+                for j in range(k)
+                if 0 <= int(idxs_np[b, j]) < len(contents)
+            ]
+            results.append(row)
+            if log and self.query_memory is not None:
+                # every query is logged (reference core.py:280-281)
+                self.query_memory.log_query(
+                    query, sw, lw,
+                    top_score=row[0][0] if row else None,
+                    n_results=len(row), latency_ms=latency_ms,
+                )
+        return results
+
+    # -- feedback --------------------------------------------------------------------
+
+    def log_feedback(self, query: str, doc_id: int, rating: int) -> None:
+        if self.query_memory is not None:
+            self.query_memory.log_feedback(query, doc_id, rating)
+
+    def get_stats(self) -> dict:
+        stats = (
+            self.query_memory.get_query_stats() if self.query_memory else {}
+        )
+        stats["total_documents"] = len(self.indexer.contents)
+        return stats

@@ -4,7 +4,10 @@ without TPU hardware (SURVEY §4d)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The harness exports JAX_PLATFORMS=axon (the TPU tunnel); tests must run on
+# CPU with 8 virtual devices, and the env var alone is overridden by the
+# plugin, so force it via jax.config before any backend initialization.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,9 +18,12 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 # Persistent compile cache: XLA compilation dominates test runtime.
 jax.config.update("jax_compilation_cache_dir", "/tmp/hst_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 
 @pytest.fixture(scope="session")
