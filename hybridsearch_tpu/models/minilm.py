@@ -1,0 +1,254 @@
+"""MiniLM bi-encoder / cross-encoder wrappers with HF weight loading.
+
+Provides the reference's two model roles (reference core.py:118 bi-encoder,
+reranker.py:19 cross-encoder) on TPU via the Flax trunk in models/bert.py.
+
+Weight resolution order:
+  1. a sentence-transformers/HF checkpoint directory (config.json +
+     pytorch_model.bin or model.safetensors + vocab.txt) found under
+     $HST_MODEL_DIR, ./models/<name>, or the HF cache — converted
+     torch -> flax once and used verbatim (real embedding quality);
+  2. deterministic random init (seeded) — identical FLOPs/shapes for
+     benchmarking and for from-scratch training.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.models.bert import BertConfig, BiEncoder, CrossEncoder
+from hybridsearch_tpu.models.tokenizer import BertTokenizer
+
+_SEARCH_DIRS = (
+    os.environ.get("HST_MODEL_DIR", ""),
+    os.path.expanduser("~/.cache/huggingface"),
+    "./models",
+)
+
+
+def find_checkpoint(name: str) -> Optional[str]:
+    """Locate an HF checkpoint directory containing weights for `name`."""
+    for base in _SEARCH_DIRS:
+        if not base or not os.path.isdir(base):
+            continue
+        for root, _dirs, files in os.walk(base):
+            if name.lower() in root.lower() and (
+                "pytorch_model.bin" in files or "model.safetensors" in files
+            ):
+                return root
+    return None
+
+
+def weights_available(name: str = "MiniLM") -> bool:
+    return find_checkpoint(name) is not None
+
+
+# -- torch -> flax conversion ---------------------------------------------------
+
+
+def convert_hf_bert(state_dict, cfg: BertConfig, prefix: str = "") -> dict:
+    """Map an HF BERT state_dict onto the Flax trunk's parameter tree.
+    torch Linear weights are [out, in]; flax kernels are [in, out]."""
+
+    def g(key):
+        for cand in (prefix + key, key, "bert." + key):
+            if cand in state_dict:
+                return np.asarray(state_dict[cand], dtype=np.float32)
+        raise KeyError(key)
+
+    def lin(key):
+        return {"kernel": g(key + ".weight").T, "bias": g(key + ".bias")}
+
+    def ln(key):
+        return {"scale": g(key + ".weight"), "bias": g(key + ".bias")}
+
+    params = {
+        "word_embeddings": {"embedding": g("embeddings.word_embeddings.weight")},
+        "position_embeddings": {
+            "embedding": g("embeddings.position_embeddings.weight")
+        },
+        "token_type_embeddings": {
+            "embedding": g("embeddings.token_type_embeddings.weight")
+        },
+        "embed_ln": ln("embeddings.LayerNorm"),
+    }
+    for i in range(cfg.num_layers):
+        b = f"encoder.layer.{i}."
+        params[f"layer_{i}"] = {
+            "attention": {
+                "query": lin(b + "attention.self.query"),
+                "key": lin(b + "attention.self.key"),
+                "value": lin(b + "attention.self.value"),
+                "out": lin(b + "attention.output.dense"),
+            },
+            "attn_ln": ln(b + "attention.output.LayerNorm"),
+            "mlp_in": lin(b + "intermediate.dense"),
+            "mlp_out": lin(b + "output.dense"),
+            "mlp_ln": ln(b + "output.LayerNorm"),
+        }
+    return params
+
+
+def load_checkpoint_params(ckpt_dir: str, cfg: BertConfig, head: str = "none") -> dict:
+    """Load torch weights from a checkpoint dir and convert to flax params."""
+    sd = None
+    bin_path = os.path.join(ckpt_dir, "pytorch_model.bin")
+    sft_path = os.path.join(ckpt_dir, "model.safetensors")
+    if os.path.exists(sft_path):
+        from safetensors.numpy import load_file  # bundled with transformers
+
+        sd = load_file(sft_path)
+    elif os.path.exists(bin_path):
+        import torch
+
+        sd = {k: v.numpy() for k, v in torch.load(bin_path, map_location="cpu",
+                                                  weights_only=True).items()}
+    if sd is None:
+        raise FileNotFoundError(f"no weights in {ckpt_dir}")
+    trunk = convert_hf_bert(sd, cfg)
+    out = {"bert": trunk}
+    if head == "cross":
+        def g(key):
+            return np.asarray(sd[key], dtype=np.float32)
+
+        out["pooler"] = {"kernel": g("bert.pooler.dense.weight").T,
+                         "bias": g("bert.pooler.dense.bias")}
+        out["classifier"] = {"kernel": g("classifier.weight").T,
+                             "bias": g("classifier.bias")}
+    return out
+
+
+# -- bi-encoder -----------------------------------------------------------------
+
+
+class MiniLMEncoder:
+    """Batched on-device sentence encoder (Encoder protocol)."""
+
+    def __init__(
+        self,
+        dim: int = 384,
+        name: str = "all-MiniLM-L6-v2",
+        max_seq_len: int = 256,
+        cfg: Optional[BertConfig] = None,
+        seed: int = 0,
+        checkpoint: Optional[str] = None,
+    ) -> None:
+        self.name = name
+        self.dim = dim
+        ckpt = checkpoint or find_checkpoint(name)
+        vocab_path = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        self.tokenizer = BertTokenizer(
+            vocab_path=vocab_path,
+            vocab_size=cfg.vocab_size if cfg else 30522,
+        )
+        self.cfg = cfg or BertConfig(
+            vocab_size=self.tokenizer.vocab_size, hidden_dim=dim,
+            max_position=max(512, max_seq_len),
+        )
+        self.max_seq_len = max_seq_len
+        self.model = BiEncoder(self.cfg)
+        if ckpt:
+            self.params = {"params": load_checkpoint_params(ckpt, self.cfg)}
+            self.pretrained = True
+        else:
+            ids = jnp.zeros((1, 8), jnp.int32)
+            mask = jnp.ones((1, 8), jnp.int32)
+            self.params = self.model.init(jax.random.PRNGKey(seed), ids, mask)
+            self.pretrained = False
+        self._fwd = jax.jit(self.model.apply)
+
+    def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
+        if not len(texts):
+            return np.zeros((0, self.dim), np.float32)
+        out = []
+        for i in range(0, len(texts), batch_size):
+            chunk = list(texts[i : i + batch_size])
+            ids, mask = self.tokenizer.batch_encode(chunk, self.max_seq_len)
+            # pad batch to bucketed size to bound XLA shape count
+            bs = _bucket_batch(len(chunk))
+            if bs != len(chunk):
+                ids = np.pad(ids, ((0, bs - len(chunk)), (0, 0)))
+                mask = np.pad(mask, ((0, bs - len(chunk)), (0, 0)))
+                mask[len(chunk):, 0] = 1  # avoid 0/0 in mean pooling
+            emb = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
+            out.append(np.asarray(jax.device_get(emb))[: len(chunk)])
+        return np.concatenate(out, axis=0).astype(np.float32)
+
+
+# -- cross-encoder ------------------------------------------------------------------
+
+
+class MiniLMCrossEncoder:
+    """Batched on-device (query, doc) scorer (reference reranker.py:50-89)."""
+
+    def __init__(
+        self,
+        name: str = "ms-marco-MiniLM-L-6-v2",
+        dim: int = 384,
+        max_seq_len: int = 256,
+        cfg: Optional[BertConfig] = None,
+        seed: int = 1,
+        checkpoint: Optional[str] = None,
+    ) -> None:
+        self.name = name
+        ckpt = checkpoint or find_checkpoint(name)
+        vocab_path = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        self.tokenizer = BertTokenizer(
+            vocab_path=vocab_path,
+            vocab_size=cfg.vocab_size if cfg else 30522,
+        )
+        self.cfg = cfg or BertConfig(
+            vocab_size=self.tokenizer.vocab_size, hidden_dim=dim,
+            max_position=max(512, max_seq_len),
+        )
+        self.max_seq_len = max_seq_len
+        self.model = CrossEncoder(self.cfg)
+        if ckpt:
+            self.params = {
+                "params": load_checkpoint_params(ckpt, self.cfg, head="cross")
+            }
+            self.pretrained = True
+        else:
+            ids = jnp.zeros((1, 8), jnp.int32)
+            one = jnp.ones((1, 8), jnp.int32)
+            self.params = self.model.init(
+                jax.random.PRNGKey(seed), ids, one, jnp.zeros((1, 8), jnp.int32)
+            )
+            self.pretrained = False
+        self._fwd = jax.jit(self.model.apply)
+
+    def predict(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 32) -> np.ndarray:
+        """Relevance logits for (query, doc) pairs."""
+        if not len(pairs):
+            return np.zeros((0,), np.float32)
+        out = []
+        for i in range(0, len(pairs), batch_size):
+            chunk = list(pairs[i : i + batch_size])
+            ids, types, mask = self.tokenizer.batch_encode_pairs(
+                chunk, self.max_seq_len
+            )
+            bs = _bucket_batch(len(chunk))
+            if bs != len(chunk):
+                pad = bs - len(chunk)
+                ids = np.pad(ids, ((0, pad), (0, 0)))
+                types = np.pad(types, ((0, pad), (0, 0)))
+                mask = np.pad(mask, ((0, pad), (0, 0)))
+                mask[len(chunk):, 0] = 1
+            logits = self._fwd(
+                self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)
+            )
+            out.append(np.asarray(jax.device_get(logits))[: len(chunk)])
+        return np.concatenate(out, axis=0).astype(np.float32)
+
+
+def _bucket_batch(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b

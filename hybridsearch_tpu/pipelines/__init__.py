@@ -1,0 +1,377 @@
+"""The eight pre-built pipelines + factory.
+
+Parity with the reference pipeline layer (reference pipelines.py:24-646):
+same names, same composition semantics, same factory kwargs — running on
+the device retrieval core. Quirks preserved deliberately:
+
+  - ChunkedPipeline fetches top_k*2 chunks when return_parent and dedups
+    parents (reference pipelines.py:157-183);
+  - HybridBM25Pipeline normalizes by max (not min-max) and fuses over ALL
+    docs (reference pipelines.py:315-343);
+  - MultiStagePipeline's 100 -> 20 -> 5 funnel: dense stage-1, BM25 on the
+    candidates only, cross-encoder final (reference pipelines.py:470-511);
+  - DiversityPipeline's MMR with lambda 0.5 (reference pipelines.py:514-569)
+    runs as the device kernel ops/mmr.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.config import EngineConfig
+from hybridsearch_tpu.index.builder import Indexer
+from hybridsearch_tpu.ops.fusion import max_normalize
+from hybridsearch_tpu.ops.mmr import mmr_select
+from hybridsearch_tpu.retrieval.highlighter import Highlighter, get_highlighter
+from hybridsearch_tpu.retrieval.searcher import Searcher
+from hybridsearch_tpu.text.chunker import get_chunker
+
+SearchResult = Tuple[float, str, int]
+
+
+@dataclasses.dataclass
+class PipelineResult:
+    """Universal pipeline output (reference pipelines.py:24-30)."""
+
+    results: List[SearchResult]
+    query: str
+    metadata: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    highlighted: Optional[List[str]] = None
+    answer: Optional[str] = None  # RAG pipelines only
+
+
+class BasePipeline:
+    """index(documents) / search(query, top_k) (reference pipelines.py:33-59)."""
+
+    name = "base"
+
+    def __init__(
+        self,
+        encoder=None,
+        db_path: str = ":memory:",
+        mesh=None,
+        config: Optional[EngineConfig] = None,
+        highlight: bool = False,
+        highlight_style: str = "markdown",
+        **kwargs,
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.indexer = Indexer(db_path=db_path, encoder=encoder, mesh=mesh,
+                               config=self.config)
+        self.searcher = Searcher(indexer=self.indexer, config=self.config)
+        self.highlighter: Optional[Highlighter] = (
+            get_highlighter(highlight_style) if highlight else None
+        )
+
+    def index(self, documents: Sequence[str]) -> Dict[str, int]:
+        return self.indexer.index_documents(list(documents))
+
+    def _finish(self, results: List[SearchResult], query: str,
+                metadata: Dict[str, Any]) -> PipelineResult:
+        highlighted = (
+            self.highlighter.highlight_results(results, query)
+            if self.highlighter
+            else None
+        )
+        return PipelineResult(results=results, query=query, metadata=metadata,
+                              highlighted=highlighted)
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        raise NotImplementedError
+
+
+class BasicPipeline(BasePipeline):
+    """Plain hybrid search (reference pipelines.py:62-103)."""
+
+    name = "basic"
+
+    def __init__(self, semantic_weight: float = 0.7, lexical_weight: float = 0.3,
+                 **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.semantic_weight = semantic_weight
+        self.lexical_weight = lexical_weight
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        results = self.searcher.search(
+            query, top_k=top_k,
+            semantic_weight=self.semantic_weight,
+            lexical_weight=self.lexical_weight,
+        )
+        return self._finish(results, query, {"pipeline": self.name})
+
+
+class ChunkedPipeline(BasePipeline):
+    """Chunk documents, search chunks, optionally map back to parents
+    (reference pipelines.py:106-193)."""
+
+    name = "chunked"
+
+    def __init__(self, chunk_strategy: str = "sentence", return_parent: bool = True,
+                 chunker_kwargs: Optional[dict] = None, **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.chunker = get_chunker(chunk_strategy, **(chunker_kwargs or {}))
+        self.return_parent = return_parent
+        self.parents: List[str] = []
+        self.chunk_to_parent: List[int] = []  # chunk row -> parent doc id
+
+    def index(self, documents: Sequence[str]) -> Dict[str, int]:
+        self.parents = list(documents)
+        chunks: List[str] = []
+        self.chunk_to_parent = []
+        for doc_id, doc in enumerate(documents):
+            pieces = self.chunker.chunk(doc, doc_id=doc_id) or []
+            if not pieces:
+                chunks.append(doc)
+                self.chunk_to_parent.append(doc_id)
+                continue
+            for c in pieces:
+                chunks.append(c.content)
+                self.chunk_to_parent.append(doc_id)
+        stats = self.indexer.index_documents(chunks)
+        stats["parents"] = len(documents)
+        stats["chunks"] = len(chunks)
+        return stats
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        fetch_k = top_k * 2 if self.return_parent else top_k  # pipelines.py:157
+        hits = self.searcher.search(query, top_k=fetch_k)
+        if not self.return_parent:
+            return self._finish(hits, query, {"pipeline": self.name})
+        seen = set()
+        results: List[SearchResult] = []
+        for score, _chunk_text, chunk_id in hits:
+            parent = self.chunk_to_parent[chunk_id]
+            if parent in seen:
+                continue  # parent dedup (pipelines.py:157-183)
+            seen.add(parent)
+            results.append((score, self.parents[parent], parent))
+            if len(results) >= top_k:
+                break
+        return self._finish(results, query,
+                            {"pipeline": self.name, "chunks_searched": fetch_k})
+
+
+class RerankedPipeline(BasePipeline):
+    """Retrieve a wider candidate set, cross-encoder rerank
+    (reference pipelines.py:196-250)."""
+
+    name = "reranked"
+
+    def __init__(self, reranker=None, rerank_multiplier: int = 3,
+                 use_fusion: bool = False, **kwargs) -> None:
+        super().__init__(**kwargs)
+        if reranker is None:
+            from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
+
+            reranker = CrossEncoderReranker()
+        self.reranker = reranker
+        self.rerank_multiplier = rerank_multiplier
+        self.use_fusion = use_fusion
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        candidates = self.searcher.search(query, top_k=top_k * self.rerank_multiplier)
+        if self.use_fusion:
+            results = self.reranker.rerank_with_fusion(query, candidates, top_k)
+        else:
+            results = self.reranker.rerank(query, candidates, top_k)
+        return self._finish(results, query,
+                            {"pipeline": self.name, "candidates": len(candidates)})
+
+
+class BM25Pipeline(BasePipeline):
+    """Pure lexical BM25 (reference pipelines.py:253-280)."""
+
+    name = "bm25"
+
+    def __init__(self, k1: float = 1.5, b: float = 0.75, **kwargs) -> None:
+        kwargs.setdefault("config", EngineConfig())
+        kwargs["config"].bm25.k1 = k1
+        kwargs["config"].bm25.b = b
+        super().__init__(**kwargs)
+
+    def index(self, documents: Sequence[str]) -> Dict[str, int]:
+        # lexical-only: skip the dense embed entirely
+        docs = [d for d in documents]
+        from hybridsearch_tpu.text.extractor import extract_tokens, preprocess_text
+
+        docs = [preprocess_text(d) for d in docs]
+        self.indexer.store.replace_documents(docs)
+        self.indexer.contents = docs
+        self.indexer.doc_ids = list(range(len(docs)))
+        self.indexer.bm25.fit(docs)
+        return {"indexed": len(docs)}
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        hits = self.indexer.bm25.search(query, top_k=top_k)
+        results = [
+            (score, self.indexer.contents[i], i) for i, score in hits
+        ]
+        return self._finish(results, query, {"pipeline": self.name})
+
+
+class HybridBM25Pipeline(BasePipeline):
+    """Dense + BM25 with max-normalization over all docs
+    (reference pipelines.py:283-357; fusion at :334-343)."""
+
+    name = "hybrid_bm25"
+
+    def __init__(self, semantic_weight: float = 0.5, bm25_weight: float = 0.5,
+                 **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.semantic_weight = semantic_weight
+        self.bm25_weight = bm25_weight
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        ix = self.indexer
+        n = ix.dense.n_docs
+        if n == 0:
+            return self._finish([], query, {"pipeline": self.name})
+        q_vec = ix.encoder.encode([query])
+        sem = self.searcher._semantic_scores(q_vec, n)  # full scores
+        lex = jnp.asarray(ix.bm25.batch_scores([query]))
+        # reference normalizes by max only, over ALL docs (top_k=len(docs))
+        fused = (
+            max_normalize(sem) * self.semantic_weight
+            + max_normalize(lex) * self.bm25_weight
+        )
+        fused_np = np.asarray(fused)[0]
+        order = np.argsort(-fused_np, kind="stable")[:top_k]
+        results = [
+            (float(fused_np[i]), ix.contents[int(i)], int(i)) for i in order
+        ]
+        return self._finish(results, query, {"pipeline": self.name})
+
+
+class RAGPipeline(BasePipeline):
+    """Retrieval + LLM answering (reference pipelines.py:360-432)."""
+
+    name = "rag"
+
+    def __init__(self, provider: str = "local", llm_fn=None, **kwargs) -> None:
+        super().__init__(**kwargs)
+        from hybridsearch_tpu.retrieval.rag import RAGAnswerer
+
+        self.answerer = RAGAnswerer(self.searcher, provider=provider, llm_fn=llm_fn)
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        resp = self.answerer.ask(query, top_k=top_k)
+        results = [
+            (s["score"], s["preview"], s["doc_id"]) for s in resp.sources
+        ]
+        pr = self._finish(results, query,
+                          {"pipeline": self.name, "provider": resp.provider,
+                           "tokens_used": resp.tokens_used})
+        pr.answer = resp.answer
+        return pr
+
+
+class MultiStagePipeline(BasePipeline):
+    """stage1 dense (semantic_weight=1.0) -> stage2 BM25 on candidates ->
+    stage3 cross-encoder (reference pipelines.py:435-511). Stages 1-2 run
+    on device; only final_k contents leave for the CE batch."""
+
+    name = "multi_stage"
+
+    def __init__(self, stage1_k: int = 100, stage2_k: int = 20, final_k: int = 5,
+                 reranker=None, **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.stage1_k = stage1_k
+        self.stage2_k = stage2_k
+        self.final_k = final_k
+        if reranker is None:
+            from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
+
+            reranker = CrossEncoderReranker()
+        self.reranker = reranker
+
+    def search(self, query: str, top_k: Optional[int] = None) -> PipelineResult:
+        ix = self.indexer
+        final_k = top_k or self.final_k
+        n = ix.dense.n_docs
+        if n == 0:
+            return self._finish([], query, {"pipeline": self.name})
+        # Stage 1: dense retrieval (pure semantic, pipelines.py:474-481)
+        q_vec = ix.encoder.encode([query])
+        k1 = min(self.stage1_k, n)
+        _vals, idxs = ix.dense.search(q_vec, k1)
+        candidates = idxs[0]
+        # Stage 2: BM25 scores gathered at candidates (pipelines.py:484-487)
+        from hybridsearch_tpu.ops.bm25 import bm25_candidate_scores
+
+        if ix.bm25.postings is not None:
+            qt = ix.bm25._encode_queries([query])
+            cand_scores = np.asarray(
+                bm25_candidate_scores(ix.bm25.postings, qt,
+                                      jnp.asarray(candidates[None, :]))
+            )[0]
+        else:
+            cand_scores = np.zeros(len(candidates), np.float32)
+        k2 = min(self.stage2_k, len(candidates))
+        order = np.argsort(-cand_scores, kind="stable")[:k2]
+        stage2_ids = [int(candidates[i]) for i in order]
+        stage2 = [
+            (float(cand_scores[i]), ix.contents[int(candidates[i])],
+             int(candidates[i]))
+            for i in order
+        ]
+        # Stage 3: cross-encoder (pipelines.py:492-496)
+        results = self.reranker.rerank(query, stage2, top_k=final_k)
+        return self._finish(
+            results, query,
+            {"pipeline": self.name, "stage1_k": k1, "stage2_k": k2,
+             "stage2_ids": stage2_ids},
+        )
+
+
+class DiversityPipeline(BasePipeline):
+    """MMR diversity selection (reference pipelines.py:514-614); the MMR
+    loop is the masked-argmax device kernel (ops/mmr.py)."""
+
+    name = "diversity"
+
+    def __init__(self, lambda_param: float = 0.5, candidate_multiplier: int = 3,
+                 **kwargs) -> None:
+        super().__init__(**kwargs)
+        self.lambda_param = lambda_param
+        self.candidate_multiplier = candidate_multiplier
+
+    def search(self, query: str, top_k: int = 5) -> PipelineResult:
+        fetch_k = top_k * self.candidate_multiplier
+        candidates = self.searcher.search(query, top_k=fetch_k)
+        if len(candidates) <= top_k:
+            return self._finish(candidates, query, {"pipeline": self.name})
+        rel = np.asarray([s for s, _c, _i in candidates], dtype=np.float32)
+        ids = [i for _s, _c, i in candidates]
+        emb = self.indexer.dense.get_vectors(ids)
+        order, scores = mmr_select(jnp.asarray(rel), jnp.asarray(emb), top_k,
+                                   self.lambda_param)
+        order = np.asarray(order)
+        results = [candidates[int(j)] for j in order]
+        return self._finish(results, query,
+                            {"pipeline": self.name, "lambda": self.lambda_param})
+
+
+_PIPELINES = {
+    "basic": BasicPipeline,
+    "chunked": ChunkedPipeline,
+    "reranked": RerankedPipeline,
+    "bm25": BM25Pipeline,
+    "hybrid_bm25": HybridBM25Pipeline,
+    "rag": RAGPipeline,
+    "multi_stage": MultiStagePipeline,
+    "diversity": DiversityPipeline,
+}
+
+
+def create_pipeline(pipeline_type: str = "basic", **kwargs) -> BasePipeline:
+    """Factory (reference pipelines.py:617-646)."""
+    if pipeline_type not in _PIPELINES:
+        raise ValueError(
+            f"unknown pipeline type {pipeline_type!r}; "
+            f"choose from {sorted(_PIPELINES)}"
+        )
+    return _PIPELINES[pipeline_type](**kwargs)

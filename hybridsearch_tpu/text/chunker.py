@@ -60,7 +60,12 @@ class SentenceChunker:
             s = sents[i]
             if cur and cur_len + len(s) + 1 > self.max_chars:
                 chunks.append(" ".join(cur))
-                cur = cur[-self.overlap :] if self.overlap else []
+                nxt = cur[-self.overlap :] if self.overlap else []
+                # drop the overlap if it alone would still overflow with s —
+                # guarantees the loop consumes a sentence every two steps
+                if nxt and sum(len(c) + 1 for c in nxt) + len(s) + 1 > self.max_chars:
+                    nxt = []
+                cur = nxt
                 cur_len = sum(len(c) + 1 for c in cur)
                 continue
             cur.append(s)

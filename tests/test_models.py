@@ -1,0 +1,120 @@
+"""Flax MiniLM trunk, tokenizer, and wrapper tests."""
+
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.models.minilm import MiniLMCrossEncoder, MiniLMEncoder
+from hybridsearch_tpu.models.tokenizer import BertTokenizer, basic_tokenize
+
+
+def test_basic_tokenize():
+    assert basic_tokenize("Hello, World!") == ["hello", ",", "world", "!"]
+    assert basic_tokenize("café") == ["cafe"]  # accent stripped
+
+
+def test_tokenizer_hashed_vocab_roundtrip():
+    tok = BertTokenizer()
+    ids = tok.encode("machine learning")
+    assert ids[0] == tok.vocab.cls_id and ids[-1] == tok.vocab.sep_id
+    assert len(ids) == 4
+    # determinism
+    assert tok.encode("machine learning") == ids
+
+
+def test_tokenizer_batch_padding():
+    tok = BertTokenizer()
+    ids, mask = tok.batch_encode(["a b c", "a"], max_len=64)
+    assert ids.shape == mask.shape
+    assert ids.shape[1] % 8 == 0
+    assert mask[0].sum() > mask[1].sum()
+
+
+def test_tokenizer_pair_type_ids():
+    tok = BertTokenizer()
+    ids, types, mask = tok.batch_encode_pairs([("what is ml", "ml is learning")])
+    assert set(np.unique(types[mask.astype(bool)])) <= {0, 1}
+    assert types[0, 0] == 0 and types[0][mask[0].astype(bool)][-1] == 1
+
+
+@pytest.fixture(scope="module")
+def bi():
+    from hybridsearch_tpu.models.bert import BertConfig
+
+    cfg = BertConfig(vocab_size=1000, hidden_dim=64, num_layers=2, num_heads=4,
+                     mlp_dim=128)
+    return MiniLMEncoder(dim=64, cfg=cfg, max_seq_len=64)
+
+
+def test_biencoder_shapes_and_norm(bi):
+    emb = bi.encode(["machine learning", "a longer sentence about cooking pasta"])
+    assert emb.shape == (2, 64)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), [1.0, 1.0], atol=1e-3)
+
+
+def test_biencoder_deterministic(bi):
+    e1 = bi.encode(["hello world"])
+    e2 = bi.encode(["hello world"])
+    np.testing.assert_allclose(e1, e2, atol=1e-6)
+
+
+def test_biencoder_padding_invariance(bi):
+    """Embeddings must not depend on batch-mates (mask correctness)."""
+    alone = bi.encode(["machine learning"])[0]
+    together = bi.encode(["machine learning", "totally different text here " * 5])[0]
+    np.testing.assert_allclose(alone, together, atol=1e-3)
+
+
+def test_cross_encoder_scores(bi):
+    from hybridsearch_tpu.models.bert import BertConfig
+
+    cfg = BertConfig(vocab_size=1000, hidden_dim=64, num_layers=2, num_heads=4,
+                     mlp_dim=128)
+    ce = MiniLMCrossEncoder(cfg=cfg, dim=64, max_seq_len=64)
+    scores = ce.predict([("query", "doc one"), ("query", "doc two")])
+    assert scores.shape == (2,)
+    s2 = ce.predict([("query", "doc one"), ("query", "doc two")])
+    np.testing.assert_allclose(scores, s2, atol=1e-5)
+
+
+def test_hf_conversion_shapes():
+    """torch->flax mapping produces params accepted by the flax module."""
+    import jax
+    import jax.numpy as jnp
+
+    from hybridsearch_tpu.models.bert import BertConfig, BiEncoder
+    from hybridsearch_tpu.models.minilm import convert_hf_bert
+
+    cfg = BertConfig(vocab_size=100, hidden_dim=32, num_layers=1, num_heads=2,
+                     mlp_dim=64, max_position=64)
+    rng = np.random.default_rng(0)
+
+    def t(*shape):
+        return rng.standard_normal(shape).astype(np.float32)
+
+    sd = {
+        "embeddings.word_embeddings.weight": t(100, 32),
+        "embeddings.position_embeddings.weight": t(64, 32),
+        "embeddings.token_type_embeddings.weight": t(2, 32),
+        "embeddings.LayerNorm.weight": t(32),
+        "embeddings.LayerNorm.bias": t(32),
+    }
+    b = "encoder.layer.0."
+    for lin in ("attention.self.query", "attention.self.key",
+                "attention.self.value", "attention.output.dense"):
+        sd[b + lin + ".weight"] = t(32, 32)
+        sd[b + lin + ".bias"] = t(32)
+    sd[b + "intermediate.dense.weight"] = t(64, 32)
+    sd[b + "intermediate.dense.bias"] = t(64)
+    sd[b + "output.dense.weight"] = t(32, 64)
+    sd[b + "output.dense.bias"] = t(32)
+    for ln in ("attention.output.LayerNorm", "output.LayerNorm"):
+        sd[b + ln + ".weight"] = t(32)
+        sd[b + ln + ".bias"] = t(32)
+
+    params = {"params": {"bert": convert_hf_bert(sd, cfg)}}
+    model = BiEncoder(cfg)
+    ids = jnp.asarray([[2, 5, 3]], dtype=jnp.int32)
+    mask = jnp.ones((1, 3), jnp.int32)
+    out = model.apply(params, ids, mask)
+    assert out.shape == (1, 32)
+    assert np.isfinite(np.asarray(out)).all()
