@@ -1,0 +1,111 @@
+"""Headline benchmark: dense-retrieval QPS/chip on a synthetic corpus.
+
+Measures the north-star kernel (BASELINE.json): exact top-k dense search
+over an N x 384 document matrix — the FAISS-flat-equivalent query path — on
+one chip. The corpus is generated directly on device (bf16, L2-normalized);
+the query stream runs batched through the streaming fused matmul+top-k
+kernel (hybridsearch_tpu/ops/dense.py).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": QPS, "unit": "qps/chip", "vs_baseline": x}
+vs_baseline is QPS / 10_000 (the BASELINE.json target of >=10k QPS/chip at
+10M docs).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+D = 384
+TOP_K = 10
+QUERY_BATCH = int(os.environ.get("HST_BENCH_BATCH", "128"))
+BLOCK_N = int(os.environ.get("HST_BENCH_BLOCK", "262144"))
+TARGET_QPS = 10_000.0
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _make_block(key, m):
+    x = jax.random.normal(key, (m, D), dtype=jnp.float32)
+    norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+    return (x / jnp.maximum(norm, 1e-12)).astype(jnp.bfloat16)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write(buf, block, start):
+    return jax.lax.dynamic_update_slice(buf, block, (start, 0))
+
+
+def build_corpus(n: int, chunk: int = 1_000_000) -> jax.Array:
+    """[n, D] bf16 normalized corpus generated on device, chunk by chunk,
+    with buffer donation (no double allocation)."""
+    buf = jnp.zeros((n, D), dtype=jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+    for i in range(0, n, chunk):
+        m = min(chunk, n - i)
+        key, sub = jax.random.split(key)
+        buf = _write(buf, _make_block(sub, m), i)
+    buf.block_until_ready()
+    return buf
+
+
+def run_once(n_docs: int, iters: int) -> float:
+    """Build the corpus, warm up, measure steady-state QPS. Raises on OOM."""
+    from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+    docs = build_corpus(n_docs)
+    block_n = min(BLOCK_N, n_docs)
+    qkey = jax.random.PRNGKey(7)
+    queries = jax.random.normal(qkey, (QUERY_BATCH, D), dtype=jnp.float32)
+    queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
+
+    def fn(q):
+        return tiled_dense_topk(q, docs, TOP_K, block_n=block_n)
+
+    v, _ = fn(queries)  # warmup / compile
+    v.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        v, _ = fn(queries)
+    v.block_until_ready()
+    dt = time.perf_counter() - t0
+    return QUERY_BATCH * iters / dt
+
+
+def main() -> None:
+    n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
+    backend = jax.default_backend()
+    if backend == "cpu":
+        n_docs = min(n_docs, 200_000)
+    iters = 8 if backend != "cpu" else 2
+
+    qps, used_n = 0.0, 0
+    for attempt_n in (n_docs, int(n_docs * 0.8), n_docs // 2, n_docs // 5,
+                      n_docs // 10):
+        if attempt_n <= 0:
+            continue
+        try:
+            qps = run_once(attempt_n, iters)
+            used_n = attempt_n
+            break
+        except Exception as e:  # OOM fallback to a smaller corpus
+            print(f"# corpus {attempt_n} failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"dense_topk_qps@{used_n}docs_{D}d_k{TOP_K}_b{QUERY_BATCH}",
+        "value": round(qps, 2),
+        "unit": "qps/chip",
+        "vs_baseline": round(qps / TARGET_QPS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,11 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
+def block_n_min_pallas() -> int:
+    """Minimum corpus granularity for the Pallas tile-max fast path."""
+    return 512
+
+
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """L2-normalize along `axis` (reference indexer.py:43 faiss.normalize_L2)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))
@@ -99,11 +104,19 @@ def scan_dense_topk(
 
     col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
 
+    # bf16 doc storage: keep the matmul operands bf16 (halves HBM read
+    # traffic; the MXU accumulates in fp32 via preferred_element_type).
+    q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
+
     def body(carry, inp):
         vals, idxs = carry
         blk_i, e_blk, b_blk = inp
         # [B, block_n] block scores on the MXU.
-        s = jnp.dot(q, e_blk.astype(jnp.float32).T, preferred_element_type=jnp.float32)
+        s = jax.lax.dot_general(
+            q_mm, e_blk,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         s = s + b_blk[None, :]
         gidx = blk_i * block_n + col  # [1, block_n]
         valid = gidx < N
@@ -119,6 +132,175 @@ def scan_dense_topk(
         (init_vals, init_idxs),
         (jnp.arange(nb, dtype=jnp.int32), d_blocks, b_blocks),
     )
+    return vals, idxs
+
+
+@functools.partial(jax.jit, static_argnames=("k", "block_n", "tile"))
+def tiled_dense_topk(
+    queries: jax.Array,
+    docs: jax.Array,
+    k: int,
+    block_n: int = 262144,
+    tile: int = 128,
+    bias: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k via tile-max two-phase selection — the fast path at scale.
+
+    lax.top_k over a [B, block_n] score block is sort-dominated; this kernel
+    replaces it with:
+      pass 1: stream doc blocks through the MXU, reduce each 128-doc tile to
+              its max score -> [B, n_tiles] (a 128x smaller array, fused by
+              XLA into the matmul epilogue; HBM traffic ~= one bf16 read of
+              the doc matrix);
+      pass 2: top-k over tile maxima -> the k best tiles per query;
+      pass 3: re-score just those k tiles (k*128 docs) and take the exact
+              top-k.
+
+    Exactness: if a global top-k value v lived in a tile outside the top-k
+    tiles by max, then >= k tiles would each contain a value (their max)
+    > v — contradicting v being in the top-k. So the k selected tiles
+    contain all top-k values.
+
+    docs must be pre-L2-normalized. bias: optional [N] additive score bias
+    (0 / -inf tombstone + filter mask).
+    """
+    q = queries.astype(jnp.float32)
+    B, Dm = q.shape
+    N = docs.shape[0]
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    d = jnp.pad(docs, ((0, Np - N), (0, 0))) if Np != N else docs
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32), (0, Np - N),
+                         constant_values=NEG_INF)
+    else:
+        bias_p = None
+
+    # Choose tiles_per_block as a divisor of n_tiles when possible: padding
+    # to a block multiple would COPY the (multi-GB) doc matrix in HBM.
+    tpb_target = max(1, min(block_n, Np) // tile)
+    tpb = 1
+    for cand in range(min(tpb_target, n_tiles), 0, -1):
+        if n_tiles % cand == 0:
+            tpb = cand
+            break
+        if tpb_target - cand > 4096:  # give up the divisor hunt, pad instead
+            break
+    if n_tiles % tpb == 0 and tpb >= max(1, tpb_target // 64):
+        tiles_per_block = tpb
+        block_n = tiles_per_block * tile
+        nb = n_tiles // tiles_per_block
+    else:  # rare: n_tiles nearly prime — pad (copies the doc matrix)
+        block_n = max(tile, (min(block_n, Np) // tile) * tile)
+        nb = -(-Np // block_n)
+        if nb * block_n != Np:
+            d = jnp.pad(d, ((0, nb * block_n - Np), (0, 0)))
+        tiles_per_block = block_n // tile
+    d_blocks = d[: nb * block_n].reshape(nb, block_n, Dm)
+
+    q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
+
+    # pass 1 fast path: Pallas fused matmul + tile-max epilogue (never
+    # materializes the score block in HBM). Needs aligned shapes and a
+    # VMEM-sized block that divides n_tiles.
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and tile == 128
+        and Np == N  # no tail-tile masking needed
+        and Dm % 128 == 0
+        and N >= 4 * block_n_min_pallas()
+    )
+    pallas_tpb = 0
+    if use_pallas:
+        for cand in range(min(32, n_tiles), 0, -1):
+            if n_tiles % cand == 0:
+                pallas_tpb = cand
+                break
+        use_pallas = pallas_tpb >= 4
+
+    if use_pallas:
+        from hybridsearch_tpu.ops.pallas_topk import pallas_tile_max
+
+        bias_full = (
+            bias_p if bias_p is not None else jnp.zeros((N,), jnp.float32)
+        )
+        tile_maxes = pallas_tile_max(
+            q_mm, d, bias_full, block_n=pallas_tpb * tile
+        )  # [B, n_tiles]
+    else:
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
+
+        def pass1(_, inp):
+            blk_i, e_blk = inp
+            s = jax.lax.dot_general(
+                q_mm, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, block_n]
+            gidx = blk_i * block_n + col
+            if bias_p is not None:
+                b_blk = jax.lax.dynamic_slice(
+                    bias_p, (blk_i * block_n,), (block_n,)
+                )
+                s = s + b_blk[None, :]
+            s = jnp.where(gidx < N, s, NEG_INF)
+            tile_max = jnp.max(s.reshape(B, tiles_per_block, tile), axis=2)
+            return None, tile_max
+
+        _, tile_maxes = jax.lax.scan(
+            pass1, None, (jnp.arange(nb, dtype=jnp.int32), d_blocks)
+        )  # [nb, B, tiles_per_block]
+        tile_maxes = jnp.transpose(tile_maxes, (1, 0, 2)).reshape(
+            B, nb * tiles_per_block
+        )
+        tile_maxes = tile_maxes[:, : n_tiles]
+
+    k_tiles = min(k, n_tiles)
+    # pass 2 (hierarchical): a flat top-k over n_tiles maxima is itself
+    # sort-dominated at 10M docs (78k tiles). Apply the same tile-max theorem
+    # one level up: group 128 tiles into a supertile, take top-k supertiles
+    # (cheap sort over n_tiles/128), then top-k over just the selected
+    # supertiles' k*128 tile maxima. Both levels are exact by the same
+    # argument as pass 3.
+    SUPER = 128
+    if n_tiles > 4 * SUPER and k_tiles * SUPER < n_tiles:
+        n_super = -(-n_tiles // SUPER)
+        pad_t = n_super * SUPER - n_tiles
+        tm = jnp.pad(tile_maxes, ((0, 0), (0, pad_t)), constant_values=NEG_INF)
+        super_max = jnp.max(tm.reshape(B, n_super, SUPER), axis=2)
+        _, top_super = jax.lax.top_k(super_max, k_tiles)  # [B, k]
+        # gather the selected supertiles' tile maxima: [B, k, SUPER]
+        tm_groups = tm.reshape(B, n_super, SUPER)
+        sel_tm = jnp.take_along_axis(
+            tm_groups, top_super[:, :, None], axis=1
+        )  # [B, k, SUPER]
+        sel_tm = sel_tm.reshape(B, k_tiles * SUPER)
+        tile_ids = (top_super[:, :, None] * SUPER
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPER), 2)
+                    ).reshape(B, k_tiles * SUPER)
+        _, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
+        top_tiles = jnp.take_along_axis(tile_ids, sel_pos, axis=1)
+        top_tiles = jnp.minimum(top_tiles, n_tiles - 1)
+    else:
+        _, top_tiles = jax.lax.top_k(tile_maxes, k_tiles)  # [B, k_tiles]
+
+    # pass 3: gather the selected tiles' docs and re-score exactly.
+    d_tiles = d[: Np].reshape(n_tiles, tile, Dm)
+    sel = jnp.take(d_tiles, top_tiles, axis=0)  # [B, k_tiles, tile, D]
+    s3 = jnp.einsum(
+        "bktd,bd->bkt", sel.astype(jnp.float32), q,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, k_tiles * tile)
+    gidx3 = (top_tiles[:, :, None] * tile
+             + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)).reshape(
+        B, k_tiles * tile
+    )
+    if bias_p is not None:
+        s3 = s3 + jnp.take(bias_p, gidx3)
+    s3 = jnp.where(gidx3 < N, s3, NEG_INF)
+    k_eff = min(k, N)
+    vals, sel3 = jax.lax.top_k(s3, k_eff)
+    idxs = jnp.take_along_axis(gidx3, sel3, axis=1)
+    idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
     return vals, idxs
 
 

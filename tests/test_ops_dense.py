@@ -71,3 +71,32 @@ def test_pairwise_cosine(rng):
     np.testing.assert_allclose(got, (xn @ xn.T).astype(np.float32), rtol=0,
                                atol=1e-2)
     np.testing.assert_allclose(np.diag(got), np.ones(10), rtol=0, atol=1e-2)
+
+
+def test_tiled_topk_matches_oracle(rng):
+    """Tile-max two-phase exact selection (incl. hierarchical supertile
+    branch) vs oracle."""
+    from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+    for n, k, bn in [(1000, 7, 512), (5000, 10, 131072), (12345, 5, 4096),
+                     (200_000, 10, 65536)]:
+        docs = oracle.l2_normalize(rng.standard_normal((n, 32))).astype(np.float32)
+        qs = oracle.l2_normalize(rng.standard_normal((3, 32))).astype(np.float32)
+        v, i = tiled_dense_topk(jnp.asarray(qs), jnp.asarray(docs), k, block_n=bn)
+        ov, oi = oracle.dense_topk(qs, docs, k, normalized=True)
+        np.testing.assert_allclose(np.asarray(v), ov, rtol=0, atol=1e-2)
+        for b in range(3):
+            assert set(np.asarray(i)[b].tolist()) == set(oi[b].tolist()), (n, k, bn)
+
+
+def test_tiled_topk_bias_mask(rng):
+    from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+    n = 512
+    docs = oracle.l2_normalize(rng.standard_normal((n, 32))).astype(np.float32)
+    q = docs[42:43]
+    bias = np.zeros(n, np.float32)
+    bias[42] = -np.inf
+    _, i = tiled_dense_topk(jnp.asarray(q), jnp.asarray(docs), 5, block_n=256,
+                            bias=jnp.asarray(bias))
+    assert 42 not in np.asarray(i)[0].tolist()
