@@ -1,0 +1,162 @@
+"""File watching -> automatic reindexing.
+
+Parity with the reference watcher (reference watcher.py:18-186): watch a
+directory for supported-extension changes, debounce 2 s per path, dispatch
+created/modified/deleted events to a callback that reindexes.
+
+The reference requires the `watchdog` package (inotify); this environment
+doesn't have it, so the primary implementation is a first-party polling
+watcher (mtime snapshots on a background thread — portable, no deps);
+watchdog is used transparently when importable, preserving the optional-
+dependency convention (reference watcher.py:9-15)."""
+
+from __future__ import annotations
+
+import os
+import threading
+import time
+from typing import Callable, Dict, Iterable, Optional, Set
+
+try:  # optional dependency (reference watcher.py:9-15)
+    from watchdog.observers import Observer  # type: ignore
+    from watchdog.events import FileSystemEventHandler  # type: ignore
+
+    WATCHDOG_AVAILABLE = True
+except ImportError:
+    WATCHDOG_AVAILABLE = False
+
+from hybridsearch_tpu.text.extractor import SUPPORTED_EXTENSIONS
+
+DEBOUNCE_SECONDS = 2.0  # reference watcher.py:37
+
+
+class FileWatcher:
+    """Polling (or watchdog) directory watcher.
+
+    callback(event: str, path: str) with event in
+    {"created", "modified", "deleted"}."""
+
+    def __init__(
+        self,
+        directory: str,
+        callback: Callable[[str, str], None],
+        extensions: Optional[Iterable[str]] = None,
+        poll_interval: float = 1.0,
+        debounce: float = DEBOUNCE_SECONDS,
+    ) -> None:
+        self.directory = os.path.abspath(directory)
+        self.callback = callback
+        self.extensions = tuple(extensions) if extensions else SUPPORTED_EXTENSIONS
+        self.poll_interval = poll_interval
+        self.debounce = debounce
+        self._stop = threading.Event()
+        self._thread: Optional[threading.Thread] = None
+        self._last_fired: Dict[str, float] = {}
+        self._observer = None
+        self.is_running = False
+
+    # -- lifecycle (reference watcher.py:113-137) ---------------------------------
+
+    def start(self) -> None:
+        if self.is_running:
+            return
+        self._stop.clear()
+        if WATCHDOG_AVAILABLE:
+            self._start_watchdog()
+        else:
+            self._thread = threading.Thread(target=self._poll_loop, daemon=True)
+            self._thread.start()
+        self.is_running = True
+
+    def stop(self) -> None:
+        self._stop.set()
+        if self._observer is not None:
+            self._observer.stop()
+            self._observer.join(timeout=5)
+            self._observer = None
+        if self._thread is not None:
+            self._thread.join(timeout=self.poll_interval * 3)
+            self._thread = None
+        self.is_running = False
+
+    # -- event plumbing -------------------------------------------------------------
+
+    def _wanted(self, path: str) -> bool:
+        return os.path.splitext(path)[1].lower() in self.extensions
+
+    def _fire(self, event: str, path: str) -> None:
+        """Debounced dispatch: at most one event per path per debounce window
+        (reference watcher.py:34-58)."""
+        now = time.time()
+        last = self._last_fired.get(path, 0.0)
+        if now - last < self.debounce:
+            return
+        self._last_fired[path] = now
+        try:
+            self.callback(event, path)
+        except Exception:
+            pass  # watcher must survive callback failures
+
+    # -- polling backend ---------------------------------------------------------------
+
+    def _snapshot(self) -> Dict[str, float]:
+        snap: Dict[str, float] = {}
+        for root, _dirs, files in os.walk(self.directory):
+            for name in files:
+                path = os.path.join(root, name)
+                if not self._wanted(path):
+                    continue
+                try:
+                    snap[path] = os.stat(path).st_mtime
+                except OSError:
+                    continue
+        return snap
+
+    def _poll_loop(self) -> None:
+        prev = self._snapshot()
+        while not self._stop.wait(timeout=self.poll_interval):
+            cur = self._snapshot()
+            for path, mtime in cur.items():
+                if path not in prev:
+                    self._fire("created", path)
+                elif mtime != prev[path]:
+                    self._fire("modified", path)
+            for path in prev:
+                if path not in cur:
+                    self._fire("deleted", path)
+            prev = cur
+
+    # -- watchdog backend ------------------------------------------------------------------
+
+    def _start_watchdog(self) -> None:  # pragma: no cover - optional dep
+        watcher = self
+
+        class Handler(FileSystemEventHandler):
+            def on_created(self, event):
+                if not event.is_directory and watcher._wanted(event.src_path):
+                    watcher._fire("created", event.src_path)
+
+            def on_modified(self, event):
+                if not event.is_directory and watcher._wanted(event.src_path):
+                    watcher._fire("modified", event.src_path)
+
+            def on_deleted(self, event):
+                if not event.is_directory and watcher._wanted(event.src_path):
+                    watcher._fire("deleted", event.src_path)
+
+        self._observer = Observer()
+        self._observer.schedule(Handler(), self.directory, recursive=True)
+        self._observer.start()
+
+
+def create_auto_indexer(indexer, directory: str, **kwargs) -> FileWatcher:
+    """Watcher wired to reindex the directory on any change (reference
+    watcher.py:157-186)."""
+    from hybridsearch_tpu.text.extractor import discover_documents
+
+    def reindex(_event: str, _path: str) -> None:
+        docs = discover_documents(directory)
+        if docs:
+            indexer.index_documents([c for _p, c in docs], [p for p, _c in docs])
+
+    return FileWatcher(directory, reindex, **kwargs)
