@@ -1,0 +1,557 @@
+"""REST API: framework-agnostic router + engine state.
+
+Route-table parity with the reference FastAPI app (reference api.py, ~28
+endpoints; inventory at SURVEY §1.2). The router is plain Python —
+(method, path) -> handler returning (status, json) — served by either the
+stdlib adapter (api/httpd.py, zero dependencies) or the FastAPI adapter
+(api/fastapi_app.py) when fastapi is installed.
+
+Deliberate fixes over the reference:
+  - the semantic cache IS consulted by /search (the reference instantiates
+    it but never wires it into the query path, api.py:117 vs :272);
+  - auth + rate limiting are enforced when enabled (the reference defines
+    auth.py but never mounts it);
+  - /search/batch is a true batched device call (the reference loops,
+    api.py:420-447);
+  - index mutations go through the Indexer's atomic snapshot swap instead
+    of mutating process globals without a lock (reference api.py:232-238).
+"""
+
+from __future__ import annotations
+
+import re
+import threading
+import time
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from hybridsearch_tpu.config import EngineConfig
+from hybridsearch_tpu.index.builder import Indexer
+from hybridsearch_tpu.retrieval.searcher import Searcher
+from hybridsearch_tpu.retrieval.highlighter import get_highlighter
+from hybridsearch_tpu.services.auth import AuthContext
+from hybridsearch_tpu.services.autocomplete import AutocompleteEngine
+from hybridsearch_tpu.services.dedup import DeduplicationEngine
+from hybridsearch_tpu.services.jobs import JobQueue
+from hybridsearch_tpu.services.language import LanguageDetector
+from hybridsearch_tpu.services.metadata_filter import (
+    FilterParseError,
+    MetadataFilterEngine,
+)
+from hybridsearch_tpu.services.semantic_cache import SemanticCache
+from hybridsearch_tpu.services.watcher import FileWatcher, create_auto_indexer
+
+JSON = Dict[str, Any]
+Handler = Callable[["EngineState", Dict[str, str], JSON, Dict[str, str]],
+                   Tuple[int, JSON]]
+
+
+class EngineState:
+    """Process-wide engine state (the reference's SearchEngineState,
+    api.py:78-146) — built once at startup, mutated only through locked
+    component APIs."""
+
+    def __init__(
+        self,
+        db_path: str = ":memory:",
+        encoder=None,
+        mesh=None,
+        config: Optional[EngineConfig] = None,
+        auth_enabled: bool = False,
+        use_semantic_cache: bool = True,
+    ) -> None:
+        self.config = config or EngineConfig()
+        self.indexer = Indexer(db_path=db_path, encoder=encoder, mesh=mesh,
+                               config=self.config)
+        self.searcher = Searcher(indexer=self.indexer, config=self.config)
+        self.autocomplete = AutocompleteEngine()
+        self.semantic_cache: Optional[SemanticCache] = (
+            SemanticCache(
+                similarity_threshold=self.config.cache.similarity_threshold,
+                ttl_seconds=self.config.cache.ttl_seconds,
+                n_tables=self.config.cache.lsh_tables,
+                n_bits=self.config.cache.lsh_bits,
+                dim=self.config.index.dim,
+                max_entries=self.config.cache.max_entries,
+            )
+            if use_semantic_cache
+            else None
+        )
+        self.metadata = MetadataFilterEngine(store=self.indexer.store)
+        self.dedup = DeduplicationEngine(threshold=self.config.dedup_threshold)
+        self.language = LanguageDetector()
+        self.jobs = JobQueue(n_workers=3, docstore=self.indexer.store)
+        self.jobs.register_handler("index", self._index_job)
+        self.watcher: Optional[FileWatcher] = None
+        self.auth = AuthContext(enabled=auth_enabled)
+        self.started_at = time.time()
+        self._mutate_lock = threading.Lock()
+
+    # -- jobs ------------------------------------------------------------------
+
+    def _index_job(self, payload, progress_cb, cancel_event):
+        docs = payload.get("documents", [])
+        batch = 32
+        added: List[int] = []
+        for i in range(0, len(docs), batch):
+            if cancel_event.is_set():
+                raise RuntimeError("cancelled")
+            with self._mutate_lock:
+                added.extend(self.indexer.add_documents(docs[i : i + batch]))
+            progress_cb(100.0 * min(1.0, (i + batch) / max(len(docs), 1)))
+        return {"added": len(added), "doc_ids": [int(x) for x in added]}
+
+    def close(self) -> None:
+        if self.watcher is not None:
+            self.watcher.stop()
+        self.jobs.shutdown(wait=False)
+        self.indexer.close()
+
+
+# -- router ---------------------------------------------------------------------------
+
+
+class Router:
+    def __init__(self, state: EngineState) -> None:
+        self.state = state
+        self._routes: List[Tuple[str, re.Pattern, List[str], Handler, str]] = []
+
+    def add(self, method: str, path: str, handler: Handler,
+            scope: str = "read") -> None:
+        names = re.findall(r"\{(\w+)\}", path)
+        pattern = re.compile(
+            "^" + re.sub(r"\{(\w+)\}", r"(?P<\1>[^/]+)", path) + "$"
+        )
+        self._routes.append((method.upper(), pattern, names, handler, scope))
+
+    def dispatch(
+        self,
+        method: str,
+        path: str,
+        body: Optional[JSON] = None,
+        query: Optional[Dict[str, str]] = None,
+        api_key: Optional[str] = None,
+        client_ip: str = "local",
+    ) -> Tuple[int, JSON, Dict[str, str]]:
+        """Returns (status, json_body, extra_headers)."""
+        for m, pattern, _names, handler, scope in self._routes:
+            if m != method.upper():
+                continue
+            match = pattern.match(path)
+            if match is None:
+                continue
+            allowed, status, headers = self.state.auth.authorize(
+                api_key, client_ip, scope=scope
+            )
+            if not allowed:
+                return status, {"detail": _AUTH_ERRORS.get(status, "forbidden")}, headers
+            try:
+                code, payload = handler(self.state, match.groupdict(),
+                                        body or {}, query or {})
+                return code, payload, headers
+            except FilterParseError as e:
+                return 400, {"detail": str(e)}, headers
+            except ValueError as e:
+                return 400, {"detail": str(e)}, headers
+            except Exception as e:  # mirrors reference's try/except -> 500
+                return 500, {"detail": f"{type(e).__name__}: {e}"}, headers
+        return 404, {"detail": f"no route: {method} {path}"}, {}
+
+    def routes(self) -> List[str]:
+        return [f"{m} {p.pattern}" for m, p, _n, _h, _s in self._routes]
+
+
+_AUTH_ERRORS = {401: "invalid or missing API key", 403: "insufficient scope",
+                429: "rate limit exceeded"}
+
+
+# -- handlers ---------------------------------------------------------------------------
+
+
+def _result_rows(results) -> List[JSON]:
+    return [
+        {"score": float(s), "content": c, "doc_id": int(i)}
+        for s, c, i in results
+    ]
+
+
+def _validated_weights(body: JSON) -> Tuple[Optional[float], Optional[float]]:
+    sw = body.get("semantic_weight")
+    lw = body.get("lexical_weight")
+    return sw, lw
+
+
+def h_health(state, params, body, query):
+    """GET /health (reference api.py:161-168)."""
+    return 200, {
+        "status": "healthy",
+        "documents": len(state.indexer.contents),
+        "uptime_s": round(time.time() - state.started_at, 1),
+    }
+
+
+def h_search(state, params, body, query):
+    """POST /search — semantic-cache consulted, then the fused device path
+    (reference api.py:250-301 + the cache wiring it lacks)."""
+    q = body.get("query", "")
+    if not q:
+        return 400, {"detail": "query is required"}
+    top_k = int(body.get("top_k", 5))
+    sw, lw = _validated_weights(body)
+    cache_key_vec = None
+    if state.semantic_cache is not None:
+        cache_key_vec = state.indexer.encoder.encode([q])[0]
+        hit = state.semantic_cache.get(cache_key_vec)
+        if hit is not None and hit.get("top_k", -1) >= top_k and (
+            hit.get("weights") == [sw, lw]
+        ):
+            state.autocomplete.record_query(q)
+            return 200, {**hit["response"], "cached": True}
+    t0 = time.perf_counter()
+    results = state.searcher.search(q, top_k=top_k, semantic_weight=sw,
+                                    lexical_weight=lw)
+    latency_ms = (time.perf_counter() - t0) * 1e3
+    state.autocomplete.record_query(q)
+    resp = {
+        "query": q,
+        "results": _result_rows(results),
+        "latency_ms": round(latency_ms, 3),
+        "cached": False,
+    }
+    if state.semantic_cache is not None and cache_key_vec is not None:
+        state.semantic_cache.set(
+            cache_key_vec,
+            {"response": resp, "top_k": top_k, "weights": [sw, lw]},
+        )
+    return 200, resp
+
+
+def h_search_batch(state, params, body, query):
+    """POST /search/batch — one batched device program (the reference loops
+    per query, api.py:420-447)."""
+    queries = body.get("queries", [])
+    if not queries:
+        return 400, {"detail": "queries is required"}
+    top_k = int(body.get("top_k", 5))
+    sw, lw = _validated_weights(body)
+    batch = state.searcher.search_batch(queries, top_k=top_k,
+                                        semantic_weight=sw, lexical_weight=lw)
+    return 200, {
+        "results": [
+            {"query": q, "results": _result_rows(r)}
+            for q, r in zip(queries, batch)
+        ]
+    }
+
+
+def h_search_highlighted(state, params, body, query):
+    """POST /search/highlighted (reference api.py:449-489)."""
+    q = body.get("query", "")
+    if not q:
+        return 400, {"detail": "query is required"}
+    style = body.get("style", "html")
+    top_k = int(body.get("top_k", 5))
+    results = state.searcher.search(q, top_k=top_k)
+    hl = get_highlighter(style)
+    rows = []
+    for s, c, i in results:
+        rows.append({
+            "score": float(s), "doc_id": int(i), "content": c,
+            "highlighted": hl.highlight_text(c, q),
+            "snippets": hl.extract_snippets(c, q),
+        })
+    return 200, {"query": q, "results": rows}
+
+
+def h_search_filtered(state, params, body, query):
+    """POST /search/filtered — metadata PRE-filter inside the kernel via the
+    bias mask (the reference post-filters retrieved results,
+    api.py:759-791)."""
+    q = body.get("query", "")
+    filter_text = body.get("filter", "")
+    if not q or not filter_text:
+        return 400, {"detail": "query and filter are required"}
+    top_k = int(body.get("top_k", 5))
+    n = state.indexer.dense.n_docs
+    bias = state.metadata.bias_for(filter_text, n)
+    import jax.numpy as jnp
+    import numpy as np
+
+    q_vec = state.indexer.encoder.encode([q])
+    vals, idxs = state.indexer.dense.search(q_vec, top_k,
+                                            extra_bias=jnp.asarray(bias))
+    contents = state.indexer.contents
+    results = [
+        (float(vals[0, j]), contents[int(idxs[0, j])], int(idxs[0, j]))
+        for j in range(vals.shape[1])
+        if 0 <= int(idxs[0, j]) < len(contents) and np.isfinite(vals[0, j])
+    ]
+    return 200, {"query": q, "filter": filter_text,
+                 "results": _result_rows(results)}
+
+
+def h_ask(state, params, body, query):
+    """POST /ask — RAG (reference api.py /ask route)."""
+    q = body.get("question") or body.get("query", "")
+    if not q:
+        return 400, {"detail": "question is required"}
+    from hybridsearch_tpu.retrieval.rag import RAGAnswerer
+
+    provider = body.get("provider", "local")
+    answerer = RAGAnswerer(state.searcher, provider=provider)
+    resp = answerer.ask(q, top_k=int(body.get("top_k", 5)))
+    return 200, {"question": q, "answer": resp.answer, "sources": resp.sources,
+                 "provider": resp.provider, "tokens_used": resp.tokens_used}
+
+
+def h_rerank(state, params, body, query):
+    """POST /rerank (reference api.py /rerank route)."""
+    q = body.get("query", "")
+    documents = body.get("documents", [])
+    if not q or not documents:
+        return 400, {"detail": "query and documents are required"}
+    from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
+
+    rr = CrossEncoderReranker()
+    results = [(0.0, d, i) for i, d in enumerate(documents)]
+    ranked = rr.rerank(q, results, top_k=int(body.get("top_k", len(documents))))
+    return 200, {"query": q, "results": _result_rows(ranked)}
+
+
+def h_index(state, params, body, query):
+    """POST /index — destructive full reindex (reference api.py:171-196)."""
+    docs = body.get("documents", [])
+    if not docs:
+        return 400, {"detail": "documents is required"}
+    with state._mutate_lock:
+        stats = state.indexer.index_documents(docs)
+        state.autocomplete.index_content(docs)
+        for i, d in enumerate(docs):
+            state.dedup.add_document(str(i), d)
+    if state.semantic_cache is not None:
+        state.semantic_cache.invalidate()
+    return 200, {"indexed": stats["indexed"]}
+
+
+def h_index_directory(state, params, body, query):
+    """POST /index/directory (reference api.py:199-227)."""
+    directory = body.get("directory", "")
+    if not directory:
+        return 400, {"detail": "directory is required"}
+    from hybridsearch_tpu.text.extractor import discover_documents
+
+    found = discover_documents(directory)
+    if not found:
+        return 200, {"indexed": 0, "files": []}
+    with state._mutate_lock:
+        stats = state.indexer.index_documents(
+            [c for _p, c in found], [p for p, _c in found]
+        )
+    if state.semantic_cache is not None:
+        state.semantic_cache.invalidate()
+    return 200, {"indexed": stats["indexed"], "files": [p for p, _ in found]}
+
+
+def h_index_add(state, params, body, query):
+    """POST /index/add — incremental, consistent across BOTH indexes
+    (reference api.py:230-247 merges into globals without refitting)."""
+    docs = body.get("documents", [])
+    if not docs:
+        return 400, {"detail": "documents is required"}
+    dedup_action = body.get("dedup", None)
+    skipped = []
+    to_add = []
+    for d in docs:
+        if dedup_action:
+            existing = state.dedup.find_duplicates(d)
+            if existing and dedup_action == "skip":
+                skipped.append({"content": d[:80],
+                                "duplicate_of": existing[0][0]})
+                continue
+        to_add.append(d)
+    with state._mutate_lock:
+        ids = state.indexer.add_documents(to_add) if to_add else []
+        for did, d in zip(ids, to_add):
+            state.dedup.add_document(str(did), d)
+        state.autocomplete.index_content(to_add)
+    if state.semantic_cache is not None:
+        state.semantic_cache.invalidate()
+    return 200, {"added": len(ids), "doc_ids": [int(x) for x in ids],
+                 "skipped": skipped}
+
+
+def h_feedback(state, params, body, query):
+    """POST /feedback (reference api.py:304-320)."""
+    q = body.get("query", "")
+    doc_id = body.get("doc_id")
+    rating = body.get("rating")
+    if not q or doc_id is None or rating is None:
+        return 400, {"detail": "query, doc_id, rating are required"}
+    state.searcher.log_feedback(q, int(doc_id), int(rating))
+    return 200, {"status": "recorded"}
+
+
+def h_stats(state, params, body, query):
+    """GET /stats (reference api.py:323-338)."""
+    return 200, state.searcher.get_stats()
+
+
+def h_documents(state, params, body, query):
+    """GET /documents (reference api.py /documents)."""
+    limit = int(query.get("limit", 100))
+    offset = int(query.get("offset", 0))
+    docs = state.indexer.store.get_all_documents()
+    page = docs[offset : offset + limit]
+    return 200, {"total": len(docs), "documents": page}
+
+
+def h_watcher_start(state, params, body, query):
+    """POST /watcher/start (reference api.py watcher routes)."""
+    directory = body.get("directory", "")
+    if not directory:
+        return 400, {"detail": "directory is required"}
+    if state.watcher is not None and state.watcher.is_running:
+        return 400, {"detail": "watcher already running"}
+    state.watcher = create_auto_indexer(state.indexer, directory)
+    state.watcher.start()
+    return 200, {"status": "watching", "directory": directory}
+
+
+def h_watcher_stop(state, params, body, query):
+    if state.watcher is None or not state.watcher.is_running:
+        return 400, {"detail": "watcher not running"}
+    state.watcher.stop()
+    return 200, {"status": "stopped"}
+
+
+def h_autocomplete(state, params, body, query):
+    """GET /autocomplete?prefix=... (reference api.py autocomplete routes)."""
+    prefix = query.get("prefix") or query.get("q", "")
+    limit = int(query.get("limit", 10))
+    return 200, {"prefix": prefix,
+                 "suggestions": state.autocomplete.suggest(prefix, limit)}
+
+
+def h_autocomplete_record(state, params, body, query):
+    suggestion = body.get("suggestion") or body.get("query", "")
+    if not suggestion:
+        return 400, {"detail": "suggestion is required"}
+    state.autocomplete.record_selection(suggestion)
+    return 200, {"status": "recorded"}
+
+
+def h_cache_stats(state, params, body, query):
+    """GET /cache/stats (reference api.py:613-626)."""
+    if state.semantic_cache is None:
+        return 200, {"enabled": False}
+    return 200, {"enabled": True, **state.semantic_cache.stats()}
+
+
+def h_cache_invalidate(state, params, body, query):
+    if state.semantic_cache is None:
+        return 200, {"invalidated": 0}
+    return 200, {"invalidated": state.semantic_cache.invalidate()}
+
+
+def h_duplicates(state, params, body, query):
+    """GET /documents/duplicates (reference api.py duplicates route)."""
+    docs = {str(i): c for i, c in enumerate(state.indexer.contents)}
+    return 200, {"groups": state.dedup.find_all_duplicates(docs)}
+
+
+def h_mark_duplicate(state, params, body, query):
+    doc_id = int(params["doc_id"])
+    duplicate_of = body.get("duplicate_of")
+    if duplicate_of is None:
+        return 400, {"detail": "duplicate_of is required"}
+    state.indexer.store.mark_duplicate(doc_id, int(duplicate_of))
+    return 200, {"status": "marked", "doc_id": doc_id,
+                 "duplicate_of": int(duplicate_of)}
+
+
+def h_get_metadata(state, params, body, query):
+    doc_id = int(params["doc_id"])
+    meta = state.metadata.get_metadata(doc_id)
+    if meta is None:
+        return 404, {"detail": f"no metadata for doc {doc_id}"}
+    return 200, {"doc_id": doc_id, "metadata": meta}
+
+
+def h_set_metadata(state, params, body, query):
+    doc_id = int(params["doc_id"])
+    metadata = body.get("metadata", body)
+    state.metadata.set_metadata(doc_id, metadata)
+    return 200, {"status": "set", "doc_id": doc_id}
+
+
+def h_language_detect(state, params, body, query):
+    """POST /language/detect (reference api.py language route)."""
+    text = body.get("text", "")
+    if not text:
+        return 400, {"detail": "text is required"}
+    r = state.language.detect(text)
+    return 200, {"language": r.language, "confidence": round(r.confidence, 4),
+                 "script": r.script}
+
+
+def h_jobs_index(state, params, body, query):
+    """POST /jobs/index — async indexing job (reference api.py:822-864)."""
+    docs = body.get("documents", [])
+    if not docs:
+        return 400, {"detail": "documents is required"}
+    job_id = state.jobs.enqueue("index", {"documents": docs},
+                                webhook_url=body.get("webhook_url"))
+    return 202, {"job_id": job_id, "state": "pending"}
+
+
+def h_job_get(state, params, body, query):
+    job = state.jobs.get(params["job_id"])
+    if job is None:
+        return 404, {"detail": "job not found"}
+    return 200, job.to_dict()
+
+
+def h_job_cancel(state, params, body, query):
+    ok = state.jobs.cancel(params["job_id"])
+    if not ok:
+        return 400, {"detail": "job not cancellable"}
+    return 200, {"status": "cancelling"}
+
+
+def h_jobs_list(state, params, body, query):
+    limit = int(query.get("limit", 100))
+    return 200, {"jobs": [j.to_dict() for j in state.jobs.list(limit)]}
+
+
+def build_router(state: EngineState) -> Router:
+    """The full route table (SURVEY §1.2 inventory)."""
+    r = Router(state)
+    r.add("GET", "/health", h_health)
+    r.add("POST", "/search", h_search)
+    r.add("POST", "/search/batch", h_search_batch)
+    r.add("POST", "/search/highlighted", h_search_highlighted)
+    r.add("POST", "/search/filtered", h_search_filtered)
+    r.add("POST", "/ask", h_ask)
+    r.add("POST", "/rerank", h_rerank)
+    r.add("POST", "/index", h_index, scope="write")
+    r.add("POST", "/index/directory", h_index_directory, scope="write")
+    r.add("POST", "/index/add", h_index_add, scope="write")
+    r.add("POST", "/feedback", h_feedback)
+    r.add("GET", "/stats", h_stats)
+    r.add("GET", "/documents", h_documents)
+    r.add("POST", "/watcher/start", h_watcher_start, scope="write")
+    r.add("POST", "/watcher/stop", h_watcher_stop, scope="write")
+    r.add("GET", "/autocomplete", h_autocomplete)
+    r.add("POST", "/autocomplete/record", h_autocomplete_record)
+    r.add("GET", "/cache/stats", h_cache_stats)
+    r.add("POST", "/cache/invalidate", h_cache_invalidate, scope="write")
+    r.add("GET", "/documents/duplicates", h_duplicates)
+    r.add("POST", "/documents/{doc_id}/mark-duplicate", h_mark_duplicate,
+          scope="write")
+    r.add("GET", "/documents/{doc_id}/metadata", h_get_metadata)
+    r.add("POST", "/documents/{doc_id}/metadata", h_set_metadata, scope="write")
+    r.add("POST", "/language/detect", h_language_detect)
+    r.add("POST", "/jobs/index", h_jobs_index, scope="write")
+    r.add("GET", "/jobs/{job_id}", h_job_get)
+    r.add("DELETE", "/jobs/{job_id}", h_job_cancel, scope="write")
+    r.add("GET", "/jobs", h_jobs_list)
+    return r

@@ -133,15 +133,17 @@ class AuthContext:
         client_ip: str = "unknown",
         scope: Optional[str] = None,
     ) -> Tuple[bool, int, Dict[str, str]]:
-        """Returns (allowed, http_status, rate-limit headers)."""
+        """Returns (allowed, http_status, rate-limit headers). All
+        enforcement (keys, scopes, key and IP rate limits) is gated on
+        `enabled` — disabled means open, like the reference's default."""
         headers: Dict[str, str] = {}
+        if not self.enabled:
+            return True, 200, headers
         ok_ip, rem_ip, reset_ip = self.ip_limiter.check("ip:" + client_ip)
         headers["X-RateLimit-Remaining-IP"] = str(rem_ip)
         if not ok_ip:
             headers["Retry-After"] = str(int(max(0, reset_ip - time.time())))
             return False, 429, headers
-        if not self.enabled:
-            return True, 200, headers
         if not api_key:
             return False, 401, headers
         rec = self.keys.validate(api_key)

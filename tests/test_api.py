@@ -1,0 +1,276 @@
+"""REST API route-table tests over the live stdlib HTTP server, plus CLI."""
+
+import json
+import time
+import urllib.request
+
+import pytest
+
+from hybridsearch_tpu.api.app import EngineState, build_router
+from hybridsearch_tpu.api.httpd import APIServer
+from hybridsearch_tpu.models.encoder import HashingEncoder
+
+
+@pytest.fixture(scope="module")
+def state(demo_docs):
+    st = EngineState(encoder=HashingEncoder(dim=128))
+    router = build_router(st)
+    code, _, _ = router.dispatch("POST", "/index", {"documents": demo_docs})
+    assert code == 200
+    yield st
+    st.close()
+
+
+@pytest.fixture(scope="module")
+def router(state):
+    return build_router(state)
+
+
+def call(router, method, path, body=None, query=None, **kw):
+    return router.dispatch(method, path, body=body, query=query, **kw)
+
+
+# -- core routes -------------------------------------------------------------------
+
+
+def test_health(router):
+    code, payload, _ = call(router, "GET", "/health")
+    assert code == 200 and payload["status"] == "healthy"
+    assert payload["documents"] == 12
+
+
+def test_search_route_and_semantic_cache(router, state):
+    code, p1, _ = call(router, "POST", "/search",
+                       {"query": "machine learning", "top_k": 3})
+    assert code == 200 and len(p1["results"]) == 3
+    assert p1["cached"] is False
+    code, p2, _ = call(router, "POST", "/search",
+                       {"query": "machine learning", "top_k": 3})
+    assert p2["cached"] is True  # cache actually wired into /search
+    assert [r["doc_id"] for r in p2["results"]] == [
+        r["doc_id"] for r in p1["results"]
+    ]
+
+
+def test_search_missing_query(router):
+    code, payload, _ = call(router, "POST", "/search", {})
+    assert code == 400
+
+
+def test_search_invalid_weights(router):
+    code, payload, _ = call(
+        router, "POST", "/search",
+        {"query": "x", "semantic_weight": 0.9, "lexical_weight": 0.9},
+    )
+    assert code == 400
+
+
+def test_search_batch(router):
+    code, payload, _ = call(router, "POST", "/search/batch",
+                            {"queries": ["machine learning", "pasta"],
+                             "top_k": 2})
+    assert code == 200 and len(payload["results"]) == 2
+
+
+def test_search_highlighted(router):
+    code, payload, _ = call(router, "POST", "/search/highlighted",
+                            {"query": "machine learning", "style": "html"})
+    assert code == 200
+    assert any("<mark>" in r["highlighted"] for r in payload["results"])
+
+
+def test_search_filtered_prefilter(router, state):
+    for i in range(12):
+        state.metadata.set_metadata(i, {"topic": "tech" if i in (0, 1, 3) else "other"})
+    code, payload, _ = call(router, "POST", "/search/filtered",
+                            {"query": "machine learning", "filter": "topic:tech",
+                             "top_k": 5})
+    assert code == 200
+    ids = {r["doc_id"] for r in payload["results"]}
+    assert ids <= {0, 1, 3} and ids
+
+
+def test_filtered_bad_filter(router):
+    code, _, _ = call(router, "POST", "/search/filtered",
+                      {"query": "x", "filter": "((("})
+    assert code == 400
+
+
+def test_rerank_route(router):
+    code, payload, _ = call(router, "POST", "/rerank",
+                            {"query": "ml", "documents": ["a doc", "b doc"]})
+    assert code == 200 and len(payload["results"]) == 2
+
+
+def test_feedback_and_stats(router):
+    code, _, _ = call(router, "POST", "/feedback",
+                      {"query": "machine learning", "doc_id": 1, "rating": 1})
+    assert code == 200
+    code, payload, _ = call(router, "GET", "/stats")
+    assert code == 200 and payload["total_documents"] == 12
+    assert payload["total_feedback"] >= 1
+
+
+def test_documents_pagination(router):
+    code, payload, _ = call(router, "GET", "/documents", query={"limit": "5",
+                                                                "offset": "10"})
+    assert code == 200 and payload["total"] == 12
+    assert len(payload["documents"]) == 2
+
+
+def test_autocomplete_routes(router):
+    call(router, "POST", "/search", {"query": "machine learning"})
+    code, payload, _ = call(router, "GET", "/autocomplete",
+                            query={"prefix": "mach"})
+    assert code == 200
+    assert any(s["suggestion"].startswith("machine") for s in payload["suggestions"])
+    code, _, _ = call(router, "POST", "/autocomplete/record",
+                      {"suggestion": "machine learning"})
+    assert code == 200
+
+
+def test_cache_stats_and_invalidate(router):
+    code, payload, _ = call(router, "GET", "/cache/stats")
+    assert code == 200 and payload["enabled"] is True
+    code, payload, _ = call(router, "POST", "/cache/invalidate")
+    assert code == 200
+
+
+def test_duplicates_and_mark(router, state):
+    code, payload, _ = call(router, "GET", "/documents/duplicates")
+    assert code == 200
+    code, payload, _ = call(router, "POST", "/documents/3/mark-duplicate",
+                            {"duplicate_of": 1})
+    assert code == 200
+    assert state.indexer.store.get_document(3)["is_duplicate_of"] == 1
+
+
+def test_metadata_routes(router):
+    code, _, _ = call(router, "POST", "/documents/5/metadata",
+                      {"metadata": {"lang": "en", "year": 2024}})
+    assert code == 200
+    code, payload, _ = call(router, "GET", "/documents/5/metadata")
+    assert code == 200 and payload["metadata"]["year"] == 2024
+    code, _, _ = call(router, "GET", "/documents/999/metadata")
+    assert code == 404
+
+
+def test_language_detect_route(router):
+    code, payload, _ = call(router, "POST", "/language/detect",
+                            {"text": "the cat sat on the mat and it was happy"})
+    assert code == 200 and payload["language"] == "en"
+
+
+def test_jobs_flow(router):
+    code, payload, _ = call(router, "POST", "/jobs/index",
+                            {"documents": ["new doc about tennis rackets"]})
+    assert code == 202
+    jid = payload["job_id"]
+    for _ in range(150):
+        code, job, _ = call(router, "GET", f"/jobs/{jid}")
+        if job["state"] in ("completed", "failed"):
+            break
+        time.sleep(0.02)
+    assert job["state"] == "completed"
+    assert job["result"]["added"] == 1
+    code, payload, _ = call(router, "GET", "/jobs")
+    assert code == 200 and any(j["job_id"] == jid for j in payload["jobs"])
+    code, _, _ = call(router, "GET", "/jobs/nonexistent")
+    assert code == 404
+
+
+def test_index_add_with_dedup(router, state):
+    existing = state.indexer.contents[0]
+    code, payload, _ = call(router, "POST", "/index/add",
+                            {"documents": [existing], "dedup": "skip"})
+    assert code == 200
+    assert payload["added"] == 0 and len(payload["skipped"]) == 1
+
+
+def test_unknown_route(router):
+    code, _, _ = call(router, "GET", "/nope")
+    assert code == 404
+
+
+# -- auth enforcement ------------------------------------------------------------------
+
+
+def test_auth_enforced_when_enabled(demo_docs):
+    st = EngineState(encoder=HashingEncoder(dim=64), auth_enabled=True,
+                     use_semantic_cache=False)
+    r = build_router(st)
+    code, _, _ = r.dispatch("GET", "/health")
+    assert code == 401
+    key = st.auth.keys.create_key("reader", scopes={"read"})
+    code, _, _ = r.dispatch("GET", "/health", api_key=key.key)
+    assert code == 200
+    # write scope required for /index
+    code, _, _ = r.dispatch("POST", "/index", {"documents": ["x"]},
+                            api_key=key.key)
+    assert code == 403
+    wkey = st.auth.keys.create_key("writer", scopes={"read", "write"})
+    code, _, _ = r.dispatch("POST", "/index", {"documents": ["x"]},
+                            api_key=wkey.key)
+    assert code == 200
+    st.close()
+
+
+# -- live HTTP server -----------------------------------------------------------------------
+
+
+def test_httpd_end_to_end(state):
+    with APIServer(state, host="127.0.0.1", port=0) as server:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/health", timeout=10) as resp:
+            assert resp.status == 200
+            assert json.loads(resp.read())["status"] == "healthy"
+        req = urllib.request.Request(
+            base + "/search",
+            data=json.dumps({"query": "machine learning", "top_k": 2}).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            payload = json.loads(resp.read())
+            assert len(payload["results"]) == 2
+
+
+# -- CLI -----------------------------------------------------------------------------------------
+
+
+def test_cli_index_search_stats(tmp_path, capsys):
+    from hybridsearch_tpu.api.cli import main
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "ml.txt").write_text("machine learning models learn from data")
+    (docs_dir / "cook.txt").write_text("boil pasta with salt and olive oil")
+    db = str(tmp_path / "cli.db")
+
+    assert main(["--db", db, "index", str(docs_dir)]) == 0
+    out = capsys.readouterr().out
+    assert "indexed 2 documents" in out
+
+    assert main(["--db", db, "search", "machine learning", "--top-k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "machine learning" in out
+
+    assert main(["--db", db, "stats"]) == 0
+    out = capsys.readouterr().out
+    assert '"total_documents": 2' in out
+
+
+def test_cli_export_import(tmp_path, capsys):
+    from hybridsearch_tpu.api.cli import main
+
+    docs_dir = tmp_path / "docs"
+    docs_dir.mkdir()
+    (docs_dir / "a.txt").write_text("alpha document content")
+    db = str(tmp_path / "cli.db")
+    dump = str(tmp_path / "dump.json")
+    assert main(["--db", db, "index", str(docs_dir)]) == 0
+    assert main(["--db", db, "export", dump]) == 0
+    db2 = str(tmp_path / "cli2.db")
+    assert main(["--db", db2, "import", dump]) == 0
+    out = capsys.readouterr().out
+    assert "imported 1 documents" in out

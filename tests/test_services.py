@@ -450,11 +450,12 @@ def test_auth_rate_limits():
     assert not ok and status == 429 and "Retry-After" in headers
 
 
-def test_ip_rate_limit_applies_even_when_auth_disabled():
-    ctx = AuthContext(enabled=False, ip_limit=2)
-    assert ctx.authorize(None, "9.9.9.9")[0]
-    assert ctx.authorize(None, "9.9.9.9")[0]
-    ok, status, _ = ctx.authorize(None, "9.9.9.9")
+def test_ip_rate_limit_when_enabled():
+    ctx = AuthContext(enabled=True, ip_limit=2)
+    key = ctx.keys.create_key("k")
+    assert ctx.authorize(key.key, "9.9.9.9")[0]
+    assert ctx.authorize(key.key, "9.9.9.9")[0]
+    ok, status, _ = ctx.authorize(key.key, "9.9.9.9")
     assert not ok and status == 429
 
 
