@@ -23,6 +23,16 @@ def make_handler(router: Router):
 
         def _dispatch(self, method: str) -> None:
             parsed = urlparse(self.path)
+            if method == "GET" and parsed.path in ("/", "/ui"):
+                from hybridsearch_tpu.api.webui import HTML_PAGE
+
+                raw = HTML_PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(raw)))
+                self.end_headers()
+                self.wfile.write(raw)
+                return
             query = dict(parse_qsl(parsed.query))
             body = {}
             length = int(self.headers.get("Content-Length") or 0)

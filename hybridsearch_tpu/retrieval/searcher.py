@@ -187,19 +187,25 @@ class Searcher:
     ) -> List[List[SearchResult]]:
         """Batched hybrid search: one fused device program for the whole
         query batch."""
+        from hybridsearch_tpu.utils.tracing import trace_span
+
         t0 = time.perf_counter()
         sw, lw = self.resolve_weights(semantic_weight, lexical_weight)
         n = self.indexer.dense.n_docs
         if n == 0:
             return [[] for _ in queries]
-        q_vecs = self.indexer.encoder.encode(list(queries))
-        sem = self._semantic_scores(q_vecs, top_k)
-        lex = self._lexical_scores(queries)
+        with trace_span("encode"):
+            q_vecs = self.indexer.encoder.encode(list(queries))
+        with trace_span("semantic"):
+            sem = self._semantic_scores(q_vecs, top_k)
+        with trace_span("lexical"):
+            lex = self._lexical_scores(queries)
         k = min(top_k, n)
         bias = self.indexer.dense._snap.bias[:n]
-        vals, idxs = _fuse_and_topk(
-            sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
-        )
+        with trace_span("fuse_topk"):
+            vals, idxs = _fuse_and_topk(
+                sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
+            )
         vals_np = np.asarray(jax.device_get(vals))
         idxs_np = np.asarray(jax.device_get(idxs))
         latency_ms = (time.perf_counter() - t0) * 1e3
@@ -229,8 +235,11 @@ class Searcher:
             self.query_memory.log_feedback(query, doc_id, rating)
 
     def get_stats(self) -> dict:
+        from hybridsearch_tpu.utils.tracing import GLOBAL_TIMER
+
         stats = (
             self.query_memory.get_query_stats() if self.query_memory else {}
         )
         stats["total_documents"] = len(self.indexer.contents)
+        stats["stages"] = GLOBAL_TIMER.stats()
         return stats

@@ -1,0 +1,89 @@
+"""Evaluation harness + recall-parity + tracing tests."""
+
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.evaluation.harness import SearchEvaluator, recall_parity
+from hybridsearch_tpu.models.encoder import HashingEncoder
+from hybridsearch_tpu.retrieval.searcher import Searcher
+from hybridsearch_tpu.utils.tracing import StageTimer, trace_span
+
+
+@pytest.fixture()
+def searcher(demo_docs):
+    s = Searcher(encoder=HashingEncoder(dim=128))
+    s.indexer.index_documents(demo_docs)
+    return s
+
+
+TEST_SET = [
+    {"query": "machine learning data", "relevant_doc_ids": [1, 3]},
+    {"query": "cooking pasta salt", "relevant_doc_ids": [5]},
+    {"query": "neural networks brains", "relevant_doc_ids": [8, 3]},
+]
+
+
+def test_evaluate_query_fields(searcher):
+    ev = SearchEvaluator(searcher, k=5)
+    row = ev.evaluate_query("machine learning data", [1, 3])
+    assert 0.0 <= row["precision"] <= 1.0
+    assert row["recall"] > 0.0  # the relevant docs do surface
+    assert row["mrr"] > 0.0
+    assert row["latency_s"] > 0.0
+
+
+def test_evaluate_aggregates(searcher):
+    ev = SearchEvaluator(searcher, k=5)
+    agg = ev.evaluate(TEST_SET)
+    assert agg["queries"] == 3
+    assert agg["recall"] > 0.5
+    assert "p95_ms" in agg and agg["p50_ms"] > 0
+    assert len(agg["per_query"]) == 3
+
+
+def test_compare_configs(searcher):
+    ev = SearchEvaluator(searcher, k=5)
+    out = ev.compare_configs(TEST_SET, {
+        "semantic": {"semantic_weight": 1.0, "lexical_weight": 0.0},
+        "hybrid": {"semantic_weight": 0.7, "lexical_weight": 0.3},
+    })
+    assert set(out) == {"semantic", "hybrid"}
+    assert all("recall" in v for v in out.values())
+
+
+def test_test_set_from_feedback(searcher):
+    searcher.search("machine learning", top_k=2)
+    searcher.log_feedback("machine learning", 1, 1)
+    searcher.log_feedback("machine learning", 3, 1)
+    ev = SearchEvaluator(searcher)
+    ts = ev.create_test_set_from_feedback()
+    assert ts == [{"query": "machine learning", "relevant_doc_ids": [1, 3]}]
+
+
+def test_recall_parity_vs_oracle(searcher, demo_docs):
+    """The BASELINE.json metric: engine top-k vs NumPy oracle hybrid,
+    Jaccard >= 0.99 (exact search should be ~1.0 at this scale)."""
+    queries = ["machine learning", "cooking pasta", "neural networks",
+               "stock market", "web browsers javascript"]
+    out = recall_parity(searcher, queries, k=5)
+    assert out["mean_jaccard"] >= 0.99, out
+    assert out["min_jaccard"] >= 0.9, out
+
+
+def test_stage_timer_and_spans(searcher):
+    searcher.search("machine learning", top_k=3)
+    stats = searcher.get_stats()["stages"]
+    for stage in ("encode", "semantic", "lexical", "fuse_topk"):
+        assert stage in stats
+        assert stats[stage]["count"] >= 1
+        assert stats[stage]["p50_ms"] >= 0.0
+
+
+def test_stage_timer_rolling_window():
+    t = StageTimer(window=4)
+    for i in range(10):
+        t.record("x", 0.001 * (i + 1))
+    s = t.stats()["x"]
+    assert s["count"] == 10
+    # window keeps only the last 4 samples (7..10 ms)
+    assert s["p50_ms"] >= 7.0
