@@ -49,7 +49,8 @@ class Indexer:
             self.config.index.dim = encoder.dim
         bm25_cls = BM25Plus if self.config.bm25.variant == "bm25plus" else BM25
         self.bm25 = bm25_cls(
-            k1=self.config.bm25.k1, b=self.config.bm25.b, delta=self.config.bm25.delta
+            k1=self.config.bm25.k1, b=self.config.bm25.b,
+            delta=self.config.bm25.delta, mesh=mesh,
         )
         self.dense = DenseIndex(
             dim=self.config.index.dim,

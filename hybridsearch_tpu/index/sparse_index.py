@@ -28,12 +28,15 @@ class BM25:
 
     variant = "bm25"
 
-    def __init__(self, k1: float = 1.5, b: float = 0.75, delta: float = 1.0) -> None:
+    def __init__(self, k1: float = 1.5, b: float = 0.75, delta: float = 1.0,
+                 mesh=None) -> None:
         self.k1 = k1
         self.b = b
         self.delta = delta
+        self.mesh = mesh
         self.vocab = Vocabulary()
         self.postings: Optional[bm25_ops.BM25Postings] = None
+        self.sharded: Optional[bm25_ops.ShardedBM25Postings] = None
         self.n_docs = 0
         self._doc_tokens: List[List[str]] = []
 
@@ -68,9 +71,20 @@ class BM25:
             t_arr, d_arr, c_arr, doc_lens, self.n_docs, len(self.vocab),
             k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
         )
-        self.postings = bm25_ops.build_postings_arrays(
-            t_arr, d_arr.astype(np.int32), weights, self.n_docs, len(self.vocab)
-        )
+        if self.mesh is not None and self.n_docs:
+            from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+            self.sharded = bm25_ops.build_sharded_postings(
+                t_arr, d_arr, weights, self.n_docs, len(self.vocab),
+                n_shards=self.mesh.shape[DATA_AXIS], mesh=self.mesh,
+            )
+            self.postings = None
+        else:
+            self.postings = bm25_ops.build_postings_arrays(
+                t_arr, d_arr.astype(np.int32), weights, self.n_docs,
+                len(self.vocab),
+            )
+            self.sharded = None
         return self
 
     # -- query encoding ----------------------------------------------------
@@ -96,10 +110,9 @@ class BM25:
 
     def score_all(self, query: str) -> np.ndarray:
         """Dense [n_docs] score vector for one query."""
-        if self.postings is None or self.n_docs == 0:
+        if self.n_docs == 0 or (self.postings is None and self.sharded is None):
             return np.zeros((0,), dtype=np.float32)
-        qt = self._encode_queries([query])
-        return np.asarray(bm25_ops.bm25_scores(self.postings, qt))[0]
+        return self.batch_scores([query])[0]
 
     def score(self, query: str, doc_idx: int) -> float:
         """Single (query, doc) score (reference bm25.py:83-112)."""
@@ -110,22 +123,54 @@ class BM25:
         full = self.score_all(query)
         return [float(full[i]) for i in doc_indices]
 
+    def candidate_scores(self, query: str, candidates: np.ndarray) -> np.ndarray:
+        """[C] scores at candidate doc ids (funnel stage 2); -1 ids -> 0.
+        Exact: gathered from full scoring."""
+        if self.n_docs == 0:
+            return np.zeros(len(candidates), dtype=np.float32)
+        if self.postings is not None:
+            qt = self._encode_queries([query])
+            import jax.numpy as jnp
+
+            return np.asarray(
+                bm25_ops.bm25_candidate_scores(
+                    self.postings, qt, jnp.asarray(np.asarray(candidates)[None, :])
+                )
+            )[0]
+        full = self.score_all(query)
+        cand = np.asarray(candidates)
+        safe = np.clip(cand, 0, self.n_docs - 1)
+        out = full[safe]
+        return np.where(cand >= 0, out, 0.0).astype(np.float32)
+
     def search(self, query: str, top_k: int = 10) -> List[Tuple[int, float]]:
         """Top-k (doc_idx, score), excluding zero scores like the reference
         search (bm25.py:129-158 only returns docs with positive scores)."""
+        if self.n_docs == 0:
+            return []
+        k = min(top_k, self.n_docs)
+        if self.sharded is not None:
+            qt = self._encode_queries([query])
+            vals, idxs = bm25_ops.sharded_bm25_topk(self.mesh, self.sharded,
+                                                    qt, k)
+            vals, idxs = np.asarray(vals)[0], np.asarray(idxs)[0]
+            return [(int(i), float(v)) for v, i in zip(vals, idxs)
+                    if i >= 0 and v > 0.0]
         scores = self.score_all(query)
         if scores.size == 0:
             return []
-        k = min(top_k, self.n_docs)
         idx = np.argsort(-scores, kind="stable")[:k]
         return [(int(i), float(scores[i])) for i in idx if scores[i] > 0.0]
 
     def batch_scores(self, queries: Sequence[str]) -> np.ndarray:
         """[B, n_docs] scores for a query batch — the batched device path the
         reference lacks (its /search/batch is a Python loop, api.py:420-447)."""
-        if self.postings is None or self.n_docs == 0:
+        if self.n_docs == 0 or (self.postings is None and self.sharded is None):
             return np.zeros((len(queries), 0), dtype=np.float32)
         qt = self._encode_queries(list(queries))
+        if self.sharded is not None:
+            full = bm25_ops.sharded_bm25_scores(self.mesh, self.sharded, qt)
+            return np.asarray(full)[:, : self.n_docs]
         return np.asarray(bm25_ops.bm25_scores(self.postings, qt))
 
 

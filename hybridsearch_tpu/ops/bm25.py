@@ -148,6 +148,142 @@ def bm25_candidate_scores(
     return jnp.where(candidates >= 0, gathered, 0.0)
 
 
+class ShardedBM25Postings(NamedTuple):
+    """Doc-partitioned eager postings for a device mesh.
+
+    Each shard s owns docs [s*docs_per_shard, (s+1)*docs_per_shard); its
+    postings are localized (doc_id - shard offset) and padded to a common
+    nnz so the arrays stack into mesh-shardable [S, ...] tensors.
+    """
+
+    indptr: jax.Array  # [S, V+1] int32
+    doc_ids: jax.Array  # [S, nnz_pad] int32 local ids; pad = docs_per_shard
+    weights: jax.Array  # [S, nnz_pad] float32
+    n_docs: int
+    docs_per_shard: int
+    max_postings: int  # max local posting run across shards
+    vocab_size: int
+    n_shards: int
+
+
+def build_sharded_postings(
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    weights: np.ndarray,
+    n_docs: int,
+    vocab_size: int,
+    n_shards: int,
+    mesh=None,
+) -> ShardedBM25Postings:
+    """Host-side build of doc-partitioned postings; places the stacked
+    arrays with NamedSharding(P("data", None)) when a mesh is given."""
+    per = -(-max(n_docs, 1) // n_shards)
+    shard_of = (doc_ids // per).astype(np.int64)
+    indptrs, ids_l, ws_l = [], [], []
+    max_post = 1
+    for s in range(n_shards):
+        m = shard_of == s
+        t, d, w = term_ids[m], doc_ids[m] - s * per, weights[m]
+        order = np.argsort(t, kind="stable")
+        t, d, w = t[order], d[order], w[order]
+        ip = np.zeros(vocab_size + 1, dtype=np.int64)
+        np.add.at(ip, t + 1, 1)
+        ip = np.cumsum(ip)
+        if len(t):
+            max_post = max(max_post, int((ip[1:] - ip[:-1]).max()))
+        indptrs.append(ip)
+        ids_l.append(d.astype(np.int32))
+        ws_l.append(w.astype(np.float32))
+    nnz_pad = max(len(x) for x in ids_l) + max_post
+    ids_arr = np.full((n_shards, nnz_pad), per, dtype=np.int32)
+    ws_arr = np.zeros((n_shards, nnz_pad), dtype=np.float32)
+    ip_arr = np.zeros((n_shards, vocab_size + 1), dtype=np.int32)
+    for s in range(n_shards):
+        ids_arr[s, : len(ids_l[s])] = ids_l[s]
+        ws_arr[s, : len(ws_l[s])] = ws_l[s]
+        ip_arr[s] = indptrs[s].astype(np.int32)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        shard = NamedSharding(mesh, P("data", None))
+        ip_dev = jax.device_put(ip_arr, shard)
+        ids_dev = jax.device_put(ids_arr, shard)
+        ws_dev = jax.device_put(ws_arr, shard)
+    else:
+        ip_dev, ids_dev, ws_dev = map(jnp.asarray, (ip_arr, ids_arr, ws_arr))
+    return ShardedBM25Postings(
+        indptr=ip_dev, doc_ids=ids_dev, weights=ws_dev, n_docs=n_docs,
+        docs_per_shard=per, max_postings=max_post, vocab_size=vocab_size,
+        n_shards=n_shards,
+    )
+
+
+def sharded_bm25_topk(
+    mesh, postings: ShardedBM25Postings, query_terms: jax.Array, k: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact global top-k BM25 over doc-sharded postings: each shard
+    scatter-scores its local docs, takes a local top-k, and k candidates
+    per shard cross the ICI for the final merge — the same collective
+    pattern as the dense index (parallel/collectives.py)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+    per = postings.docs_per_shard
+    k_local = min(k, per)
+    mp = postings.max_postings
+    n = postings.n_docs
+
+    def local(qt, ip, ids, ws):
+        ip, ids, ws = ip[0], ids[0], ws[0]
+        scores = _bm25_scores_impl(ip, ids, ws, qt, per, mp)  # [B, per]
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        offset = shard_id * per
+        vals, idxs = jax.lax.top_k(scores, k_local)
+        gidx = idxs + offset
+        vals = jnp.where(gidx < n, vals, -jnp.inf)
+        gidx = jnp.where(gidx < n, gidx, -1)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        all_idxs = jax.lax.all_gather(gidx, DATA_AXIS, axis=1, tiled=True)
+        mv, sel = jax.lax.top_k(all_vals, k)
+        return mv, jnp.take_along_axis(all_idxs, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(query_terms, postings.indptr, postings.doc_ids, postings.weights)
+
+
+def sharded_bm25_scores(
+    mesh, postings: ShardedBM25Postings, query_terms: jax.Array
+) -> jax.Array:
+    """Full [B, N_pad] scores, doc-sharded on the last axis (for fusion)."""
+    from jax.sharding import PartitionSpec as P
+    from jax import shard_map
+    from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+    per = postings.docs_per_shard
+    mp = postings.max_postings
+
+    def local(qt, ip, ids, ws):
+        return _bm25_scores_impl(ip[0], ids[0], ws[0], qt, per, mp)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None)),
+        out_specs=P(None, DATA_AXIS),
+        check_vma=False,
+    )
+    return fn(query_terms, postings.indptr, postings.doc_ids, postings.weights)
+
+
 def compute_eager_weights(
     tf_term_ids: np.ndarray,
     tf_doc_ids: np.ndarray,

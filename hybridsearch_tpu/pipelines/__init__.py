@@ -300,16 +300,7 @@ class MultiStagePipeline(BasePipeline):
         _vals, idxs = ix.dense.search(q_vec, k1)
         candidates = idxs[0]
         # Stage 2: BM25 scores gathered at candidates (pipelines.py:484-487)
-        from hybridsearch_tpu.ops.bm25 import bm25_candidate_scores
-
-        if ix.bm25.postings is not None:
-            qt = ix.bm25._encode_queries([query])
-            cand_scores = np.asarray(
-                bm25_candidate_scores(ix.bm25.postings, qt,
-                                      jnp.asarray(candidates[None, :]))
-            )[0]
-        else:
-            cand_scores = np.zeros(len(candidates), np.float32)
+        cand_scores = ix.bm25.candidate_scores(query, candidates)
         k2 = min(self.stage2_k, len(candidates))
         order = np.argsort(-cand_scores, kind="stable")[:k2]
         stage2_ids = [int(candidates[i]) for i in order]

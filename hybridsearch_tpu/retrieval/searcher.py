@@ -129,9 +129,10 @@ class Searcher:
             # candidates leave the kernel.
             k2 = min(2 * top_k, n)
             vals, idxs = dense.search(q_vecs, k2)
-            return scatter_topk_to_dense(
-                jnp.asarray(np.maximum(vals, 0.0)), jnp.asarray(idxs), n
-            )
+            # raw scores scattered into zeros, like the reference (negative
+            # cosines can rank below unretrieved docs — reference behavior).
+            vals = np.where(np.isfinite(vals), vals, 0.0)
+            return scatter_topk_to_dense(jnp.asarray(vals), jnp.asarray(idxs), n)
         q = jnp.asarray(np.asarray(q_vecs, np.float32))
         return _semantic_full(q, snap.docs[:n])
 

@@ -84,3 +84,37 @@ def test_searcher_on_mesh(mesh, demo_docs):
     results = s.search("machine learning artificial intelligence", top_k=4)
     assert len(results) == 4
     assert {r[2] for r in results} & {1, 3, 6, 8, 10}
+
+
+def test_sharded_bm25_matches_single(mesh, demo_docs):
+    """Doc-partitioned BM25 over the mesh == unsharded scoring."""
+    from hybridsearch_tpu.index.sparse_index import BM25
+
+    single = BM25().fit(demo_docs)
+    sharded = BM25(mesh=mesh).fit(demo_docs)
+    assert sharded.sharded is not None and sharded.postings is None
+    for q in ("machine learning data", "cooking pasta", "zzz nothing"):
+        want = single.score_all(q)
+        got = sharded.score_all(q)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5,
+                                   err_msg=q)
+        assert sharded.search(q, top_k=3) == single.search(q, top_k=3)
+
+
+def test_sharded_hybrid_searcher_end_to_end(mesh, demo_docs):
+    """Full hybrid search with BOTH indexes doc-sharded over the mesh."""
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    enc = HashingEncoder(dim=128)
+    plain = Searcher(encoder=enc)
+    plain.indexer.index_documents(demo_docs)
+    meshy = Searcher(encoder=enc, mesh=mesh)
+    meshy.indexer.index_documents(demo_docs)
+    q = "machine learning artificial intelligence"
+    ids_mesh = [r[2] for r in meshy.search(q, top_k=4, log=False)]
+    assert set(ids_mesh) & {1, 3, 6, 8, 10}
+    # lexical arm parity between sharded and unsharded
+    lex_plain = plain.indexer.bm25.score_all(q)
+    lex_mesh = meshy.indexer.bm25.score_all(q)
+    np.testing.assert_allclose(lex_mesh, lex_plain, rtol=1e-4, atol=1e-5)
