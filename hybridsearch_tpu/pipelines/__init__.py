@@ -121,20 +121,31 @@ class ChunkedPipeline(BasePipeline):
     def index(self, documents: Sequence[str]) -> Dict[str, int]:
         self.parents = list(documents)
         chunks: List[str] = []
+        rows = []
         self.chunk_to_parent = []
         for doc_id, doc in enumerate(documents):
             pieces = self.chunker.chunk(doc, doc_id=doc_id) or []
             if not pieces:
-                chunks.append(doc)
-                self.chunk_to_parent.append(doc_id)
-                continue
+                from hybridsearch_tpu.text.chunker import Chunk
+
+                pieces = [Chunk(content=doc, doc_id=doc_id)]
             for c in pieces:
+                rows.append((len(chunks), doc_id, c.chunk_index,
+                             c.start_char, c.end_char))
                 chunks.append(c.content)
                 self.chunk_to_parent.append(doc_id)
         stats = self.indexer.index_documents(chunks)
+        # persist chunk -> parent registry (survives restarts; the reference
+        # keeps it only in memory, pipelines.py:125-144)
+        self.indexer.store.save_chunk_map(self.parents, rows)
         stats["parents"] = len(documents)
         stats["chunks"] = len(chunks)
         return stats
+
+    def reload(self) -> int:
+        """Restore chunk registry + chunk index from the host store."""
+        self.parents, self.chunk_to_parent = self.indexer.store.load_chunk_map()
+        return self.indexer.reload()
 
     def search(self, query: str, top_k: int = 5) -> PipelineResult:
         fetch_k = top_k * 2 if self.return_parent else top_k  # pipelines.py:157

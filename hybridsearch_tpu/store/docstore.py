@@ -64,8 +64,20 @@ CREATE TABLE IF NOT EXISTS jobs (
     created_at REAL NOT NULL,
     updated_at REAL NOT NULL
 );
+CREATE TABLE IF NOT EXISTS chunks (
+    chunk_row INTEGER PRIMARY KEY,
+    parent_doc_id INTEGER NOT NULL,
+    chunk_index INTEGER NOT NULL,
+    start_char INTEGER NOT NULL DEFAULT 0,
+    end_char INTEGER NOT NULL DEFAULT 0
+);
+CREATE TABLE IF NOT EXISTS parents (
+    parent_doc_id INTEGER PRIMARY KEY,
+    content TEXT NOT NULL
+);
 CREATE INDEX IF NOT EXISTS idx_feedback_query ON feedback(query);
 CREATE INDEX IF NOT EXISTS idx_history_ts ON query_history(ts);
+CREATE INDEX IF NOT EXISTS idx_chunks_parent ON chunks(parent_doc_id);
 """
 
 
@@ -279,6 +291,43 @@ class DocStore:
             {"query": q, "relevant_doc_ids": sorted(set(ids))}
             for q, ids in by_query.items()
         ]
+
+    # -- chunk registry (chunk row -> parent doc mapping, persisted so
+    # chunked pipelines reload without re-chunking; the reference keeps this
+    # only in memory, pipelines.py:125-144) -----------------------------------
+
+    def save_chunk_map(self, parents: Sequence[str],
+                       chunk_rows: Sequence[Tuple[int, int, int, int, int]]
+                       ) -> None:
+        """chunk_rows: (chunk_row, parent_doc_id, chunk_index, start, end)."""
+        with self._lock:
+            self._conn.execute("DELETE FROM chunks")
+            self._conn.execute("DELETE FROM parents")
+            self._conn.executemany(
+                "INSERT INTO parents (parent_doc_id, content) VALUES (?,?)",
+                list(enumerate(parents)),
+            )
+            self._conn.executemany(
+                "INSERT INTO chunks (chunk_row, parent_doc_id, chunk_index, "
+                "start_char, end_char) VALUES (?,?,?,?,?)",
+                list(chunk_rows),
+            )
+            self._conn.commit()
+
+    def load_chunk_map(self) -> Tuple[List[str], List[int]]:
+        """Returns (parents ordered by id, chunk_row -> parent mapping)."""
+        with self._lock:
+            parents = [
+                r["content"] for r in self._conn.execute(
+                    "SELECT content FROM parents ORDER BY parent_doc_id"
+                ).fetchall()
+            ]
+            mapping = [
+                r["parent_doc_id"] for r in self._conn.execute(
+                    "SELECT parent_doc_id FROM chunks ORDER BY chunk_row"
+                ).fetchall()
+            ]
+        return parents, mapping
 
     # -- jobs -------------------------------------------------------------------
 

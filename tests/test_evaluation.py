@@ -87,3 +87,62 @@ def test_stage_timer_rolling_window():
     assert s["count"] == 10
     # window keeps only the last 4 samples (7..10 ms)
     assert s["p50_ms"] >= 7.0
+
+
+def test_chunked_pipeline_persistence(tmp_path):
+    """Chunk registry survives a restart (new in this framework)."""
+    from hybridsearch_tpu.pipelines import ChunkedPipeline
+
+    docs = ["First doc. It has sentences. Several of them actually.",
+            "Second doc about entirely different gardens and flowers."]
+    db = str(tmp_path / "chunks.db")
+    enc = HashingEncoder(dim=64)
+    p = ChunkedPipeline(encoder=enc, db_path=db,
+                        chunker_kwargs={"max_chars": 30})
+    p.index(docs)
+    before = p.search("gardens flowers", top_k=1).results
+
+    p2 = ChunkedPipeline(encoder=enc, db_path=db,
+                         chunker_kwargs={"max_chars": 30})
+    n = p2.reload()
+    assert n > 2  # chunk rows restored
+    assert p2.parents == docs
+    after = p2.search("gardens flowers", top_k=1).results
+    assert after[0][2] == before[0][2] == 1
+
+
+def test_train_checkpoint_roundtrip(tmp_path):
+    """orbax save/restore of the contrastive train state + encoder export."""
+    import numpy as np
+
+    from hybridsearch_tpu.models.bert import BertConfig
+    from hybridsearch_tpu.training.checkpoint import (
+        load_encoder,
+        restore_train_state,
+        save_encoder_params,
+        save_train_state,
+    )
+    from hybridsearch_tpu.training.contrastive import ContrastiveTrainer
+
+    cfg = BertConfig(vocab_size=256, hidden_dim=32, num_layers=1, num_heads=2,
+                     mlp_dim=64, max_position=32)
+    tr = ContrastiveTrainer(cfg=cfg)
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 256, (8, 8)).astype(np.int32),
+             np.ones((8, 8), np.int32),
+             rng.integers(0, 256, (8, 8)).astype(np.int32),
+             np.ones((8, 8), np.int32))
+    tr.train_step(batch)
+    save_train_state(str(tmp_path / "ck"), tr.params, tr.opt_state, step=1)
+    params, opt_state, step = restore_train_state(str(tmp_path / "ck"))
+    assert step == 1
+    import jax
+    from flax.core import meta
+
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 jax.device_get(meta.unbox(tr.params)), params)
+
+    save_encoder_params(str(tmp_path / "ck"), tr.params)
+    enc = load_encoder(str(tmp_path / "ck"), cfg=cfg)
+    emb = enc.encode(["hello world"])
+    assert emb.shape == (1, 32)
