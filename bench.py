@@ -87,15 +87,32 @@ def main() -> None:
     iters = 8 if backend != "cpu" else 2
 
     qps, used_n = 0.0, 0
-    for attempt_n in (n_docs, int(n_docs * 0.8), n_docs // 2, n_docs // 5,
-                      n_docs // 10):
+    # Per-attempt wall-clock guard: a wedged device tunnel must not hang the
+    # whole benchmark — fall back to a smaller corpus and always print the
+    # JSON line.
+    import signal
+
+    class _Timeout(Exception):
+        pass
+
+    def _alarm(_sig, _frm):
+        raise _Timeout()
+
+    signal.signal(signal.SIGALRM, _alarm)
+    budgets = {0: 300}
+    for attempt_i, attempt_n in enumerate(
+        (n_docs, int(n_docs * 0.8), n_docs // 2, n_docs // 5, n_docs // 10)
+    ):
         if attempt_n <= 0:
             continue
         try:
+            signal.alarm(budgets.get(attempt_i, 180))
             qps = run_once(attempt_n, iters)
+            signal.alarm(0)
             used_n = attempt_n
             break
-        except Exception as e:  # OOM fallback to a smaller corpus
+        except BaseException as e:  # OOM / timeout -> smaller corpus
+            signal.alarm(0)
             print(f"# corpus {attempt_n} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 

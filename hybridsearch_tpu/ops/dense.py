@@ -203,20 +203,17 @@ def tiled_dense_topk(
     # pass 1 fast path: Pallas fused matmul + tile-max epilogue (never
     # materializes the score block in HBM). Needs aligned shapes and a
     # VMEM-sized block that divides n_tiles.
+    # tpb must be a multiple of 8 (Mosaic output-tiling rule); the grid may
+    # overhang N — garbage rows land in tiles >= n_tiles, which are sliced
+    # off inside pallas_tile_max.
+    pallas_tpb = 32
     use_pallas = (
         jax.default_backend() == "tpu"
         and tile == 128
-        and Np == N  # no tail-tile masking needed
+        and Np == N  # N % 128 == 0 confines edge garbage to dropped tiles
         and Dm % 128 == 0
-        and N >= 4 * block_n_min_pallas()
+        and n_tiles >= 2 * pallas_tpb
     )
-    pallas_tpb = 0
-    if use_pallas:
-        for cand in range(min(32, n_tiles), 0, -1):
-            if n_tiles % cand == 0:
-                pallas_tpb = cand
-                break
-        use_pallas = pallas_tpb >= 4
 
     if use_pallas:
         from hybridsearch_tpu.ops.pallas_topk import pallas_tile_max

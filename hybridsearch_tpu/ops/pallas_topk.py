@@ -52,8 +52,14 @@ def pallas_tile_max(
     """
     B, D = queries.shape
     N = docs.shape[0]
-    assert N % block_n == 0 and block_n % TILE == 0 and D % 128 == 0
-    nb = N // block_n
+    # Mosaic rejects output blocks whose trailing dim is neither a multiple
+    # of 8 nor the full array dim, so tpb must be a multiple of 8. The grid
+    # need NOT divide N: Pallas pads edge blocks, and since N % 128 == 0 the
+    # garbage rows land only in tiles >= n_tiles, which the caller slices
+    # away below.
+    assert N % TILE == 0 and block_n % (8 * TILE) == 0 and D % 128 == 0
+    n_tiles = N // TILE
+    nb = -(-N // block_n)
     tpb = block_n // TILE
     q = queries.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else (
         queries.astype(jnp.float32)
@@ -85,4 +91,5 @@ def pallas_tile_max(
             transcendentals=0,
         ),
     )(q, docs, bias.astype(jnp.float32))
-    return jnp.transpose(out, (1, 0, 2)).reshape(B, nb * tpb)
+    full = jnp.transpose(out, (1, 0, 2)).reshape(B, nb * tpb)
+    return full[:, :n_tiles]
