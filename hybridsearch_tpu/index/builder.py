@@ -60,6 +60,7 @@ class Indexer:
         )
         self.contents: List[str] = []
         self.doc_ids: List[int] = []
+        self._token_cache: List[List[str]] = []
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -111,6 +112,7 @@ class Indexer:
         self.bm25.fit_tokens(token_lists)
         self.contents = list(docs)
         self.doc_ids = ids
+        self._token_cache = token_lists
         return {"indexed": len(docs), "dim": self.config.index.dim}
 
     def add_documents(
@@ -130,8 +132,10 @@ class Indexer:
         self.dense.add(vectors)
         self.contents.extend(docs)
         self.doc_ids.extend(ids)
-        all_tokens = [extract_tokens(c) for c in self.contents]
-        self.bm25.fit_tokens(all_tokens)
+        if len(self._token_cache) != len(self.contents) - len(docs):
+            self._token_cache = [extract_tokens(c) for c in self.contents[: -len(docs)]]
+        self._token_cache.extend(token_lists)
+        self.bm25.fit_tokens(self._token_cache)
         return ids
 
     def reload(self) -> int:
