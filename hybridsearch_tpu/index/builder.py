@@ -109,6 +109,7 @@ class Indexer:
         )
         vectors = self.embed(docs)
         self.dense.build(vectors)
+        self._align_bm25_shards()
         self.bm25.fit_tokens(token_lists)
         self.contents = list(docs)
         self.doc_ids = ids
@@ -135,8 +136,18 @@ class Indexer:
         if len(self._token_cache) != len(self.contents) - len(docs):
             self._token_cache = [extract_tokens(c) for c in self.contents[: -len(docs)]]
         self._token_cache.extend(token_lists)
+        self._align_bm25_shards()
         self.bm25.fit_tokens(self._token_cache)
         return ids
+
+    def _align_bm25_shards(self) -> None:
+        """Partition BM25 postings by the dense index's rows-per-shard so
+        hybrid fusion runs shard-locally (parallel/collectives.py)."""
+        if self.mesh is not None:
+            from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+            shards = self.mesh.shape[DATA_AXIS]
+            self.bm25.docs_per_shard = self.dense.capacity // shards
 
     def reload(self) -> int:
         """Rebuild in-memory state from the host store (re-embedding only if
@@ -147,6 +158,7 @@ class Indexer:
         if contents:
             if self.dense.n_docs != len(contents):
                 self.dense.build(self.embed(contents))
+            self._align_bm25_shards()
             self.bm25.fit(contents)
         return len(contents)
 

@@ -34,6 +34,9 @@ class BM25:
         self.b = b
         self.delta = delta
         self.mesh = mesh
+        # When set (by the Indexer), shard partitioning aligns with the
+        # dense index's rows-per-shard so hybrid fusion runs shard-locally.
+        self.docs_per_shard: Optional[int] = None
         self.vocab = Vocabulary()
         self.postings: Optional[bm25_ops.BM25Postings] = None
         self.sharded: Optional[bm25_ops.ShardedBM25Postings] = None
@@ -77,6 +80,7 @@ class BM25:
             self.sharded = bm25_ops.build_sharded_postings(
                 t_arr, d_arr, weights, self.n_docs, len(self.vocab),
                 n_shards=self.mesh.shape[DATA_AXIS], mesh=self.mesh,
+                docs_per_shard=self.docs_per_shard,
             )
             self.postings = None
         else:

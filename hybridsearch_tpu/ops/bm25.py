@@ -174,10 +174,13 @@ def build_sharded_postings(
     vocab_size: int,
     n_shards: int,
     mesh=None,
+    docs_per_shard: int | None = None,
 ) -> ShardedBM25Postings:
     """Host-side build of doc-partitioned postings; places the stacked
-    arrays with NamedSharding(P("data", None)) when a mesh is given."""
-    per = -(-max(n_docs, 1) // n_shards)
+    arrays with NamedSharding(P("data", None)) when a mesh is given.
+    docs_per_shard lets the caller align the partition with the dense
+    index's shard rows so hybrid fusion can run shard-locally."""
+    per = docs_per_shard or -(-max(n_docs, 1) // n_shards)
     shard_of = (doc_ids // per).astype(np.int64)
     indptrs, ids_l, ws_l = [], [], []
     max_post = 1

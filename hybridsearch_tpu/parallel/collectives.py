@@ -81,6 +81,113 @@ def sharded_dense_topk(
     return fn(queries, docs_sharded, bias_sharded)
 
 
+def sharded_hybrid_topk(
+    mesh: Mesh,
+    queries: jax.Array,
+    docs_sharded: jax.Array,
+    bm25_indptr: jax.Array,
+    bm25_doc_ids: jax.Array,
+    bm25_weights: jax.Array,
+    query_terms: jax.Array,
+    k: int,
+    semantic_weight,
+    lexical_weight,
+    max_postings: int,
+    valid_n: int,
+    block_n: int = 4096,
+    bias_sharded: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """EXACT hybrid search over the mesh in one collective program.
+
+    The reference's hybrid semantics (min-max normalize both arms over ALL
+    docs, weighted sum, top-k; core.py:264-271) needs global score
+    statistics — at 10M docs the [B, N] arrays can't be materialized, and
+    the reference has no distributed path at all. Here each shard:
+
+      1. computes its local dense scores (matmul) and local BM25 scores
+         (scatter-add over doc-partitioned postings) for its doc slice;
+      2. contributes local min/max of both arms to a global pmin/pmax over
+         the data axis (two tiny collectives);
+      3. normalizes + fuses locally and takes a local top-k;
+      4. all_gathers k candidates per shard for the final merge.
+
+    Only 4 scalars per query + k candidates per shard cross the ICI.
+    """
+    from hybridsearch_tpu.ops.bm25 import _bm25_scores_impl
+
+    n_pad = docs_sharded.shape[0]
+    n_shards = mesh.shape[DATA_AXIS]
+    per = n_pad // n_shards
+    k_local = min(k, per)
+    B = queries.shape[0]
+    w_s = jnp.float32(semantic_weight)
+    w_l = jnp.float32(lexical_weight)
+
+    if bias_sharded is None:
+        bias_sharded = jax.device_put(
+            jnp.zeros((n_pad,), dtype=jnp.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    def local(q, docs_local, ip, ids, ws, qt, bias_local):
+        shard_id = jax.lax.axis_index(DATA_AXIS)
+        offset = shard_id * per
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, per), 1)
+        gidx = offset + col  # [1, per]
+        valid = gidx < valid_n
+
+        q32 = q.astype(jnp.float32)
+        q_mm = q32.astype(docs_local.dtype) if docs_local.dtype == jnp.bfloat16 else q32
+        sem = jax.lax.dot_general(
+            q_mm, docs_local, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, per]
+        lex = _bm25_scores_impl(ip[0], ids[0], ws[0], qt, per, max_postings)
+
+        big = jnp.float32(3.4e38)
+        sem_m = jnp.where(valid, sem, big)
+        sem_M = jnp.where(valid, sem, -big)
+        lex_m = jnp.where(valid, lex, big)
+        lex_M = jnp.where(valid, lex, -big)
+        # global per-query min/max over the data axis (reference normalizes
+        # over all docs)
+        sem_min = jax.lax.pmin(jnp.min(sem_m, axis=1), DATA_AXIS)
+        sem_max = jax.lax.pmax(jnp.max(sem_M, axis=1), DATA_AXIS)
+        lex_min = jax.lax.pmin(jnp.min(lex_m, axis=1), DATA_AXIS)
+        lex_max = jax.lax.pmax(jnp.max(lex_M, axis=1), DATA_AXIS)
+
+        def norm(x, mn, mx):
+            rng = mx - mn
+            return jnp.where(
+                (rng > 1e-12)[:, None],
+                (x - mn[:, None]) / jnp.maximum(rng, 1e-12)[:, None],
+                jnp.ones_like(x),
+            )
+
+        hybrid = norm(sem, sem_min, sem_max) * w_s + norm(lex, lex_min,
+                                                          lex_max) * w_l
+        hybrid = hybrid + bias_local[None, :]
+        hybrid = jnp.where(valid, hybrid, -jnp.inf)
+        vals, idxs = jax.lax.top_k(hybrid, k_local)
+        g = jnp.take_along_axis(jnp.broadcast_to(gidx, (B, per)), idxs, axis=1)
+        g = jnp.where(jnp.isfinite(vals), g, -1)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        all_idxs = jax.lax.all_gather(g, DATA_AXIS, axis=1, tiled=True)
+        mv, sel = jax.lax.top_k(all_vals, k)
+        return mv, jnp.take_along_axis(all_idxs, sel, axis=1)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(DATA_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, docs_sharded, bm25_indptr, bm25_doc_ids, bm25_weights,
+              query_terms, bias_sharded)
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def merge_shard_topk(
     vals: jax.Array, idxs: jax.Array, k: int

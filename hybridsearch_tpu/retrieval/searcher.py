@@ -195,18 +195,40 @@ class Searcher:
         n = self.indexer.dense.n_docs
         if n == 0:
             return [[] for _ in queries]
+        k = min(top_k, n)
         with trace_span("encode"):
             q_vecs = self.indexer.encoder.encode(list(queries))
-        with trace_span("semantic"):
-            sem = self._semantic_scores(q_vecs, top_k)
-        with trace_span("lexical"):
-            lex = self._lexical_scores(queries)
-        k = min(top_k, n)
-        bias = self.indexer.dense._snap.bias[:n]
-        with trace_span("fuse_topk"):
-            vals, idxs = _fuse_and_topk(
-                sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
-            )
+        bm25 = self.indexer.bm25
+        if (
+            self.indexer.mesh is not None
+            and self.lexical_mode == "bm25"
+            and bm25.sharded is not None
+        ):
+            # exact hybrid entirely on the mesh: one collective program,
+            # both arms shard-local, global min/max via pmin/pmax
+            from hybridsearch_tpu.parallel.collectives import sharded_hybrid_topk
+
+            snap = self.indexer.dense._snap
+            sh = bm25.sharded
+            with trace_span("hybrid_sharded"):
+                qt = bm25._encode_queries(list(queries))
+                vals, idxs = sharded_hybrid_topk(
+                    self.indexer.mesh,
+                    l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32))),
+                    snap.docs, sh.indptr, sh.doc_ids, sh.weights, qt, k,
+                    sw, lw, sh.max_postings, valid_n=snap.n,
+                    bias_sharded=snap.bias,
+                )
+        else:
+            with trace_span("semantic"):
+                sem = self._semantic_scores(q_vecs, top_k)
+            with trace_span("lexical"):
+                lex = self._lexical_scores(queries)
+            bias = self.indexer.dense._snap.bias[:n]
+            with trace_span("fuse_topk"):
+                vals, idxs = _fuse_and_topk(
+                    sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
+                )
         vals_np = np.asarray(jax.device_get(vals))
         idxs_np = np.asarray(jax.device_get(idxs))
         latency_ms = (time.perf_counter() - t0) * 1e3

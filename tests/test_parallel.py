@@ -118,3 +118,37 @@ def test_sharded_hybrid_searcher_end_to_end(mesh, demo_docs):
     lex_plain = plain.indexer.bm25.score_all(q)
     lex_mesh = meshy.indexer.bm25.score_all(q)
     np.testing.assert_allclose(lex_mesh, lex_plain, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_hybrid_exact_parity_with_single(mesh, demo_docs):
+    """The one-program mesh hybrid (global pmin/pmax + shard-local fusion)
+    must produce the same ranking and scores as the single-device fused
+    path."""
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    enc = HashingEncoder(dim=128)
+    plain = Searcher(encoder=enc)
+    plain.indexer.index_documents(demo_docs)
+    meshy = Searcher(encoder=enc, mesh=mesh)
+    meshy.indexer.index_documents(demo_docs)
+    for q in ("machine learning artificial intelligence", "cooking pasta",
+              "stock market quarter"):
+        a = plain.search(q, top_k=6, log=False)
+        b = meshy.search(q, top_k=6, log=False)
+        assert [r[2] for r in a] == [r[2] for r in b], q
+        np.testing.assert_allclose([r[0] for r in a], [r[0] for r in b],
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_hybrid_respects_tombstones(mesh, demo_docs):
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    s = Searcher(encoder=HashingEncoder(dim=128), mesh=mesh)
+    s.indexer.index_documents(demo_docs)
+    q = "machine learning"
+    top = s.search(q, top_k=1, log=False)[0][2]
+    s.indexer.dense.delete([top])
+    after = [r[2] for r in s.search(q, top_k=11, log=False)]
+    assert top not in after
