@@ -25,7 +25,7 @@ import jax.numpy as jnp
 
 D = 384
 TOP_K = 10
-QUERY_BATCH = int(os.environ.get("HST_BENCH_BATCH", "128"))
+QUERY_BATCH = int(os.environ.get("HST_BENCH_BATCH", "512"))
 BLOCK_N = int(os.environ.get("HST_BENCH_BLOCK", "262144"))
 TARGET_QPS = 10_000.0
 

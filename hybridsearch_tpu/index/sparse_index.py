@@ -11,7 +11,7 @@ host round-trips after query tokenization.
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +21,17 @@ from hybridsearch_tpu.text.extractor import Vocabulary, extract_tokens
 
 # Queries are padded to a small set of fixed widths to avoid XLA recompiles.
 _QUERY_WIDTHS = (8, 16, 32, 64, 128)
+
+
+class _BM25State(NamedTuple):
+    """Immutable fitted state, published atomically so concurrent readers
+    never see a vocab from one fit and postings from another (the atomic-
+    snapshot-swap discipline used across the framework, SURVEY §5.2)."""
+
+    vocab: Vocabulary
+    postings: Optional[bm25_ops.BM25Postings]
+    sharded: Optional[bm25_ops.ShardedBM25Postings]
+    n_docs: int
 
 
 class BM25:
@@ -37,11 +48,26 @@ class BM25:
         # When set (by the Indexer), shard partitioning aligns with the
         # dense index's rows-per-shard so hybrid fusion runs shard-locally.
         self.docs_per_shard: Optional[int] = None
-        self.vocab = Vocabulary()
-        self.postings: Optional[bm25_ops.BM25Postings] = None
-        self.sharded: Optional[bm25_ops.ShardedBM25Postings] = None
-        self.n_docs = 0
+        self._state = _BM25State(Vocabulary(), None, None, 0)
         self._doc_tokens: List[List[str]] = []
+
+    # state accessors (read the snapshot once per operation for consistency)
+
+    @property
+    def vocab(self) -> Vocabulary:
+        return self._state.vocab
+
+    @property
+    def postings(self):
+        return self._state.postings
+
+    @property
+    def sharded(self):
+        return self._state.sharded
+
+    @property
+    def n_docs(self) -> int:
+        return self._state.n_docs
 
     # -- fit -------------------------------------------------------------
 
@@ -52,9 +78,9 @@ class BM25:
         return self.fit_tokens(tokenized)
 
     def fit_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":
-        self.vocab = Vocabulary()
+        vocab = Vocabulary()
         self._doc_tokens = [list(t) for t in tokenized]
-        self.n_docs = len(tokenized)
+        n_docs = len(tokenized)
         term_ids: List[int] = []
         doc_ids: List[int] = []
         counts: List[int] = []
@@ -62,7 +88,7 @@ class BM25:
         for d, toks in enumerate(tokenized):
             tf: dict = {}
             for t in toks:
-                tid = self.vocab.add(t)
+                tid = vocab.add(t)
                 tf[tid] = tf.get(tid, 0) + 1
             term_ids.extend(tf.keys())
             doc_ids.extend([d] * len(tf))
@@ -71,24 +97,24 @@ class BM25:
         d_arr = np.asarray(doc_ids, dtype=np.int64)
         c_arr = np.asarray(counts, dtype=np.float64)
         weights = bm25_ops.compute_eager_weights(
-            t_arr, d_arr, c_arr, doc_lens, self.n_docs, len(self.vocab),
+            t_arr, d_arr, c_arr, doc_lens, n_docs, len(vocab),
             k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
         )
-        if self.mesh is not None and self.n_docs:
+        if self.mesh is not None and n_docs:
             from hybridsearch_tpu.parallel.mesh import DATA_AXIS
 
-            self.sharded = bm25_ops.build_sharded_postings(
-                t_arr, d_arr, weights, self.n_docs, len(self.vocab),
+            sharded = bm25_ops.build_sharded_postings(
+                t_arr, d_arr, weights, n_docs, len(vocab),
                 n_shards=self.mesh.shape[DATA_AXIS], mesh=self.mesh,
                 docs_per_shard=self.docs_per_shard,
             )
-            self.postings = None
+            new_state = _BM25State(vocab, None, sharded, n_docs)
         else:
-            self.postings = bm25_ops.build_postings_arrays(
-                t_arr, d_arr.astype(np.int32), weights, self.n_docs,
-                len(self.vocab),
+            postings = bm25_ops.build_postings_arrays(
+                t_arr, d_arr.astype(np.int32), weights, n_docs, len(vocab),
             )
-            self.sharded = None
+            new_state = _BM25State(vocab, postings, None, n_docs)
+        self._state = new_state  # atomic publish
         return self
 
     # -- query encoding ----------------------------------------------------

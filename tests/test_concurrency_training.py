@@ -1,0 +1,76 @@
+"""Concurrency (atomic snapshot swap) and training-convergence tests."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.models.encoder import HashingEncoder
+from hybridsearch_tpu.retrieval.searcher import Searcher
+
+
+def test_search_during_concurrent_adds(demo_docs):
+    """Readers never see a torn index while a writer appends (the reference
+    mutates globals without a lock, SURVEY §5.2; here mutations are atomic
+    snapshot swaps)."""
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False)
+    s.indexer.index_documents(demo_docs)
+    errors = []
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                results = s.search("machine learning", top_k=3, log=False)
+                assert len(results) >= 1
+                for _score, content, doc_id in results:
+                    # content must always correspond to a live doc id
+                    assert s.indexer.contents[doc_id] == content
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(3)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(8):
+            s.indexer.add_documents([f"new document number {i} about topics"])
+            time.sleep(0.02)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+    assert not errors, errors
+    assert s.indexer.dense.n_docs == len(demo_docs) + 8
+
+
+def test_contrastive_training_converges():
+    """Loss decreases over a few steps on a tiny fixed batch."""
+    from hybridsearch_tpu.models.bert import BertConfig
+    from hybridsearch_tpu.training.contrastive import ContrastiveTrainer
+
+    cfg = BertConfig(vocab_size=128, hidden_dim=32, num_layers=1, num_heads=2,
+                     mlp_dim=64, max_position=32)
+    tr = ContrastiveTrainer(cfg=cfg, learning_rate=1e-3)
+    rng = np.random.default_rng(0)
+    batch = (rng.integers(0, 128, (8, 8)).astype(np.int32),
+             np.ones((8, 8), np.int32),
+             rng.integers(0, 128, (8, 8)).astype(np.int32),
+             np.ones((8, 8), np.int32))
+    losses = [tr.train_step(batch) for _ in range(8)]
+    assert losses[-1] < losses[0]
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_benchmark_configs_run():
+    """The five BASELINE configs execute and report sane numbers (tiny)."""
+    from benchmarks.run_configs import CONFIGS
+
+    r1 = CONFIGS[1](200)
+    assert r1["ml_docs_surfaced"] is True
+    r2 = CONFIGS[2](200)
+    assert r2["topic_precision@10"] > 0.8
+    r3 = CONFIGS[3](200)
+    assert r3["jaccard_vs_oracle"] >= 0.99
