@@ -26,16 +26,26 @@ TILE = 128  # docs per selection tile (lane width)
 
 
 def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
-    """One doc block: scores = q @ d_blk^T (+bias), write per-tile maxima."""
-    s = jax.lax.dot_general(
-        q_ref[:], d_ref[:],
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # [B, block_n] in VMEM
-    s = s + bias_ref[:][None, :]
-    B = s.shape[0]
-    tpb = s.shape[1] // TILE
-    o_ref[:] = jnp.max(s.reshape(B, tpb, TILE), axis=2)[None, :, :]
+    """One doc block: scores = q @ d_blk^T (+bias), write per-tile maxima.
+
+    The matmul runs in query chunks of <=128 rows so the fp32 score buffer
+    stays small (<=2 MB at block_n=4096) regardless of batch size — large
+    batches otherwise blow the VMEM budget and stall the DMA pipeline."""
+    B = q_ref.shape[0]
+    block_n = d_ref.shape[0]
+    tpb = block_n // TILE
+    bias = bias_ref[:][None, :]
+    q_chunk = min(B, 128)
+    for c in range(0, B, q_chunk):
+        s = jax.lax.dot_general(
+            q_ref[c : c + q_chunk, :], d_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [q_chunk, block_n] in VMEM
+        s = s + bias
+        o_ref[0, c : c + q_chunk, :] = jnp.max(
+            s.reshape(s.shape[0], tpb, TILE), axis=2
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
