@@ -32,6 +32,9 @@ class _BM25State(NamedTuple):
     postings: Optional[bm25_ops.BM25Postings]
     sharded: Optional[bm25_ops.ShardedBM25Postings]
     n_docs: int
+    # host copy of per-term posting-run lengths (max local run when sharded)
+    # used to bucket query terms by slice width (ops/bm25.py LENGTH_BUCKETS)
+    term_runs: Optional[np.ndarray] = None
 
 
 class BM25:
@@ -48,7 +51,7 @@ class BM25:
         # When set (by the Indexer), shard partitioning aligns with the
         # dense index's rows-per-shard so hybrid fusion runs shard-locally.
         self.docs_per_shard: Optional[int] = None
-        self._state = _BM25State(Vocabulary(), None, None, 0)
+        self._state = _BM25State(Vocabulary(), None, None, 0, None)
         self._doc_tokens: List[List[str]] = []
 
     # state accessors (read the snapshot once per operation for consistency)
@@ -103,21 +106,53 @@ class BM25:
         if self.mesh is not None and n_docs:
             from hybridsearch_tpu.parallel.mesh import DATA_AXIS
 
+            n_shards = self.mesh.shape[DATA_AXIS]
             sharded = bm25_ops.build_sharded_postings(
                 t_arr, d_arr, weights, n_docs, len(vocab),
-                n_shards=self.mesh.shape[DATA_AXIS], mesh=self.mesh,
+                n_shards=n_shards, mesh=self.mesh,
                 docs_per_shard=self.docs_per_shard,
             )
-            new_state = _BM25State(vocab, None, sharded, n_docs)
+            # per-term max local run across shards (slice-width bucketing)
+            runs = np.zeros(len(vocab) + 1, dtype=np.int64)
+            per = sharded.docs_per_shard
+            shard_of = d_arr // per
+            for sidx in range(n_shards):
+                local = np.bincount(t_arr[shard_of == sidx],
+                                    minlength=len(vocab) + 1)
+                np.maximum(runs, local, out=runs)
+            new_state = _BM25State(vocab, None, sharded, n_docs, runs)
         else:
             postings = bm25_ops.build_postings_arrays(
                 t_arr, d_arr.astype(np.int32), weights, n_docs, len(vocab),
             )
-            new_state = _BM25State(vocab, postings, None, n_docs)
+            runs = np.bincount(t_arr, minlength=len(vocab) + 1)
+            new_state = _BM25State(vocab, postings, None, n_docs, runs)
         self._state = new_state  # atomic publish
         return self
 
     # -- query encoding ----------------------------------------------------
+
+    def encode_queries_bucketed(
+        self, queries: Sequence[str], state: Optional[_BM25State] = None
+    ):
+        """Encode queries into per-bucket posting-run pieces
+        (ops/bm25.py encode_run_pieces[_sharded]): stable compile shapes,
+        long runs split, one hot term never widens other terms' slices."""
+        state = state or self._state
+        term_id_lists = [state.vocab.encode(extract_tokens(q)) for q in queries]
+        if state.sharded is not None:
+            sh = state.sharded
+            return bm25_ops.encode_run_pieces_sharded(
+                sh.starts_host, sh.lengths_host, term_id_lists,
+                sh.max_postings,
+            )
+        if state.postings is not None:
+            po = state.postings
+            return bm25_ops.encode_run_pieces(
+                po.starts_host, po.lengths_host, term_id_lists,
+                po.max_postings,
+            )
+        return []
 
     def _encode_queries(self, queries: Sequence[str]) -> jnp.ndarray:
         """Token-id encode + pad to a bucketed width (pad id = vocab_size,
@@ -159,14 +194,10 @@ class BM25:
         if self.n_docs == 0:
             return np.zeros(len(candidates), dtype=np.float32)
         if self.postings is not None:
-            qt = self._encode_queries([query])
-            import jax.numpy as jnp
-
-            return np.asarray(
-                bm25_ops.bm25_candidate_scores(
-                    self.postings, qt, jnp.asarray(np.asarray(candidates)[None, :])
-                )
-            )[0]
+            full = self.score_all(query)
+            cand0 = np.asarray(candidates)
+            safe0 = np.clip(cand0, 0, self.n_docs - 1)
+            return np.where(cand0 >= 0, full[safe0], 0.0).astype(np.float32)
         full = self.score_all(query)
         cand = np.asarray(candidates)
         safe = np.clip(cand, 0, self.n_docs - 1)
@@ -179,10 +210,13 @@ class BM25:
         if self.n_docs == 0:
             return []
         k = min(top_k, self.n_docs)
-        if self.sharded is not None:
-            qt = self._encode_queries([query])
-            vals, idxs = bm25_ops.sharded_bm25_topk(self.mesh, self.sharded,
-                                                    qt, k)
+        state = self._state
+        if state.sharded is not None:
+            groups = self.encode_queries_bucketed([query], state)
+            if not groups:
+                return []
+            vals, idxs = bm25_ops.sharded_bm25_topk(self.mesh, state.sharded,
+                                                    groups, k)
             vals, idxs = np.asarray(vals)[0], np.asarray(idxs)[0]
             return [(int(i), float(v)) for v, i in zip(vals, idxs)
                     if i >= 0 and v > 0.0]
@@ -197,11 +231,18 @@ class BM25:
         reference lacks (its /search/batch is a Python loop, api.py:420-447)."""
         if self.n_docs == 0 or (self.postings is None and self.sharded is None):
             return np.zeros((len(queries), 0), dtype=np.float32)
-        qt = self._encode_queries(list(queries))
-        if self.sharded is not None:
-            full = bm25_ops.sharded_bm25_scores(self.mesh, self.sharded, qt)
-            return np.asarray(full)[:, : self.n_docs]
-        return np.asarray(bm25_ops.bm25_scores(self.postings, qt))
+        state = self._state
+        groups = self.encode_queries_bucketed(list(queries), state)
+        if not groups:
+            return np.zeros((len(queries), state.n_docs), dtype=np.float32)
+        if state.sharded is not None:
+            full = bm25_ops.sharded_bm25_scores(self.mesh, state.sharded,
+                                                groups)
+            return np.asarray(full)[:, : state.n_docs]
+        return np.asarray(
+            bm25_ops.bm25_scores_bucketed(state.postings, groups,
+                                          batch=len(queries))
+        )
 
 
 class BM25Plus(BM25):

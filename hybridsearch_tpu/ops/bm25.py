@@ -26,7 +26,7 @@ BM25+ adds `delta` inside the per-term sum for docs containing the term
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,8 @@ class BM25Postings(NamedTuple):
     n_docs: int  # static
     max_postings: int  # static: longest posting run (slice width)
     vocab_size: int  # static
+    starts_host: Optional[np.ndarray] = None  # [V] host run starts
+    lengths_host: Optional[np.ndarray] = None  # [V] host run lengths
 
 
 def build_postings_arrays(
@@ -75,7 +77,75 @@ def build_postings_arrays(
         n_docs=n_docs,
         max_postings=max_post,
         vocab_size=vocab_size,
+        starts_host=indptr[:-1].astype(np.int64),
+        lengths_host=(indptr[1:] - indptr[:-1]).astype(np.int64),
     )
+
+
+# Posting-run length buckets: a query term is scored with slices as wide as
+# its bucket, not the corpus-wide max run. Without this, one hot term (a
+# stopword-like token with a multi-million-entry posting list) forces EVERY
+# term's dynamic_slice to that width — measured 76 s/query-batch at 1M docs.
+# Runs longer than the largest bucket are SPLIT into multiple pieces at
+# query-encode time (the host holds the indptr), so the compiled program
+# only ever sees these fixed widths. Term-count padding uses TERM_LADDER so
+# the set of compiled (width, T) programs is small and stable — unstable
+# shapes meant a fresh XLA compile per query batch (seconds each); with
+# stable shapes the same scoring runs in <1 ms.
+LENGTH_BUCKETS = (128, 4096, 262144)
+TERM_LADDER = (8, 32, 128, 512)
+
+
+def bucket_width(run_len: int, cap: int) -> int:
+    for w in LENGTH_BUCKETS:
+        if run_len <= w:
+            return min(w, cap)
+    return LENGTH_BUCKETS[-1]
+
+
+def encode_run_pieces(
+    starts_host: "np.ndarray",
+    lengths_host: "np.ndarray",
+    query_term_ids: Sequence[Sequence[int]],
+    cap: int,
+) -> List[Tuple[int, jax.Array, jax.Array]]:
+    """Host-side query encoding: term ids -> per-bucket (width,
+    starts [B, T], lengths [B, T]) run pieces.
+
+    Long posting runs are split into width-sized pieces so the device
+    program never slices wider than LENGTH_BUCKETS[-1]; empty buckets are
+    omitted; T pads to TERM_LADDER (bounded compile set).
+    """
+    B = len(query_term_ids)
+    buckets: dict = {}
+    for qi, ids in enumerate(query_term_ids):
+        for tid in ids:
+            start = int(starts_host[tid])
+            remaining = int(lengths_host[tid])
+            off = 0
+            while remaining > 0:
+                piece = min(remaining, LENGTH_BUCKETS[-1])
+                w = bucket_width(piece, cap)
+                buckets.setdefault(w, [[] for _ in range(B)])[qi].append(
+                    (start + off, piece)
+                )
+                off += piece
+                remaining -= piece
+    out: List[Tuple[int, jax.Array, jax.Array]] = []
+    for w in sorted(buckets):
+        lists = buckets[w]
+        longest = max((len(x) for x in lists), default=0)
+        if longest == 0:
+            continue
+        T = next((t for t in TERM_LADDER if t >= longest), TERM_LADDER[-1])
+        s_arr = np.zeros((B, T), dtype=np.int32)
+        l_arr = np.zeros((B, T), dtype=np.int32)
+        for qi, pieces in enumerate(lists):
+            for j, (st, ln) in enumerate(pieces[:T]):
+                s_arr[qi, j] = st
+                l_arr[qi, j] = ln
+        out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("n_docs", "max_postings"))
@@ -91,11 +161,18 @@ def _bm25_scores_impl(
 
     query_terms: [B, T_max] int32, pad slots = vocab_size (their posting run
     is empty because indptr[V] == indptr[V+1]... pad uses a zero-length run).
+
+    Two phases so the scan never carries the [n_docs] score array (a naive
+    scatter-in-scan copies B*n_docs floats per term — measured seconds per
+    batch at 1M docs):
+      1. scan over query terms GATHERING (doc_id, weight) posting runs into
+         [B, T, W] staging arrays (carry-free);
+      2. ONE batched scatter-add of all runs into the [B, n_docs] scores.
     """
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, max_postings), 1)[0]
 
-    def score_one(qt: jax.Array) -> jax.Array:
-        def body(scores, t):
+    def gather_one(qt: jax.Array):
+        def body(_, t):
             start = indptr[t]
             length = indptr[t + 1] - start
             ids = jax.lax.dynamic_slice(doc_ids, (start,), (max_postings,))
@@ -103,14 +180,17 @@ def _bm25_scores_impl(
             valid = iota < length
             ids = jnp.where(valid, ids, n_docs)  # out-of-range => dropped
             ws = jnp.where(valid, ws, 0.0)
-            scores = scores.at[ids].add(ws, mode="drop")
-            return scores, None
+            return None, (ids, ws)
 
-        init = jnp.zeros((n_docs,), dtype=jnp.float32)
-        scores, _ = jax.lax.scan(body, init, qt)
-        return scores
+        _, (all_ids, all_ws) = jax.lax.scan(body, None, qt)
+        return all_ids.reshape(-1), all_ws.reshape(-1)  # [T*W]
 
-    return jax.vmap(score_one)(query_terms)
+    ids_flat, ws_flat = jax.vmap(gather_one)(query_terms)  # [B, T*W]
+
+    def scatter_one(ids, ws):
+        return jnp.zeros((n_docs,), jnp.float32).at[ids].add(ws, mode="drop")
+
+    return jax.vmap(scatter_one)(ids_flat, ws_flat)
 
 
 def bm25_scores(postings: BM25Postings, query_terms: jax.Array) -> jax.Array:
@@ -125,6 +205,60 @@ def bm25_scores(postings: BM25Postings, query_terms: jax.Array) -> jax.Array:
         postings.n_docs,
         postings.max_postings,
     )
+
+
+@functools.partial(jax.jit, static_argnames=("n_docs", "width"))
+def _bm25_scores_runs(
+    doc_ids: jax.Array,
+    weights: jax.Array,
+    starts: jax.Array,
+    lengths: jax.Array,
+    n_docs: int,
+    width: int,
+) -> jax.Array:
+    """Dense [B, n_docs] scores from (start, length) posting-run pieces.
+
+    Two phases so nothing large is carried through the scan:
+      1. scan over pieces GATHERING (doc_id, weight) slices into [T, W]
+         staging (carry-free);
+      2. ONE batched scatter-add into the [B, n_docs] scores.
+    """
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)[0]
+
+    def gather_one(s_row, l_row):
+        def body(_, sl):
+            st, ln = sl
+            ids = jax.lax.dynamic_slice(doc_ids, (st,), (width,))
+            ws = jax.lax.dynamic_slice(weights, (st,), (width,))
+            valid = iota < ln
+            return None, (jnp.where(valid, ids, n_docs),
+                          jnp.where(valid, ws, 0.0))
+
+        _, (ids, ws) = jax.lax.scan(body, None, (s_row, l_row))
+        return ids.reshape(-1), ws.reshape(-1)
+
+    ids_flat, ws_flat = jax.vmap(gather_one)(starts, lengths)
+
+    def scatter_one(ids, ws):
+        return jnp.zeros((n_docs,), jnp.float32).at[ids].add(ws, mode="drop")
+
+    return jax.vmap(scatter_one)(ids_flat, ws_flat)
+
+
+def bm25_scores_bucketed(
+    postings: BM25Postings,
+    groups: Sequence[Tuple[int, jax.Array, jax.Array]],
+    batch: int,
+) -> jax.Array:
+    """Dense [B, N] scores from per-bucket (width, starts, lengths) run
+    pieces (encode_run_pieces)."""
+    total = jnp.zeros((batch, postings.n_docs), dtype=jnp.float32)
+    for width, starts, lengths in groups:
+        total = total + _bm25_scores_runs(
+            postings.doc_ids, postings.weights, starts, lengths,
+            postings.n_docs, width,
+        )
+    return total
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -164,6 +298,8 @@ class ShardedBM25Postings(NamedTuple):
     max_postings: int  # max local posting run across shards
     vocab_size: int
     n_shards: int
+    starts_host: Optional[np.ndarray] = None  # [S, V] host run starts
+    lengths_host: Optional[np.ndarray] = None  # [S, V] host run lengths
 
 
 def build_sharded_postings(
@@ -214,32 +350,106 @@ def build_sharded_postings(
         ws_dev = jax.device_put(ws_arr, shard)
     else:
         ip_dev, ids_dev, ws_dev = map(jnp.asarray, (ip_arr, ids_arr, ws_arr))
+    ip_np = ip_arr.astype(np.int64)
     return ShardedBM25Postings(
         indptr=ip_dev, doc_ids=ids_dev, weights=ws_dev, n_docs=n_docs,
         docs_per_shard=per, max_postings=max_post, vocab_size=vocab_size,
         n_shards=n_shards,
+        starts_host=ip_np[:, :-1],
+        lengths_host=ip_np[:, 1:] - ip_np[:, :-1],
     )
 
 
+def _local_bucketed_scores(ids, ws, run_arrays, widths, per):
+    """Sum bucketed run-piece scores for one shard's postings (traced).
+    run_arrays interleaves (starts_0, lengths_0, starts_1, lengths_1, ...)."""
+    total = None
+    for i, width in enumerate(widths):
+        starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
+        s = _bm25_scores_runs(ids, ws, starts, lengths, per, width)
+        total = s if total is None else total + s
+    return total
+
+
+def encode_run_pieces_sharded(
+    starts_host: np.ndarray,  # [S, V]
+    lengths_host: np.ndarray,  # [S, V]
+    query_term_ids: Sequence[Sequence[int]],
+    cap: int,
+) -> List[Tuple[int, jax.Array, jax.Array]]:
+    """Sharded query encoding: per-bucket (width, starts [S, B, T],
+    lengths [S, B, T]). Bucket/T structure is decided by the max local run
+    across shards so every shard shares the same static shapes."""
+    S = starts_host.shape[0]
+    B = len(query_term_ids)
+    # max local run per term decides bucketing; piece splitting applies
+    # per shard with that bucket width.
+    max_run = lengths_host.max(axis=0)  # [V]
+    buckets: dict = {}
+    for qi, ids in enumerate(query_term_ids):
+        for tid in ids:
+            run = int(max_run[tid])
+            if run <= 0:
+                continue
+            n_pieces = -(-min(run, 10**12) // LENGTH_BUCKETS[-1]) if run > LENGTH_BUCKETS[-1] else 1
+            if run > LENGTH_BUCKETS[-1]:
+                w = LENGTH_BUCKETS[-1]
+            else:
+                w = bucket_width(run, cap)
+            buckets.setdefault(w, [[] for _ in range(B)])[qi].append(
+                (tid, n_pieces)
+            )
+    out: List[Tuple[int, jax.Array, jax.Array]] = []
+    for w in sorted(buckets):
+        lists = buckets[w]
+        longest = max(
+            (sum(np_ for _t, np_ in pieces) for pieces in lists), default=0
+        )
+        if longest == 0:
+            continue
+        T = next((t for t in TERM_LADDER if t >= longest), TERM_LADDER[-1])
+        s_arr = np.zeros((S, B, T), dtype=np.int32)
+        l_arr = np.zeros((S, B, T), dtype=np.int32)
+        for qi, pieces in enumerate(lists):
+            j = 0
+            for tid, n_pieces in pieces:
+                for pi in range(n_pieces):
+                    if j >= T:
+                        break
+                    off = pi * w
+                    for sh in range(S):
+                        run_s = int(lengths_host[sh, tid])
+                        ln = max(0, min(w, run_s - off))
+                        s_arr[sh, qi, j] = int(starts_host[sh, tid]) + off
+                        l_arr[sh, qi, j] = ln
+                    j += 1
+        out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
+    return out
+
+
 def sharded_bm25_topk(
-    mesh, postings: ShardedBM25Postings, query_terms: jax.Array, k: int
+    mesh,
+    postings: ShardedBM25Postings,
+    groups: Sequence[Tuple[int, jax.Array, jax.Array]],
+    k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """Exact global top-k BM25 over doc-sharded postings: each shard
-    scatter-scores its local docs, takes a local top-k, and k candidates
-    per shard cross the ICI for the final merge — the same collective
-    pattern as the dense index (parallel/collectives.py)."""
+    scatter-scores its local docs (bucketed run pieces), takes a local
+    top-k, and k candidates per shard cross the ICI for the final merge —
+    the same collective pattern as the dense index."""
     from jax.sharding import PartitionSpec as P
     from jax import shard_map
     from hybridsearch_tpu.parallel.mesh import DATA_AXIS
 
     per = postings.docs_per_shard
     k_local = min(k, per)
-    mp = postings.max_postings
     n = postings.n_docs
+    widths = tuple(w for w, _s, _l in groups)
+    run_arrays = tuple(a for _w, st, ln in groups for a in (st, ln))
 
-    def local(qt, ip, ids, ws):
-        ip, ids, ws = ip[0], ids[0], ws[0]
-        scores = _bm25_scores_impl(ip, ids, ws, qt, per, mp)  # [B, per]
+    def local(ids, ws, *runs):
+        local_runs = tuple(r[0] for r in runs)  # [B, T] per array
+        scores = _local_bucketed_scores(ids[0], ws[0], local_runs, widths, per)
         shard_id = jax.lax.axis_index(DATA_AXIS)
         offset = shard_id * per
         vals, idxs = jax.lax.top_k(scores, k_local)
@@ -254,16 +464,18 @@ def sharded_bm25_topk(
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS, None)),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None))
+        + (P(DATA_AXIS, None, None),) * len(run_arrays),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(query_terms, postings.indptr, postings.doc_ids, postings.weights)
+    return fn(postings.doc_ids, postings.weights, *run_arrays)
 
 
 def sharded_bm25_scores(
-    mesh, postings: ShardedBM25Postings, query_terms: jax.Array
+    mesh,
+    postings: ShardedBM25Postings,
+    groups: Sequence[Tuple[int, jax.Array, jax.Array]],
 ) -> jax.Array:
     """Full [B, N_pad] scores, doc-sharded on the last axis (for fusion)."""
     from jax.sharding import PartitionSpec as P
@@ -271,20 +483,22 @@ def sharded_bm25_scores(
     from hybridsearch_tpu.parallel.mesh import DATA_AXIS
 
     per = postings.docs_per_shard
-    mp = postings.max_postings
+    widths = tuple(w for w, _s, _l in groups)
+    run_arrays = tuple(a for _w, st, ln in groups for a in (st, ln))
 
-    def local(qt, ip, ids, ws):
-        return _bm25_scores_impl(ip[0], ids[0], ws[0], qt, per, mp)
+    def local(ids, ws, *runs):
+        local_runs = tuple(r[0] for r in runs)
+        return _local_bucketed_scores(ids[0], ws[0], local_runs, widths, per)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS, None)),
+        in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None))
+        + (P(DATA_AXIS, None, None),) * len(run_arrays),
         out_specs=P(None, DATA_AXIS),
         check_vma=False,
     )
-    return fn(query_terms, postings.indptr, postings.doc_ids, postings.weights)
+    return fn(postings.doc_ids, postings.weights, *run_arrays)
 
 
 def compute_eager_weights(

@@ -85,14 +85,12 @@ def sharded_hybrid_topk(
     mesh: Mesh,
     queries: jax.Array,
     docs_sharded: jax.Array,
-    bm25_indptr: jax.Array,
     bm25_doc_ids: jax.Array,
     bm25_weights: jax.Array,
-    query_terms: jax.Array,
+    qt_by_width,
     k: int,
     semantic_weight,
     lexical_weight,
-    max_postings: int,
     valid_n: int,
     block_n: int = 4096,
     bias_sharded: jax.Array | None = None,
@@ -112,8 +110,10 @@ def sharded_hybrid_topk(
       4. all_gathers k candidates per shard for the final merge.
 
     Only 4 scalars per query + k candidates per shard cross the ICI.
+    BM25 query terms arrive pre-bucketed by posting-run length
+    (ops/bm25.py LENGTH_BUCKETS) so one hot term can't widen every slice.
     """
-    from hybridsearch_tpu.ops.bm25 import _bm25_scores_impl
+    from hybridsearch_tpu.ops.bm25 import _local_bucketed_scores
 
     n_pad = docs_sharded.shape[0]
     n_shards = mesh.shape[DATA_AXIS]
@@ -128,8 +128,10 @@ def sharded_hybrid_topk(
             jnp.zeros((n_pad,), dtype=jnp.float32),
             NamedSharding(mesh, P(DATA_AXIS)),
         )
+    widths = tuple(w for w, _s, _l in qt_by_width)
+    run_arrays = tuple(a for _w, st, ln in qt_by_width for a in (st, ln))
 
-    def local(q, docs_local, ip, ids, ws, qt, bias_local):
+    def local(q, docs_local, ids, ws, bias_local, *runs):
         shard_id = jax.lax.axis_index(DATA_AXIS)
         offset = shard_id * per
         col = jax.lax.broadcasted_iota(jnp.int32, (1, per), 1)
@@ -142,7 +144,12 @@ def sharded_hybrid_topk(
             q_mm, docs_local, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [B, per]
-        lex = _bm25_scores_impl(ip[0], ids[0], ws[0], qt, per, max_postings)
+        if runs:
+            local_runs = tuple(r[0] for r in runs)
+            lex = _local_bucketed_scores(ids[0], ws[0], local_runs, widths,
+                                         per)
+        else:
+            lex = jnp.zeros_like(sem)
 
         big = jnp.float32(3.4e38)
         sem_m = jnp.where(valid, sem, big)
@@ -180,12 +187,13 @@ def sharded_hybrid_topk(
         local,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS, None),
-                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(), P(DATA_AXIS)),
+                  P(DATA_AXIS, None), P(DATA_AXIS))
+        + (P(DATA_AXIS, None, None),) * len(run_arrays),
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return fn(queries, docs_sharded, bm25_indptr, bm25_doc_ids, bm25_weights,
-              query_terms, bias_sharded)
+    return fn(queries, docs_sharded, bm25_doc_ids, bm25_weights,
+              bias_sharded, *run_arrays)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))

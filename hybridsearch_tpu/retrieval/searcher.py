@@ -211,13 +211,12 @@ class Searcher:
             snap = self.indexer.dense._snap
             sh = bm25.sharded
             with trace_span("hybrid_sharded"):
-                qt = bm25._encode_queries(list(queries))
+                groups = bm25.encode_queries_bucketed(list(queries))
                 vals, idxs = sharded_hybrid_topk(
                     self.indexer.mesh,
                     l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32))),
-                    snap.docs, sh.indptr, sh.doc_ids, sh.weights, qt, k,
-                    sw, lw, sh.max_postings, valid_n=snap.n,
-                    bias_sharded=snap.bias,
+                    snap.docs, sh.doc_ids, sh.weights, groups, k,
+                    sw, lw, valid_n=snap.n, bias_sharded=snap.bias,
                 )
         else:
             with trace_span("semantic"):

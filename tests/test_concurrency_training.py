@@ -20,6 +20,8 @@ def test_search_during_concurrent_adds(demo_docs):
     stop = threading.Event()
 
     def reader():
+        import traceback
+
         while not stop.is_set():
             try:
                 results = s.search("machine learning", top_k=3, log=False)
@@ -27,8 +29,8 @@ def test_search_during_concurrent_adds(demo_docs):
                 for _score, content, doc_id in results:
                     # content must always correspond to a live doc id
                     assert s.indexer.contents[doc_id] == content
-            except Exception as e:  # pragma: no cover
-                errors.append(e)
+            except Exception:  # pragma: no cover
+                errors.append(traceback.format_exc())
                 return
 
     threads = [threading.Thread(target=reader) for _ in range(3)]
