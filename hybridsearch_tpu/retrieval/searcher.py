@@ -117,10 +117,11 @@ class Searcher:
 
     # -- score arms ---------------------------------------------------------------
 
-    def _semantic_scores(self, q_vecs: np.ndarray, top_k: int) -> jax.Array:
+    def _semantic_scores(self, q_vecs: np.ndarray, top_k: int, snap) -> jax.Array:
+        """Semantic arm over ONE dense snapshot (passed in so a concurrent
+        add can't change n between the arms — SURVEY §5.2 discipline)."""
         dense = self.indexer.dense
-        n = dense.n_docs
-        snap = dense._snap
+        n = snap.n
         if self.semantic_mode == "scatter" or (
             self.indexer.mesh is not None and n > 0
         ):
@@ -132,16 +133,25 @@ class Searcher:
             # raw scores scattered into zeros, like the reference (negative
             # cosines can rank below unretrieved docs — reference behavior).
             vals = np.where(np.isfinite(vals), vals, 0.0)
+            idxs = np.minimum(idxs, n - 1)
             return scatter_topk_to_dense(jnp.asarray(vals), jnp.asarray(idxs), n)
         q = jnp.asarray(np.asarray(q_vecs, np.float32))
         return _semantic_full(q, snap.docs[:n])
 
-    def _lexical_scores(self, queries: Sequence[str]) -> jax.Array:
-        n = self.indexer.dense.n_docs
+    def _lexical_scores(self, queries: Sequence[str], n: int) -> jax.Array:
+        """Lexical arm, shape-locked to the dense snapshot's n: a BM25 state
+        from a different index generation is replaced by zeros rather than
+        fused at mismatched shape."""
         if self.lexical_mode == "fuzzy":
-            return jnp.asarray(self._fuzzy_scores_host(queries))
+            out = self._fuzzy_scores_host(queries)
+            if out.shape[1] != n:
+                return jnp.zeros((len(queries), n), jnp.float32)
+            return jnp.asarray(out)
+        bm25_state = self.indexer.bm25._state
+        if bm25_state.n_docs != n:
+            return jnp.zeros((len(queries), n), jnp.float32)
         scores = self.indexer.bm25.batch_scores(queries)
-        if scores.shape[1] != n:  # bm25 not fit yet
+        if scores.shape[1] != n:
             return jnp.zeros((len(queries), n), jnp.float32)
         return jnp.asarray(scores)
 
@@ -192,26 +202,33 @@ class Searcher:
 
         t0 = time.perf_counter()
         sw, lw = self.resolve_weights(semantic_weight, lexical_weight)
-        n = self.indexer.dense.n_docs
+        # ONE consistent snapshot pair for the whole query (concurrent adds
+        # swap these atomically; mixing generations would fuse mismatched
+        # score shapes — SURVEY §5.2)
+        snap = self.indexer.dense._snap
+        bm25 = self.indexer.bm25
+        bm25_state = bm25._state
+        n = snap.n
         if n == 0:
             return [[] for _ in queries]
         k = min(top_k, n)
         with trace_span("encode"):
             q_vecs = self.indexer.encoder.encode(list(queries))
-        bm25 = self.indexer.bm25
+        sh = bm25_state.sharded
         if (
             self.indexer.mesh is not None
             and self.lexical_mode == "bm25"
-            and bm25.sharded is not None
+            and sh is not None
+            and bm25_state.n_docs == n
+            and sh.docs_per_shard * sh.n_shards == snap.capacity
         ):
             # exact hybrid entirely on the mesh: one collective program,
             # both arms shard-local, global min/max via pmin/pmax
             from hybridsearch_tpu.parallel.collectives import sharded_hybrid_topk
 
-            snap = self.indexer.dense._snap
-            sh = bm25.sharded
             with trace_span("hybrid_sharded"):
-                groups = bm25.encode_queries_bucketed(list(queries))
+                groups = bm25.encode_queries_bucketed(list(queries),
+                                                      bm25_state)
                 vals, idxs = sharded_hybrid_topk(
                     self.indexer.mesh,
                     l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32))),
@@ -220,10 +237,10 @@ class Searcher:
                 )
         else:
             with trace_span("semantic"):
-                sem = self._semantic_scores(q_vecs, top_k)
+                sem = self._semantic_scores(q_vecs, top_k, snap)
             with trace_span("lexical"):
-                lex = self._lexical_scores(queries)
-            bias = self.indexer.dense._snap.bias[:n]
+                lex = self._lexical_scores(queries, n)
+            bias = snap.bias[:n]
             with trace_span("fuse_topk"):
                 vals, idxs = _fuse_and_topk(
                     sem, lex, jnp.float32(sw), jnp.float32(lw), bias, k
