@@ -92,8 +92,12 @@ def build_postings_arrays(
 # the set of compiled (width, T) programs is small and stable — unstable
 # shapes meant a fresh XLA compile per query batch (seconds each); with
 # stable shapes the same scoring runs in <1 ms.
-LENGTH_BUCKETS = (128, 4096, 262144)
-TERM_LADDER = (8, 32, 128, 512)
+LENGTH_BUCKETS = (128, 4096, 65536)
+TERM_LADDER = (8, 32, 128, 256)
+# Per-width cap on pieces per query: bounds the gather staging arrays to
+# ~B * T_cap * W * 8 bytes. Overflow pieces are emitted as additional
+# same-shaped groups (extra calls into the SAME compiled program).
+T_CAPS = {128: 256, 4096: 32, 65536: 8}
 
 
 def bucket_width(run_len: int, cap: int) -> int:
@@ -101,6 +105,13 @@ def bucket_width(run_len: int, cap: int) -> int:
         if run_len <= w:
             return min(w, cap)
     return LENGTH_BUCKETS[-1]
+
+
+def _ladder(n: int, cap: int) -> int:
+    for t in TERM_LADDER:
+        if t >= n:
+            return min(t, cap)
+    return cap
 
 
 def encode_run_pieces(
@@ -137,14 +148,21 @@ def encode_run_pieces(
         longest = max((len(x) for x in lists), default=0)
         if longest == 0:
             continue
-        T = next((t for t in TERM_LADDER if t >= longest), TERM_LADDER[-1])
-        s_arr = np.zeros((B, T), dtype=np.int32)
-        l_arr = np.zeros((B, T), dtype=np.int32)
-        for qi, pieces in enumerate(lists):
-            for j, (st, ln) in enumerate(pieces[:T]):
-                s_arr[qi, j] = st
-                l_arr[qi, j] = ln
-        out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
+        t_cap = T_CAPS.get(w, TERM_LADDER[-1])
+        # emit as many same-shaped chunks as needed (same compiled program)
+        for chunk_start in range(0, longest, t_cap):
+            chunk = [x[chunk_start : chunk_start + t_cap] for x in lists]
+            c_longest = max((len(x) for x in chunk), default=0)
+            if c_longest == 0:
+                continue
+            T = _ladder(c_longest, t_cap)
+            s_arr = np.zeros((B, T), dtype=np.int32)
+            l_arr = np.zeros((B, T), dtype=np.int32)
+            for qi, pieces in enumerate(chunk):
+                for j, (st, ln) in enumerate(pieces[:T]):
+                    s_arr[qi, j] = st
+                    l_arr[qi, j] = ln
+            out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
     return out
 
 
@@ -399,31 +417,39 @@ def encode_run_pieces_sharded(
             buckets.setdefault(w, [[] for _ in range(B)])[qi].append(
                 (tid, n_pieces)
             )
-    out: List[Tuple[int, jax.Array, jax.Array]] = []
-    for w in sorted(buckets):
-        lists = buckets[w]
-        longest = max(
-            (sum(np_ for _t, np_ in pieces) for pieces in lists), default=0
-        )
-        if longest == 0:
-            continue
-        T = next((t for t in TERM_LADDER if t >= longest), TERM_LADDER[-1])
-        s_arr = np.zeros((S, B, T), dtype=np.int32)
-        l_arr = np.zeros((S, B, T), dtype=np.int32)
+    # expand (tid, n_pieces) -> per-query flat piece lists of (tid, off)
+    expanded: dict = {}
+    for w, lists in buckets.items():
+        flat = [[] for _ in range(B)]
         for qi, pieces in enumerate(lists):
-            j = 0
             for tid, n_pieces in pieces:
                 for pi in range(n_pieces):
-                    if j >= T:
-                        break
-                    off = pi * w
+                    flat[qi].append((tid, pi * w))
+        expanded[w] = flat
+
+    out: List[Tuple[int, jax.Array, jax.Array]] = []
+    for w in sorted(expanded):
+        lists = expanded[w]
+        longest = max((len(x) for x in lists), default=0)
+        if longest == 0:
+            continue
+        t_cap = T_CAPS.get(w, TERM_LADDER[-1])
+        for chunk_start in range(0, longest, t_cap):
+            chunk = [x[chunk_start : chunk_start + t_cap] for x in lists]
+            c_longest = max((len(x) for x in chunk), default=0)
+            if c_longest == 0:
+                continue
+            T = _ladder(c_longest, t_cap)
+            s_arr = np.zeros((S, B, T), dtype=np.int32)
+            l_arr = np.zeros((S, B, T), dtype=np.int32)
+            for qi, pieces in enumerate(chunk):
+                for j, (tid, off) in enumerate(pieces[:T]):
                     for sh in range(S):
                         run_s = int(lengths_host[sh, tid])
                         ln = max(0, min(w, run_s - off))
                         s_arr[sh, qi, j] = int(starts_host[sh, tid]) + off
                         l_arr[sh, qi, j] = ln
-                    j += 1
-        out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
+            out.append((w, jnp.asarray(s_arr), jnp.asarray(l_arr)))
     return out
 
 

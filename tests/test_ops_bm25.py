@@ -92,3 +92,55 @@ def test_bm25_empty_query(demo_docs):
     qt = jnp.full((1, 8), len(vocab), dtype=jnp.int32)
     got = np.asarray(bm25_ops.bm25_scores(postings, qt))
     np.testing.assert_allclose(got, np.zeros((1, len(demo_docs))))
+
+
+def test_run_piece_encoding_splits_long_runs():
+    """Posting runs longer than the largest bucket split into pieces; chunked
+    groups keep staging bounded (T_CAPS); all pieces cover the run exactly."""
+    import numpy as np
+
+    from hybridsearch_tpu.ops.bm25 import (
+        LENGTH_BUCKETS,
+        T_CAPS,
+        encode_run_pieces,
+    )
+
+    W = LENGTH_BUCKETS[-1]
+    starts = np.array([0, 1000, 5000])
+    lengths = np.array([10, 3 * W + 7, 100])
+    groups = encode_run_pieces(starts, lengths, [[0, 1, 2]], cap=10 * W)
+    # collect all pieces back
+    pieces = []
+    for w, s_arr, l_arr in groups:
+        assert s_arr.shape == l_arr.shape
+        assert s_arr.shape[1] <= T_CAPS.get(w, 1 << 30)
+        for st, ln in zip(np.asarray(s_arr)[0], np.asarray(l_arr)[0]):
+            if ln > 0:
+                assert ln <= w
+                pieces.append((int(st), int(ln)))
+    # term 1's run is fully covered by contiguous pieces
+    t1 = sorted(p for p in pieces if 1000 <= p[0] < 1000 + 3 * W + 7)
+    covered = 0
+    expect_start = 1000
+    for st, ln in t1:
+        assert st == expect_start
+        expect_start += ln
+        covered += ln
+    assert covered == 3 * W + 7
+    assert (0, 10) in pieces and (5000, 100) in pieces
+
+
+def test_bucketed_scores_match_reference_impl(demo_docs):
+    """Run-piece bucketed scoring == the straightforward term-id kernel."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybridsearch_tpu.index.sparse_index import BM25
+
+    bm = BM25().fit(demo_docs)
+    queries = ["machine learning data", "neural networks"]
+    got = bm.batch_scores(queries)
+    # reference: legacy term-id kernel
+    qt = bm._encode_queries(queries)
+    want = np.asarray(bm25_ops.bm25_scores(bm.postings, qt))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
