@@ -106,7 +106,7 @@ def test_run_piece_encoding_splits_long_runs():
     )
 
     W = LENGTH_BUCKETS[-1]
-    starts = np.array([0, 1000, 5000])
+    starts = np.array([0, 1000, 10_000_000])
     lengths = np.array([10, 3 * W + 7, 100])
     groups = encode_run_pieces(starts, lengths, [[0, 1, 2]], cap=10 * W)
     # collect all pieces back
@@ -127,7 +127,7 @@ def test_run_piece_encoding_splits_long_runs():
         expect_start += ln
         covered += ln
     assert covered == 3 * W + 7
-    assert (0, 10) in pieces and (5000, 100) in pieces
+    assert (0, 10) in pieces and (10_000_000, 100) in pieces
 
 
 def test_bucketed_scores_match_reference_impl(demo_docs):
