@@ -238,11 +238,12 @@ class HybridBM25Pipeline(BasePipeline):
 
     def search(self, query: str, top_k: int = 5) -> PipelineResult:
         ix = self.indexer
-        n = ix.dense.n_docs
+        snap = ix.dense._snap
+        n = snap.n
         if n == 0:
             return self._finish([], query, {"pipeline": self.name})
         q_vec = ix.encoder.encode([query])
-        sem = self.searcher._semantic_scores(q_vec, n)  # full scores
+        sem = self.searcher._semantic_scores(q_vec, n, snap)  # full scores
         lex = jnp.asarray(ix.bm25.batch_scores([query]))
         # reference normalizes by max only, over ALL docs (top_k=len(docs))
         fused = (
