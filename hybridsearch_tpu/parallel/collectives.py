@@ -152,10 +152,13 @@ def sharded_hybrid_topk(
             lex = jnp.zeros_like(sem)
 
         big = jnp.float32(3.4e38)
-        sem_m = jnp.where(valid, sem, big)
-        sem_M = jnp.where(valid, sem, -big)
-        lex_m = jnp.where(valid, lex, big)
-        lex_M = jnp.where(valid, lex, -big)
+        # statistics over valid AND alive (non-tombstoned) docs only, like
+        # the single-device fused path
+        stat_ok = valid & (bias_local >= 0.0)[None, :]
+        sem_m = jnp.where(stat_ok, sem, big)
+        sem_M = jnp.where(stat_ok, sem, -big)
+        lex_m = jnp.where(stat_ok, lex, big)
+        lex_M = jnp.where(stat_ok, lex, -big)
         # global per-query min/max over the data axis (reference normalizes
         # over all docs)
         sem_min = jax.lax.pmin(jnp.min(sem_m, axis=1), DATA_AXIS)

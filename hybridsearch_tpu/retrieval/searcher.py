@@ -50,13 +50,21 @@ def _fuse_and_topk(
     k: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """minmax-normalize both arms, weighted-sum, add tombstone/filter bias,
-    top-k — one fused program (reference core.py:264-271). The bias is added
-    post-normalization so -inf tombstones exclude docs without poisoning the
-    min/max statistics. (Tombstoned rows still participate in min/max until
-    compaction; the reference has no deletes so there is no parity gap.)"""
-    from hybridsearch_tpu.ops.fusion import minmax_normalize
+    top-k — one fused program (reference core.py:264-271). Min/max are
+    computed over ALIVE docs only (bias == 0), so tombstoned rows neither
+    surface nor skew the normalization statistics; search over a
+    tombstoned index equals search over the compacted one."""
+    alive = (bias >= 0.0)[None, :]
+    big = jnp.float32(3.4e38)
 
-    hybrid = minmax_normalize(sem) * w_s + minmax_normalize(lex) * w_l
+    def norm(x):
+        mn = jnp.min(jnp.where(alive, x, big), axis=-1, keepdims=True)
+        mx = jnp.max(jnp.where(alive, x, -big), axis=-1, keepdims=True)
+        rng = mx - mn
+        return jnp.where(rng > 1e-12, (x - mn) / jnp.maximum(rng, 1e-12),
+                         jnp.ones_like(x))
+
+    hybrid = norm(sem) * w_s + norm(lex) * w_l
     hybrid = hybrid + bias[None, :]
     return jax.lax.top_k(hybrid, k)
 

@@ -211,3 +211,27 @@ def test_deleted_doc_never_surfaces(searcher):
     searcher.indexer.dense.delete([target])
     after = searcher.search("machine learning", top_k=11, log=False)
     assert target not in [r[2] for r in after]
+
+
+def test_delete_does_not_skew_normalization(demo_docs, encoder):
+    """Search over a tombstoned index == search over the compacted index
+    (alive-only min/max statistics)."""
+    s1 = Searcher(encoder=encoder, use_query_memory=False)
+    s1.indexer.index_documents(demo_docs)
+    victim = s1.search("gardening flowers", top_k=1, log=False)[0][2]
+    s1.indexer.dense.delete([victim])
+    got = s1.search("machine learning", top_k=5, log=False)
+
+    kept = [d for i, d in enumerate(demo_docs) if i != victim]
+    s2 = Searcher(encoder=encoder, use_query_memory=False)
+    s2.indexer.index_documents(kept)
+    want = s2.search("machine learning", top_k=5, log=False)
+    assert [r[1] for r in got] == [r[1] for r in want]
+    # score parity holds exactly for the semantic arm (BM25 idf/avg_len
+    # legitimately still include the tombstoned doc until refit)
+    got_sem = s1.search("machine learning", top_k=5, log=False,
+                        semantic_weight=1.0, lexical_weight=0.0)
+    want_sem = s2.search("machine learning", top_k=5, log=False,
+                         semantic_weight=1.0, lexical_weight=0.0)
+    np.testing.assert_allclose([r[0] for r in got_sem],
+                               [r[0] for r in want_sem], rtol=1e-4, atol=1e-5)
