@@ -1,0 +1,58 @@
+"""IVF approximate index: recall vs the exact oracle, chunk splitting."""
+
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.evaluation import oracle
+from hybridsearch_tpu.index.ivf import IVFIndex, kmeans_fit
+
+
+def clustered_data(rng, n_clusters=20, per=100, d=64):
+    centers = rng.standard_normal((n_clusters, d)) * 3
+    docs = np.concatenate(
+        [c + 0.3 * rng.standard_normal((per, d)) for c in centers]
+    ).astype(np.float32)
+    return docs
+
+
+def test_kmeans_produces_normalized_centroids(rng):
+    import jax.numpy as jnp
+
+    docs = clustered_data(rng)
+    cents = np.asarray(kmeans_fit(jnp.asarray(docs), 16, iters=5))
+    np.testing.assert_allclose(np.linalg.norm(cents, axis=1), 1.0, atol=1e-3)
+    assert cents.shape == (16, 64)
+
+
+def test_ivf_recall_on_clustered_data(rng):
+    docs = clustered_data(rng, n_clusters=20, per=100)
+    idx = IVFIndex(dim=64, n_clusters=32, nprobe=8).build(docs)
+    qs = docs[rng.integers(0, len(docs), 16)] + \
+        0.05 * rng.standard_normal((16, 64)).astype(np.float32)
+    _, got = idx.search(qs, 10)
+    _, want = oracle.dense_topk(qs, docs, 10)
+    recalls = [
+        len(set(got[b]) & set(want[b])) / 10 for b in range(len(qs))
+    ]
+    assert np.mean(recalls) > 0.9, recalls
+
+
+def test_ivf_full_probe_is_exact(rng):
+    docs = clustered_data(rng, n_clusters=5, per=40)
+    idx = IVFIndex(dim=64, n_clusters=8).build(docs)
+    qs = rng.standard_normal((4, 64)).astype(np.float32)
+    _, got = idx.search(qs, 5, nprobe=10**9)  # probe everything
+    _, want = oracle.dense_topk(qs, docs, 5)
+    for b in range(4):
+        assert set(got[b].tolist()) == set(want[b].tolist())
+
+
+def test_ivf_chunk_capacity_split(rng):
+    # all docs in one tight cluster -> must split into capacity chunks
+    docs = (np.ones((200, 32)) + 0.01 * rng.standard_normal((200, 32))).astype(
+        np.float32
+    )
+    idx = IVFIndex(dim=32, n_clusters=4, chunk_cap=32).build(docs)
+    assert idx._centroids.shape[0] >= 200 // 32
+    _, got = idx.search(docs[:2], 3, nprobe=idx._centroids.shape[0])
+    assert (np.asarray(got) >= 0).all()
