@@ -58,6 +58,7 @@ class Indexer:
             block_n=self.config.index.block_n,
             capacity_round=self.config.index.capacity_round,
         )
+        self.ivf = None  # built on demand when config.index.ann == "ivf"
         self.contents: List[str] = []
         self.doc_ids: List[int] = []
         self._token_cache: List[List[str]] = []
@@ -109,6 +110,14 @@ class Indexer:
         )
         vectors = self.embed(docs)
         self.dense.build(vectors)
+        if self.config.index.ann == "ivf" and len(vectors):
+            from hybridsearch_tpu.index.ivf import IVFIndex
+
+            self.ivf = IVFIndex(
+                dim=self.config.index.dim,
+                n_clusters=self.config.index.ivf_clusters,
+                nprobe=self.config.index.ivf_nprobe,
+            ).build(vectors)
         self._align_bm25_shards()
         self.bm25.fit_tokens(token_lists)
         self.contents = list(docs)

@@ -137,7 +137,11 @@ class Searcher:
             # (reference core.py:244-250). Also the scalable path: only 2k
             # candidates leave the kernel.
             k2 = min(2 * top_k, n)
-            vals, idxs = dense.search(q_vecs, k2)
+            ivf = self.indexer.ivf
+            if ivf is not None and ivf.n_docs == n:
+                vals, idxs = ivf.search(q_vecs, k2)
+            else:
+                vals, idxs = dense.search(q_vecs, k2)
             # raw scores scattered into zeros, like the reference (negative
             # cosines can rank below unretrieved docs — reference behavior).
             vals = np.where(np.isfinite(vals), vals, 0.0)

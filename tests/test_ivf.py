@@ -56,3 +56,23 @@ def test_ivf_chunk_capacity_split(rng):
     assert idx._centroids.shape[0] >= 200 // 32
     _, got = idx.search(docs[:2], 3, nprobe=idx._centroids.shape[0])
     assert (np.asarray(got) >= 0).all()
+
+
+def test_ivf_mode_through_engine(rng, demo_docs):
+    """config.index.ann='ivf' builds the coarse quantizer and the scatter
+    search path uses it."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    cfg = EngineConfig()
+    cfg.index.ann = "ivf"
+    cfg.index.ivf_clusters = 4
+    cfg.index.ivf_nprobe = 4
+    s = Searcher(encoder=HashingEncoder(dim=64), config=cfg,
+                 semantic_mode="scatter", use_query_memory=False)
+    s.indexer.index_documents(demo_docs)
+    assert s.indexer.ivf is not None
+    results = s.search("machine learning artificial intelligence", top_k=4,
+                       log=False)
+    assert {r[2] for r in results} & {1, 3, 6, 8, 10}
