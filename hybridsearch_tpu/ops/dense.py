@@ -301,6 +301,60 @@ def tiled_dense_topk(
     return vals, idxs
 
 
+@functools.partial(jax.jit, static_argnames=("k", "tile"))
+def tiled_matrix_topk(
+    scores: jax.Array, k: int, tile: int = 128
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact top-k over a precomputed [B, N] score matrix WITHOUT a wide
+    sort: tile-max -> (hierarchical) top-k tiles -> exact top-k within the
+    selected tiles. A single lax.top_k over millions of columns compiles to
+    a huge sort program; every sort here is <= a few thousand wide.
+
+    Same exactness argument as tiled_dense_topk. Padding columns (if N is
+    not a tile multiple) are treated as -inf.
+    """
+    B, N = scores.shape
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    s = scores.astype(jnp.float32)
+    if Np != N:
+        s = jnp.pad(s, ((0, 0), (0, Np - N)), constant_values=NEG_INF)
+    tile_maxes = jnp.max(s.reshape(B, n_tiles, tile), axis=2)
+
+    k_tiles = min(k, n_tiles)
+    SUPER = 128
+    if n_tiles > 4 * SUPER and k_tiles * SUPER < n_tiles:
+        n_super = -(-n_tiles // SUPER)
+        pad_t = n_super * SUPER - n_tiles
+        tm = jnp.pad(tile_maxes, ((0, 0), (0, pad_t)), constant_values=NEG_INF)
+        super_max = jnp.max(tm.reshape(B, n_super, SUPER), axis=2)
+        _, top_super = jax.lax.top_k(super_max, k_tiles)
+        tm_groups = tm.reshape(B, n_super, SUPER)
+        sel_tm = jnp.take_along_axis(tm_groups, top_super[:, :, None], axis=1)
+        sel_tm = sel_tm.reshape(B, k_tiles * SUPER)
+        tile_ids = (top_super[:, :, None] * SUPER
+                    + jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPER), 2)
+                    ).reshape(B, k_tiles * SUPER)
+        _, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
+        top_tiles = jnp.take_along_axis(tile_ids, sel_pos, axis=1)
+        top_tiles = jnp.minimum(top_tiles, n_tiles - 1)
+    else:
+        _, top_tiles = jax.lax.top_k(tile_maxes, k_tiles)
+
+    s_tiles = s.reshape(B, n_tiles, tile)
+    sel = jnp.take_along_axis(
+        s_tiles, top_tiles[:, :, None], axis=1
+    ).reshape(B, k_tiles * tile)
+    gidx = (top_tiles[:, :, None] * tile
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+            ).reshape(B, k_tiles * tile)
+    k_eff = min(k, N)
+    vals, pos = jax.lax.top_k(sel, k_eff)
+    idxs = jnp.take_along_axis(gidx, pos, axis=1)
+    idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
+    return vals, idxs
+
+
 def dense_topk(
     queries: jax.Array,
     docs: jax.Array,

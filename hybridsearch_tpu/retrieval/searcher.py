@@ -66,6 +66,12 @@ def _fuse_and_topk(
 
     hybrid = norm(sem) * w_s + norm(lex) * w_l
     hybrid = hybrid + bias[None, :]
+    if hybrid.shape[1] > 65536:
+        # a single wide lax.top_k compiles to an enormous sort program at
+        # large N; use tiled exact selection instead
+        from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+        return tiled_matrix_topk(hybrid, k)
     return jax.lax.top_k(hybrid, k)
 
 

@@ -100,3 +100,16 @@ def test_tiled_topk_bias_mask(rng):
     _, i = tiled_dense_topk(jnp.asarray(q), jnp.asarray(docs), 5, block_n=256,
                             bias=jnp.asarray(bias))
     assert 42 not in np.asarray(i)[0].tolist()
+
+
+def test_tiled_matrix_topk_matches_sort(rng):
+    from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+    for n, k in [(1000, 7), (200_000, 10), (513, 5)]:
+        s = rng.standard_normal((3, n)).astype(np.float32)
+        v, i = tiled_matrix_topk(jnp.asarray(s), k)
+        want_i = np.argsort(-s, axis=1, kind="stable")[:, :k]
+        want_v = np.take_along_axis(s, want_i, axis=1)
+        np.testing.assert_allclose(np.asarray(v), want_v, rtol=0, atol=1e-5)
+        for b in range(3):
+            assert set(np.asarray(i)[b].tolist()) == set(want_i[b].tolist())
