@@ -281,7 +281,14 @@ def bm25_scores_bucketed(
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def bm25_topk(scores: jax.Array, k: int) -> Tuple[jax.Array, jax.Array]:
-    """Top-k over dense BM25 scores (reference bm25.py:129-158 search)."""
+    """Top-k over dense BM25 scores (reference bm25.py:129-158 search).
+    Tiled selection above 64k docs (wide lax.top_k sorts are compile
+    hazards at corpus scale)."""
+    if scores.shape[-1] > 65536:
+        from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+        vals, idxs = tiled_matrix_topk(scores, k)
+        return vals, jnp.maximum(idxs, 0)
     return jax.lax.top_k(scores, k)
 
 
@@ -478,7 +485,13 @@ def sharded_bm25_topk(
         scores = _local_bucketed_scores(ids[0], ws[0], local_runs, widths, per)
         shard_id = jax.lax.axis_index(DATA_AXIS)
         offset = shard_id * per
-        vals, idxs = jax.lax.top_k(scores, k_local)
+        if per > 65536:
+            from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+            vals, idxs = tiled_matrix_topk(scores, k_local)
+            idxs = jnp.maximum(idxs, 0)
+        else:
+            vals, idxs = jax.lax.top_k(scores, k_local)
         gidx = idxs + offset
         vals = jnp.where(gidx < n, vals, -jnp.inf)
         gidx = jnp.where(gidx < n, gidx, -1)

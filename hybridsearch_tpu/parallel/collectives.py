@@ -178,7 +178,13 @@ def sharded_hybrid_topk(
                                                           lex_max) * w_l
         hybrid = hybrid + bias_local[None, :]
         hybrid = jnp.where(valid, hybrid, -jnp.inf)
-        vals, idxs = jax.lax.top_k(hybrid, k_local)
+        if per > 65536:  # avoid a per*B-wide sort program
+            from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+            vals, idxs = tiled_matrix_topk(hybrid, k_local)
+            idxs = jnp.maximum(idxs, 0)
+        else:
+            vals, idxs = jax.lax.top_k(hybrid, k_local)
         g = jnp.take_along_axis(jnp.broadcast_to(gidx, (B, per)), idxs, axis=1)
         g = jnp.where(jnp.isfinite(vals), g, -1)
         all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
