@@ -103,7 +103,11 @@ class DenseIndex:
         cap = self._round_capacity(max(n, 1))
         docs_host = np.zeros((cap, self.dim), dtype=np.float32)
         docs_host[:n] = vectors[:n]
-        bias_host = np.zeros((cap,), dtype=np.float32)
+        # capacity-padding rows carry -inf bias so their zero vectors
+        # (score 0) can never displace true docs with negative scores from
+        # top-k slots; add() flips the bias to 0 as rows are assigned.
+        bias_host = np.full((cap,), NEG_INF_F32, dtype=np.float32)
+        bias_host[:n] = 0.0
         if bias is not None:
             bias_host[:n] = bias[:n]
         return _Snapshot(self._place(docs_host), self._place(bias_host), n, cap)
@@ -135,7 +139,9 @@ class DenseIndex:
             ids = np.arange(snap.n, n_new, dtype=np.int64)
             if n_new <= snap.capacity:
                 docs = _update_rows(snap.docs, jnp.asarray(v), snap.n)
-                self._snap = _Snapshot(docs, snap.bias, n_new, snap.capacity)
+                bias = _update_bias(snap.bias, jnp.zeros(len(v), jnp.float32),
+                                    snap.n)
+                self._snap = _Snapshot(docs, bias, n_new, snap.capacity)
             else:
                 old = np.asarray(jax.device_get(snap.docs[: snap.n]))
                 old_bias = np.array(jax.device_get(snap.bias[: snap.n]))
@@ -196,6 +202,16 @@ class DenseIndex:
                 self.mesh, q, snap.docs, k_eff, block_n=self.block_n,
                 valid_n=snap.n, bias_sharded=bias,
             )
+        elif snap.capacity >= 65536 and k_eff <= 512:
+            # capacity-padded rows carry a -inf bias? No: padding rows have
+            # bias 0 and zero vectors (score <= 0); mask by index below.
+            vals, idxs = tiled_dense_topk(
+                q, snap.docs, k_eff, block_n=max(self.block_n, 65536),
+                bias=bias,
+            )
+            valid = (idxs >= 0) & (idxs < snap.n)
+            vals = jnp.where(valid, vals, -jnp.inf)
+            idxs = jnp.where(valid, idxs, -1)
         else:
             vals, idxs = scan_dense_topk(
                 q, snap.docs, k_eff, block_n=min(self.block_n, snap.capacity),
@@ -268,3 +284,8 @@ class DenseIndex:
 @jax.jit
 def _update_rows(docs: jax.Array, new_rows: jax.Array, start) -> jax.Array:
     return jax.lax.dynamic_update_slice(docs, new_rows, (start, 0))
+
+
+@jax.jit
+def _update_bias(bias: jax.Array, zeros: jax.Array, start) -> jax.Array:
+    return jax.lax.dynamic_update_slice(bias, zeros, (start,))

@@ -11,12 +11,14 @@ full [B, N] score matrix is never materialized in HBM — the kernel is
 HBM-bandwidth-bound on reading the doc matrix once, which is the
 speed-of-light for exact search.
 
-Two implementations:
+Implementations:
   - `scan_dense_topk`: lax.scan over doc blocks (pure XLA; fuses
-    matmul + per-block top-k merge; runs on CPU for tests).
-  - `pallas_dense_topk` (ops/pallas_topk.py): hand-written Pallas kernel
-    with an in-VMEM running top-k (TPU only).
-`dense_topk` dispatches between them.
+    matmul + per-block top-k merge; small-N path, runs on CPU for tests).
+  - `tiled_dense_topk`: exact tile-max two-phase selection; pass 1 uses the
+    Pallas fused matmul+tile-max kernel (ops/pallas_topk.py) on TPU.
+  - `tiled_matrix_topk`: exact top-k over a precomputed score matrix with
+    no wide sorts (used by the fused hybrid paths).
+`dense_topk` dispatches between scan and tiled.
 """
 
 from __future__ import annotations
@@ -206,7 +208,9 @@ def tiled_dense_topk(
     # tpb must be a multiple of 8 (Mosaic output-tiling rule); the grid may
     # overhang N — garbage rows land in tiles >= n_tiles, which are sliced
     # off inside pallas_tile_max.
-    pallas_tpb = 32
+    import os
+
+    pallas_tpb = int(os.environ.get("HST_PALLAS_TPB", "32"))
     use_pallas = (
         jax.default_backend() == "tpu"
         and tile == 128
@@ -361,28 +365,23 @@ def dense_topk(
     k: int,
     block_n: int = 4096,
     normalized: bool = True,
-    use_pallas: bool | None = None,
+    use_tiled: bool | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Exact top-k dense search. Dispatches to the Pallas fused kernel on TPU
-    when profitable, else the XLA scan path."""
+    """Exact top-k dense search. Dispatches to the tiled two-phase kernel
+    (which itself uses the Pallas fused pass 1 on TPU when shapes allow)
+    above ~16k docs, else the scan path."""
     N = docs.shape[0]
     k_eff = min(k, N)
-    if use_pallas is None:
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and N >= 2 * block_n
-            and queries.shape[1] % 128 == 0
-        )
-    if use_pallas:
-        try:
-            from hybridsearch_tpu.ops.pallas_topk import pallas_dense_topk
-
-            return pallas_dense_topk(queries, docs, k_eff, block_n=block_n,
-                                     normalized=normalized)
-        except Exception:  # pragma: no cover - fall back if Mosaic rejects
-            pass
-    return scan_dense_topk(queries, docs, k_eff, block_n=min(block_n, _round_up(N, 128)),
-                           normalized=normalized)
+    if not normalized:
+        queries = l2_normalize(queries.astype(jnp.float32))
+        docs = l2_normalize(docs.astype(jnp.float32))
+    if use_tiled is None:
+        use_tiled = N >= 4 * block_n and k_eff <= 512
+    if use_tiled:
+        return tiled_dense_topk(queries, docs, k_eff,
+                                block_n=max(block_n, 65536))
+    return scan_dense_topk(queries, docs, k_eff,
+                           block_n=min(block_n, _round_up(N, 128)))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -235,3 +235,20 @@ def test_delete_does_not_skew_normalization(demo_docs, encoder):
                          semantic_weight=1.0, lexical_weight=0.0)
     np.testing.assert_allclose([r[0] for r in got_sem],
                                [r[0] for r in want_sem], rtol=1e-4, atol=1e-5)
+
+
+def test_padding_rows_never_displace_negative_scores(rng):
+    """Capacity-padding zero vectors (score 0) must not occupy top-k slots
+    ahead of true docs with negative scores."""
+    d = 32
+    base = rng.standard_normal(d).astype(np.float32)
+    # 6 docs all anti-aligned with the query -> all negative scores
+    docs = np.stack([-base + 0.01 * rng.standard_normal(d) for _ in range(6)])
+    idx = DenseIndex(dim=d, block_n=64, capacity_round=64).build(
+        docs.astype(np.float32)
+    )
+    assert idx.capacity > idx.n_docs  # padding rows exist
+    vals, ids = idx.search(base[None, :], 6)
+    assert (np.asarray(ids)[0] >= 0).all()
+    assert set(np.asarray(ids)[0].tolist()) == set(range(6))
+    assert (np.asarray(vals)[0] < 0).all()  # true (negative) scores, not 0s
