@@ -85,6 +85,21 @@ class EngineState:
         self.auth = AuthContext(enabled=auth_enabled)
         self.started_at = time.time()
         self._mutate_lock = threading.Lock()
+        self._warm_autocomplete()
+
+    def _warm_autocomplete(self, limit: int = 5000) -> None:
+        """Rebuild the suggestion trie from persisted query history so
+        autocomplete survives restarts (history lives in sqlite; the
+        reference's trie is memory-only)."""
+        try:
+            rows = self.indexer.store._conn.execute(
+                "SELECT query, COUNT(*) c FROM query_history "
+                "GROUP BY query ORDER BY c DESC LIMIT ?", (limit,)
+            ).fetchall()
+            for r in rows:
+                self.autocomplete.history.insert(r["query"], weight=int(r["c"]))
+        except Exception:
+            pass
 
     # -- jobs ------------------------------------------------------------------
 
@@ -395,6 +410,41 @@ def h_stats(state, params, body, query):
     return 200, state.searcher.get_stats()
 
 
+def h_metrics(state, params, body, query):
+    """GET /metrics — Prometheus text exposition (the reference lists
+    Prometheus as roadmap-only, README.md:397)."""
+    lines = [
+        "# HELP hst_documents_total Indexed documents",
+        "# TYPE hst_documents_total gauge",
+        f"hst_documents_total {len(state.indexer.contents)}",
+    ]
+    stats = state.searcher.get_stats()
+    lines += [
+        "# HELP hst_queries_total Queries served",
+        "# TYPE hst_queries_total counter",
+        f"hst_queries_total {stats.get('total_queries', 0)}",
+        "# HELP hst_feedback_total Feedback events",
+        "# TYPE hst_feedback_total counter",
+        f"hst_feedback_total {stats.get('total_feedback', 0)}",
+    ]
+    for stage, s in stats.get("stages", {}).items():
+        lines += [
+            f'hst_stage_latency_ms{{stage="{stage}",quantile="0.5"}} '
+            f"{s['p50_ms']:.4f}",
+            f'hst_stage_latency_ms{{stage="{stage}",quantile="0.99"}} '
+            f"{s['p99_ms']:.4f}",
+            f'hst_stage_calls_total{{stage="{stage}"}} {s["count"]}',
+        ]
+    if state.semantic_cache is not None:
+        cs = state.semantic_cache.stats()
+        lines += [
+            f"hst_cache_hits_total {cs['hits']}",
+            f"hst_cache_misses_total {cs['misses']}",
+            f"hst_cache_entries {cs['entries']}",
+        ]
+    return 200, {"_text": "\n".join(lines) + "\n"}
+
+
 def h_documents(state, params, body, query):
     """GET /documents (reference api.py /documents)."""
     limit = int(query.get("limit", 100))
@@ -537,6 +587,7 @@ def build_router(state: EngineState) -> Router:
     r.add("POST", "/index/add", h_index_add, scope="write")
     r.add("POST", "/feedback", h_feedback)
     r.add("GET", "/stats", h_stats)
+    r.add("GET", "/metrics", h_metrics)
     r.add("GET", "/documents", h_documents)
     r.add("POST", "/watcher/start", h_watcher_start, scope="write")
     r.add("POST", "/watcher/stop", h_watcher_stop, scope="write")

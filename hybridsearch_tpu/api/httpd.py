@@ -54,6 +54,16 @@ def make_handler(router: Router):
             self._send(status, payload, headers)
 
         def _send(self, status: int, payload: dict, headers: dict) -> None:
+            if isinstance(payload, dict) and "_text" in payload:
+                raw = str(payload["_text"]).encode()
+                self.send_response(status)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(raw)))
+                for k, v in headers.items():
+                    self.send_header(k, v)
+                self.end_headers()
+                self.wfile.write(raw)
+                return
             raw = json.dumps(payload).encode()
             self.send_response(status)
             self.send_header("Content-Type", "application/json")

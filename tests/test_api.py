@@ -274,3 +274,45 @@ def test_cli_export_import(tmp_path, capsys):
     assert main(["--db", db2, "import", dump]) == 0
     out = capsys.readouterr().out
     assert "imported 1 documents" in out
+
+
+def test_metrics_endpoint(router, state):
+    call(router, "POST", "/search", {"query": "machine learning", "top_k": 2})
+    code, payload, _ = call(router, "GET", "/metrics")
+    assert code == 200
+    text = payload["_text"]
+    assert "hst_documents_total 1" in text  # 12 or 13 docs -> startswith 1
+    assert "hst_queries_total" in text
+    assert 'hst_stage_latency_ms{stage="encode"' in text
+    assert "hst_cache_hits_total" in text
+
+
+def test_metrics_over_http(state):
+    with APIServer(state, host="127.0.0.1", port=0) as server:
+        base = f"http://127.0.0.1:{server.port}"
+        with urllib.request.urlopen(base + "/metrics", timeout=10) as resp:
+            assert resp.status == 200
+            assert resp.headers["Content-Type"].startswith("text/plain")
+            body = resp.read().decode()
+            assert "hst_documents_total" in body
+
+
+def test_autocomplete_warm_start(tmp_path, demo_docs):
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+
+    db = str(tmp_path / "warm.db")
+    st = EngineState(db_path=db, encoder=HashingEncoder(dim=64),
+                     use_semantic_cache=False)
+    r = build_router(st)
+    r.dispatch("POST", "/index", {"documents": demo_docs})
+    r.dispatch("POST", "/search", {"query": "machine learning"})
+    st.close()
+
+    st2 = EngineState(db_path=db, encoder=HashingEncoder(dim=64),
+                      use_semantic_cache=False)
+    r2 = build_router(st2)
+    code, payload, _ = r2.dispatch("GET", "/autocomplete",
+                                   query={"prefix": "mach"})
+    assert any(s["suggestion"] == "machine learning"
+               for s in payload["suggestions"])
+    st2.close()
