@@ -193,11 +193,17 @@ class BM25:
         Exact: gathered from full scoring."""
         if self.n_docs == 0:
             return np.zeros(len(candidates), dtype=np.float32)
-        if self.postings is not None:
-            full = self.score_all(query)
-            cand0 = np.asarray(candidates)
-            safe0 = np.clip(cand0, 0, self.n_docs - 1)
-            return np.where(cand0 >= 0, full[safe0], 0.0).astype(np.float32)
+        state = self._state
+        if state.postings is not None:
+            groups = self.encode_queries_bucketed([query], state)
+            if not groups:
+                return np.zeros(len(candidates), dtype=np.float32)
+            import jax.numpy as jnp
+
+            cand = jnp.asarray(np.asarray(candidates, np.int32)[None, :])
+            out = bm25_ops.bm25_candidate_scores_runs(state.postings, groups,
+                                                      cand)
+            return np.asarray(out)[0]
         full = self.score_all(query)
         cand = np.asarray(candidates)
         safe = np.clip(cand, 0, self.n_docs - 1)

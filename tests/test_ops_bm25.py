@@ -144,3 +144,26 @@ def test_bucketed_scores_match_reference_impl(demo_docs):
     qt = bm._encode_queries(queries)
     want = np.asarray(bm25_ops.bm25_scores(bm.postings, qt))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_candidate_scores_runs_match_full(demo_docs):
+    """Binary-search candidate scoring == dense scoring gathered at the
+    candidates (exact, without full-corpus work)."""
+    from hybridsearch_tpu.index.sparse_index import BM25
+    from hybridsearch_tpu.ops.bm25 import bm25_candidate_scores_runs
+
+    bm = BM25().fit(demo_docs)
+    q = "machine learning data"
+    full = bm.score_all(q)
+    cand = np.asarray([0, 3, 11, 5, -1], dtype=np.int32)
+    groups = bm.encode_queries_bucketed([q])
+    got = np.asarray(
+        bm25_candidate_scores_runs(bm.postings, groups, jnp.asarray(cand[None, :]))
+    )[0]
+    np.testing.assert_allclose(got[:4], full[[0, 3, 11, 5]], rtol=1e-4,
+                               atol=1e-5)
+    assert got[4] == 0.0
+    # class API path
+    got2 = bm.candidate_scores(q, cand)
+    np.testing.assert_allclose(got2[:4], full[[0, 3, 11, 5]], rtol=1e-4,
+                               atol=1e-5)
