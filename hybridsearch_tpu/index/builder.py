@@ -178,6 +178,8 @@ class Indexer:
         sqlite store at db_path (SURVEY §5.4 fix)."""
         os.makedirs(directory, exist_ok=True)
         self.dense.save(os.path.join(directory, "dense"))
+        if self.bm25.postings is not None:
+            self.bm25.save(os.path.join(directory, "bm25.npz"))
         manifest = {
             "engine": "hybridsearch_tpu",
             "encoder": getattr(self.encoder, "name", "unknown"),
@@ -209,7 +211,10 @@ class Indexer:
         ids, contents = idx.store.get_contents()
         idx.contents = contents
         idx.doc_ids = ids
-        if contents:
+        bm25_path = os.path.join(directory, "bm25.npz")
+        if os.path.exists(bm25_path):
+            idx.bm25.load(bm25_path)  # no tokenize+refit on reload
+        elif contents:
             idx.bm25.fit(contents)
         return idx
 

@@ -40,6 +40,50 @@ class _BM25State(NamedTuple):
 class BM25:
     """Okapi BM25 with the reference's smoothed IDF (bm25.py:81)."""
 
+    def save(self, path: str) -> None:
+        """Persist eager postings + vocab so load() skips tokenize+refit."""
+        import os
+
+        state = self._state
+        if state.postings is None:
+            raise ValueError("sharded or unfitted BM25 cannot be saved yet")
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
+                    exist_ok=True)
+        po = state.postings
+        np.savez_compressed(
+            path,
+            indptr=np.asarray(po.indptr),
+            doc_ids=np.asarray(po.doc_ids),
+            weights=np.asarray(po.weights),
+            n_docs=po.n_docs,
+            max_postings=po.max_postings,
+            vocab=np.asarray(state.vocab.id_to_token, dtype=object),
+            params=np.asarray([self.k1, self.b, self.delta]),
+            variant=self.variant,
+        )
+
+    def load(self, path: str) -> "BM25":
+        data = np.load(path, allow_pickle=True)
+        vocab = Vocabulary()
+        for tok in data["vocab"].tolist():
+            vocab.add(str(tok))
+        import jax.numpy as jnp
+
+        indptr = data["indptr"].astype(np.int64)
+        postings = bm25_ops.BM25Postings(
+            indptr=jnp.asarray(indptr.astype(np.int32)),
+            doc_ids=jnp.asarray(data["doc_ids"]),
+            weights=jnp.asarray(data["weights"]),
+            n_docs=int(data["n_docs"]),
+            max_postings=int(data["max_postings"]),
+            vocab_size=len(vocab),
+            starts_host=indptr[:-1],
+            lengths_host=indptr[1:] - indptr[:-1],
+        )
+        self.k1, self.b, self.delta = [float(x) for x in data["params"]]
+        self._state = _BM25State(vocab, postings, None, postings.n_docs, None)
+        return self
+
     variant = "bm25"
 
     def __init__(self, k1: float = 1.5, b: float = 0.75, delta: float = 1.0,

@@ -252,3 +252,25 @@ def test_padding_rows_never_displace_negative_scores(rng):
     assert (np.asarray(ids)[0] >= 0).all()
     assert set(np.asarray(ids)[0].tolist()) == set(range(6))
     assert (np.asarray(vals)[0] < 0).all()  # true (negative) scores, not 0s
+
+
+def test_bm25_save_load_roundtrip(demo_docs, tmp_path):
+    bm = BM25().fit(demo_docs)
+    path = str(tmp_path / "bm25.npz")
+    bm.save(path)
+    bm2 = BM25().load(path)
+    for q in ("machine learning data", "cooking pasta"):
+        np.testing.assert_allclose(bm2.score_all(q), bm.score_all(q),
+                                   rtol=1e-5, atol=1e-6)
+    assert bm2.search("machine learning", 3) == bm.search("machine learning", 3)
+
+
+def test_indexer_save_load_includes_bm25(demo_docs, encoder, tmp_path):
+    db = str(tmp_path / "docs.db")
+    with Indexer(db_path=db, encoder=encoder) as ix:
+        ix.index_documents(demo_docs)
+        want = ix.bm25.score_all("machine learning")
+        ix.save(str(tmp_path / "engine"))
+    ix2 = Indexer.load(str(tmp_path / "engine"), encoder=encoder, db_path=db)
+    np.testing.assert_allclose(ix2.bm25.score_all("machine learning"), want,
+                               rtol=1e-5, atol=1e-6)
