@@ -222,11 +222,8 @@ def tiled_dense_topk(
     if use_pallas:
         from hybridsearch_tpu.ops.pallas_topk import pallas_tile_max
 
-        bias_full = (
-            bias_p if bias_p is not None else jnp.zeros((N,), jnp.float32)
-        )
         tile_maxes = pallas_tile_max(
-            q_mm, d, bias_full, block_n=pallas_tpb * tile
+            q_mm, d, bias_p, block_n=pallas_tpb * tile
         )  # [B, n_tiles]
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)

@@ -25,7 +25,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128  # docs per selection tile (lane width)
 
 
-def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
+def _tile_max_body(q_ref, d_ref, o_ref, bias_ref=None):
     """One doc block: scores = q @ d_blk^T (+bias), write per-tile maxima.
 
     The matmul runs in query chunks of <=128 rows so the fp32 score buffer
@@ -34,7 +34,7 @@ def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
     B = q_ref.shape[0]
     block_n = d_ref.shape[0]
     tpb = block_n // TILE
-    bias = bias_ref[:][None, :]
+    bias = bias_ref[:][None, :] if bias_ref is not None else None
     q_chunk = min(B, 128)
     for c in range(0, B, q_chunk):
         s = jax.lax.dot_general(
@@ -42,20 +42,32 @@ def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [q_chunk, block_n] in VMEM
-        s = s + bias
+        if bias is not None:
+            s = s + bias
         o_ref[0, c : c + q_chunk, :] = jnp.max(
             s.reshape(s.shape[0], tpb, TILE), axis=2
         )
+
+
+def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
+    _tile_max_body(q_ref, d_ref, o_ref, bias_ref)
+
+
+def _tile_max_kernel_nobias(q_ref, d_ref, o_ref):
+    _tile_max_body(q_ref, d_ref, o_ref, None)
 
 
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def pallas_tile_max(
     queries: jax.Array,
     docs: jax.Array,
-    bias: jax.Array,
+    bias: jax.Array | None,
     block_n: int = 16384,
 ) -> jax.Array:
     """[B, n_tiles] tile maxima of (queries @ docs^T + bias).
+
+    bias=None selects the no-bias kernel variant (skips streaming the [N]
+    bias vector — one less HBM input on the all-alive fast path).
 
     Requirements: docs.shape[0] % block_n == 0, block_n % 128 == 0,
     D % 128 == 0. Callers (tiled_dense_topk) guarantee alignment.
@@ -75,20 +87,28 @@ def pallas_tile_max(
         queries.astype(jnp.float32)
     )
 
+    in_specs = [
+        pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [q, docs]
+    kernel = _tile_max_kernel_nobias
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM)
+        )
+        args.append(bias.astype(jnp.float32))
+        kernel = _tile_max_kernel
     grid_spec = pl.GridSpec(
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         # out [nb, B, tpb]: trailing block dims equal the full array dims,
         # which satisfies the TPU (8, 128) tiling rule for any tpb.
         out_specs=pl.BlockSpec((1, B, tpb), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
     out = pl.pallas_call(
-        _tile_max_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((nb, B, tpb), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
@@ -100,6 +120,6 @@ def pallas_tile_max(
             + N * 4 + B * (N // TILE) * 4,
             transcendentals=0,
         ),
-    )(q, docs, bias.astype(jnp.float32))
+    )(*args)
     full = jnp.transpose(out, (1, 0, 2)).reshape(B, nb * tpb)
     return full[:, :n_tiles]
