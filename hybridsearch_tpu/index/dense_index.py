@@ -20,6 +20,7 @@ unlocked global mutation race, SURVEY §5.2).
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import threading
@@ -115,13 +116,21 @@ class DenseIndex:
     # -- mutation (copy-on-write + atomic swap) ------------------------------
 
     def build(self, vectors: np.ndarray) -> "DenseIndex":
-        """(Re)build from [N, D] raw embeddings (normalizes on device)."""
+        """(Re)build from [N, D] raw embeddings. One host->device transfer;
+        L2 normalization runs on device with buffer donation (zero rows —
+        capacity padding — stay zero under the eps guard)."""
         v = np.asarray(vectors, dtype=np.float32)
         if v.ndim != 2 or v.shape[1] != self.dim:
             raise ValueError(f"expected [N, {self.dim}] vectors, got {v.shape}")
-        v = np.asarray(jax.device_get(l2_normalize(jnp.asarray(v))))
+        n = len(v)
+        cap = self._round_capacity(max(n, 1))
+        host = np.zeros((cap, self.dim), dtype=np.float32)
+        host[:n] = v
+        docs = _normalize_rows(self._place(host))
+        bias_host = np.full((cap,), NEG_INF_F32, dtype=np.float32)
+        bias_host[:n] = 0.0
         with self._lock:
-            self._snap = self._make_snapshot(v, None, len(v))
+            self._snap = _Snapshot(docs, self._place(bias_host), n, cap)
             self.deleted_count = 0
         return self
 
@@ -143,13 +152,20 @@ class DenseIndex:
                                     snap.n)
                 self._snap = _Snapshot(docs, bias, n_new, snap.capacity)
             else:
-                old = np.asarray(jax.device_get(snap.docs[: snap.n]))
-                old_bias = np.array(jax.device_get(snap.bias[: snap.n]))
-                merged = np.concatenate([old, v], axis=0)
-                bias = np.concatenate(
-                    [old_bias, np.zeros(len(v), np.float32)], axis=0
-                )
-                self._snap = self._make_snapshot(merged, bias, n_new)
+                # grow ON DEVICE: allocate the bigger buffer and splice the
+                # old rows + new rows in, never pulling the corpus to host
+                new_cap = self._round_capacity(n_new)
+                docs = _grow_rows(snap.docs, jnp.asarray(v), snap.n, new_cap,
+                                  self.dim, self.mesh is not None)
+                if self.mesh is not None:
+                    docs = jax.device_put(
+                        docs,
+                        _sharding2(self.mesh),
+                    )
+                bias = _grow_bias(snap.bias, snap.n, len(v), new_cap)
+                if self.mesh is not None:
+                    bias = jax.device_put(bias, _sharding1(self.mesh))
+                self._snap = _Snapshot(docs, bias, n_new, new_cap)
             return ids
 
     def delete(self, row_ids) -> None:
@@ -289,3 +305,37 @@ def _update_rows(docs: jax.Array, new_rows: jax.Array, start) -> jax.Array:
 @jax.jit
 def _update_bias(bias: jax.Array, zeros: jax.Array, start) -> jax.Array:
     return jax.lax.dynamic_update_slice(bias, zeros, (start,))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _normalize_rows(docs: jax.Array) -> jax.Array:
+    return l2_normalize(docs)
+
+
+@functools.partial(jax.jit, static_argnames=("new_cap", "dim", "sharded"))
+def _grow_rows(old_docs, new_rows, old_n, new_cap: int, dim: int,
+               sharded: bool):
+    out = jnp.zeros((new_cap, dim), dtype=old_docs.dtype)
+    out = jax.lax.dynamic_update_slice(out, old_docs, (0, 0))
+    return jax.lax.dynamic_update_slice(out, new_rows, (old_n, 0))
+
+
+@functools.partial(jax.jit, static_argnames=("n_new", "new_cap"))
+def _grow_bias(old_bias, old_n, n_new: int, new_cap: int):
+    out = jnp.full((new_cap,), jnp.float32(-jnp.inf))
+    out = jax.lax.dynamic_update_slice(out, old_bias, (0,))
+    return jax.lax.dynamic_update_slice(
+        out, jnp.zeros((n_new,), jnp.float32), (old_n,)
+    )
+
+
+def _sharding1(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+
+
+def _sharding2(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P(mesh_lib.DATA_AXIS, None))
