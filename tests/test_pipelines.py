@@ -293,3 +293,17 @@ def test_get_highlighter_factory():
     assert isinstance(get_highlighter("html"), HTMLHighlighter)
     with pytest.raises(ValueError):
         get_highlighter("nope")
+
+
+def test_multi_stage_batched_matches_single(encoder, small_ce, demo_docs):
+    """Batched funnel (one CE forward for all pairs) == per-query funnel."""
+    rr = CrossEncoderReranker(model=small_ce)
+    p = create_pipeline("multi_stage", encoder=encoder, reranker=rr,
+                        stage1_k=8, stage2_k=4, final_k=2)
+    p.index(demo_docs)
+    queries = ["machine learning", "cooking pasta"]
+    batched = p.search_batch(queries)
+    singles = [p.search(q) for q in queries]
+    for b, s in zip(batched, singles):
+        assert [r[2] for r in b.results] == [r[2] for r in s.results]
+        assert b.metadata["batched"] is True
