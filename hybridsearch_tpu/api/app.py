@@ -394,6 +394,21 @@ def h_index_add(state, params, body, query):
                  "skipped": skipped}
 
 
+def h_delete_document(state, params, body, query):
+    """DELETE /documents/{id} — tombstone the doc in the dense index (it
+    stops surfacing immediately; compaction reclaims space). Beyond the
+    reference's surface, enabled by the tombstone bias machinery."""
+    doc_id = int(params["doc_id"])
+    if doc_id < 0 or doc_id >= state.indexer.dense.n_docs:
+        return 404, {"detail": f"doc {doc_id} not found"}
+    with state._mutate_lock:
+        state.indexer.dense.delete([doc_id])
+    if state.semantic_cache is not None:
+        state.semantic_cache.invalidate()
+    return 200, {"status": "deleted", "doc_id": doc_id,
+                 "tombstoned": state.indexer.dense.deleted_count}
+
+
 def h_feedback(state, params, body, query):
     """POST /feedback (reference api.py:304-320)."""
     q = body.get("query", "")
@@ -598,6 +613,7 @@ def build_router(state: EngineState) -> Router:
     r.add("GET", "/documents/duplicates", h_duplicates)
     r.add("POST", "/documents/{doc_id}/mark-duplicate", h_mark_duplicate,
           scope="write")
+    r.add("DELETE", "/documents/{doc_id}", h_delete_document, scope="write")
     r.add("GET", "/documents/{doc_id}/metadata", h_get_metadata)
     r.add("POST", "/documents/{doc_id}/metadata", h_set_metadata, scope="write")
     r.add("POST", "/language/detect", h_language_detect)

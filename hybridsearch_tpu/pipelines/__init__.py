@@ -250,11 +250,22 @@ class HybridBM25Pipeline(BasePipeline):
             max_normalize(sem) * self.semantic_weight
             + max_normalize(lex) * self.bm25_weight
         )
-        fused_np = np.asarray(fused)[0]
-        order = np.argsort(-fused_np, kind="stable")[:top_k]
-        results = [
-            (float(fused_np[i]), ix.contents[int(i)], int(i)) for i in order
-        ]
+        if n > 65536:  # device tiled selection instead of a host full sort
+            from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+            vals, idx = tiled_matrix_topk(fused, min(top_k, n))
+            vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
+            results = [
+                (float(v), ix.contents[int(i)], int(i))
+                for v, i in zip(vals, idx) if i >= 0
+            ]
+        else:
+            fused_np = np.asarray(fused)[0]
+            order = np.argsort(-fused_np, kind="stable")[:top_k]
+            results = [
+                (float(fused_np[i]), ix.contents[int(i)], int(i))
+                for i in order
+            ]
         return self._finish(results, query, {"pipeline": self.name})
 
 

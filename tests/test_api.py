@@ -316,3 +316,20 @@ def test_autocomplete_warm_start(tmp_path, demo_docs):
     assert any(s["suggestion"] == "machine learning"
                for s in payload["suggestions"])
     st2.close()
+
+
+def test_delete_document_route(demo_docs):
+    st = EngineState(encoder=HashingEncoder(dim=64), use_semantic_cache=False)
+    r = build_router(st)
+    r.dispatch("POST", "/index", {"documents": demo_docs})
+    code, before, _ = r.dispatch("POST", "/search",
+                                 {"query": "machine learning", "top_k": 1})
+    target = before["results"][0]["doc_id"]
+    code, payload, _ = r.dispatch("DELETE", f"/documents/{target}")
+    assert code == 200 and payload["doc_id"] == target
+    code, after, _ = r.dispatch("POST", "/search",
+                                {"query": "machine learning", "top_k": 11})
+    assert target not in [x["doc_id"] for x in after["results"]]
+    code, _, _ = r.dispatch("DELETE", "/documents/999")
+    assert code == 404
+    st.close()
