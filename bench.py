@@ -30,11 +30,17 @@ BLOCK_N = int(os.environ.get("HST_BENCH_BLOCK", "262144"))
 TARGET_QPS = 10_000.0
 
 
+DTYPE = os.environ.get("HST_BENCH_DTYPE", "bfloat16")
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _make_block(key, m):
     x = jax.random.normal(key, (m, D), dtype=jnp.float32)
     norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
-    return (x / jnp.maximum(norm, 1e-12)).astype(jnp.bfloat16)
+    xn = x / jnp.maximum(norm, 1e-12)
+    if DTYPE == "int8":
+        return jnp.clip(jnp.round(xn * 127.0), -127, 127).astype(jnp.int8)
+    return xn.astype(jnp.bfloat16)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -45,7 +51,7 @@ def _write(buf, block, start):
 def build_corpus(n: int, chunk: int = 1_000_000) -> jax.Array:
     """[n, D] bf16 normalized corpus generated on device, chunk by chunk,
     with buffer donation (no double allocation)."""
-    buf = jnp.zeros((n, D), dtype=jnp.bfloat16)
+    buf = jnp.zeros((n, D), dtype=jnp.int8 if DTYPE == "int8" else jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     for i in range(0, n, chunk):
         m = min(chunk, n - i)
@@ -117,7 +123,8 @@ def main() -> None:
                   file=sys.stderr)
 
     print(json.dumps({
-        "metric": f"dense_topk_qps@{used_n}docs_{D}d_k{TOP_K}_b{QUERY_BATCH}",
+        "metric": f"dense_topk_qps@{used_n}docs_{D}d_k{TOP_K}_b{QUERY_BATCH}"
+        + ("_int8" if DTYPE == "int8" else ""),
         "value": round(qps, 2),
         "unit": "qps/chip",
         "vs_baseline": round(qps / TARGET_QPS, 4),

@@ -200,7 +200,17 @@ def tiled_dense_topk(
         tiles_per_block = block_n // tile
     d_blocks = d[: nb * block_n].reshape(nb, block_n, Dm)
 
-    q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
+    # int8 mode: docs are symmetric-quantized (x*127 rounded); the query is
+    # quantized identically so every pass computes the same values
+    # (int_prod / 127^2 ~= cosine). bf16 mode: operands stay bf16 for the
+    # MXU. Otherwise fp32.
+    int8_mode = d.dtype == jnp.int8
+    INV8 = jnp.float32(1.0 / (127.0 * 127.0))
+    if int8_mode:
+        q8f = jnp.clip(jnp.round(q * 127.0), -127.0, 127.0)
+        q_mm = q8f  # f32-held integers for the XLA fallback path
+    else:
+        q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
 
     # pass 1 fast path: Pallas fused matmul + tile-max epilogue (never
     # materializes the score block in HBM). Needs aligned shapes and a
@@ -217,23 +227,31 @@ def tiled_dense_topk(
         and Np == N  # N % 128 == 0 confines edge garbage to dropped tiles
         and Dm % 128 == 0
         and n_tiles >= 2 * pallas_tpb
+        # the int8 Pallas variant crashes this environment's TPU compile
+        # helper; opt in explicitly once on direct-attached hardware
+        and (d.dtype != jnp.int8 or os.environ.get("HST_INT8_PALLAS") == "1")
     )
 
     if use_pallas:
         from hybridsearch_tpu.ops.pallas_topk import pallas_tile_max
 
+        q_dev = q_mm.astype(jnp.int8) if int8_mode else q_mm
         tile_maxes = pallas_tile_max(
-            q_mm, d, bias_p, block_n=pallas_tpb * tile
+            q_dev, d, bias_p, block_n=pallas_tpb * tile
         )  # [B, n_tiles]
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
 
         def pass1(_, inp):
             blk_i, e_blk = inp
+            if int8_mode:
+                e_blk = e_blk.astype(jnp.float32)
             s = jax.lax.dot_general(
                 q_mm, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [B, block_n]
+            if int8_mode:
+                s = s * INV8
             gidx = blk_i * block_n + col
             if bias_p is not None:
                 b_blk = jax.lax.dynamic_slice(
@@ -281,13 +299,17 @@ def tiled_dense_topk(
     else:
         _, top_tiles = jax.lax.top_k(tile_maxes, k_tiles)  # [B, k_tiles]
 
-    # pass 3: gather the selected tiles' docs and re-score exactly.
+    # pass 3: gather the selected tiles' docs and re-score exactly (same
+    # quantized values as pass 1 in int8 mode).
     d_tiles = d[: Np].reshape(n_tiles, tile, Dm)
     sel = jnp.take(d_tiles, top_tiles, axis=0)  # [B, k_tiles, tile, D]
+    q3 = q_mm.astype(jnp.float32) if int8_mode else q
     s3 = jnp.einsum(
-        "bktd,bd->bkt", sel.astype(jnp.float32), q,
+        "bktd,bd->bkt", sel.astype(jnp.float32), q3,
         preferred_element_type=jnp.float32,
     ).reshape(B, k_tiles * tile)
+    if int8_mode:
+        s3 = s3 * INV8
     gidx3 = (top_tiles[:, :, None] * tile
              + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)).reshape(
         B, k_tiles * tile

@@ -57,6 +57,40 @@ def _tile_max_kernel_nobias(q_ref, d_ref, o_ref):
     _tile_max_body(q_ref, d_ref, o_ref, None)
 
 
+INT8_INV_SCALE = 1.0 / (127.0 * 127.0)
+
+
+def _tile_max_body_int8(q_ref, d_ref, o_ref, bias_ref=None):
+    """int8 variant: int8 q x int8 docs on the MXU with int32 accumulation
+    (2x MXU throughput and half the HBM read traffic of bf16); scores are
+    rescaled to ~cosine before the bias add / tile max."""
+    B = q_ref.shape[0]
+    block_n = d_ref.shape[0]
+    tpb = block_n // TILE
+    bias = bias_ref[:][None, :] if bias_ref is not None else None
+    q_chunk = min(B, 128)
+    for c in range(0, B, q_chunk):
+        s = jax.lax.dot_general(
+            q_ref[c : c + q_chunk, :], d_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        sf = s.astype(jnp.float32) * INT8_INV_SCALE
+        if bias is not None:
+            sf = sf + bias
+        o_ref[0, c : c + q_chunk, :] = jnp.max(
+            sf.reshape(sf.shape[0], tpb, TILE), axis=2
+        )
+
+
+def _tile_max_kernel_int8(q_ref, d_ref, bias_ref, o_ref):
+    _tile_max_body_int8(q_ref, d_ref, o_ref, bias_ref)
+
+
+def _tile_max_kernel_int8_nobias(q_ref, d_ref, o_ref):
+    _tile_max_body_int8(q_ref, d_ref, o_ref, None)
+
+
 @functools.partial(jax.jit, static_argnames=("block_n",))
 def pallas_tile_max(
     queries: jax.Array,
@@ -92,13 +126,14 @@ def pallas_tile_max(
         pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
     ]
     args = [q, docs]
-    kernel = _tile_max_kernel_nobias
+    int8_mode = docs.dtype == jnp.int8
+    kernel = _tile_max_kernel_int8_nobias if int8_mode else _tile_max_kernel_nobias
     if bias is not None:
         in_specs.append(
             pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM)
         )
         args.append(bias.astype(jnp.float32))
-        kernel = _tile_max_kernel
+        kernel = _tile_max_kernel_int8 if int8_mode else _tile_max_kernel
     grid_spec = pl.GridSpec(
         grid=(nb,),
         in_specs=in_specs,

@@ -113,3 +113,30 @@ def test_tiled_matrix_topk_matches_sort(rng):
         np.testing.assert_allclose(np.asarray(v), want_v, rtol=0, atol=1e-5)
         for b in range(3):
             assert set(np.asarray(i)[b].tolist()) == set(want_i[b].tolist())
+
+
+def test_tiled_topk_int8_mode(rng):
+    """int8-quantized docs: recall vs the fp32 exact oracle stays high, and
+    selection is exact with respect to the quantized scores."""
+    from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+    n, d, k = 20000, 128, 10
+    docs = oracle.l2_normalize(rng.standard_normal((n, d))).astype(np.float32)
+    qs = oracle.l2_normalize(rng.standard_normal((4, d))).astype(np.float32)
+    d8 = np.clip(np.round(docs * 127.0), -127, 127).astype(np.int8)
+    v, i = tiled_dense_topk(jnp.asarray(qs), jnp.asarray(d8), k, block_n=4096)
+    ov, oi = oracle.dense_topk(qs, docs, k, normalized=True)
+    # quantized scores approximate cosine
+    np.testing.assert_allclose(np.asarray(v), ov, rtol=0, atol=0.03)
+    recalls = [len(set(np.asarray(i)[b]) & set(oi[b])) / k for b in range(4)]
+    assert np.mean(recalls) >= 0.8, recalls
+    # exact wrt quantized scoring: compare against a quantized oracle
+    q8 = np.clip(np.round(qs * 127.0), -127, 127)
+    sq = (q8 @ d8.astype(np.float64).T) / (127.0 * 127.0)
+    want_i = np.argsort(-sq, axis=1, kind="stable")[:, :k]
+    for b in range(4):
+        got_set = set(np.asarray(i)[b].tolist())
+        want_vals = sq[b][want_i[b]]
+        got_vals = sq[b][np.asarray(i)[b]]
+        np.testing.assert_allclose(np.sort(got_vals), np.sort(want_vals),
+                                   atol=1e-6)
