@@ -274,3 +274,23 @@ def test_indexer_save_load_includes_bm25(demo_docs, encoder, tmp_path):
     ix2 = Indexer.load(str(tmp_path / "engine"), encoder=encoder, db_path=db)
     np.testing.assert_allclose(ix2.bm25.score_all("machine learning"), want,
                                rtol=1e-5, atol=1e-6)
+
+
+def test_export_import_preserves_vectors(demo_docs, encoder, tmp_path):
+    """Import restores the exported embeddings verbatim (no re-embed)."""
+    with Indexer(encoder=encoder) as ix:
+        ix.index_documents(demo_docs[:4])
+        want = ix.dense.get_vectors([0, 1, 2, 3])
+        ix.export_json(str(tmp_path / "d.json"))
+
+    class BoomEncoder:
+        dim = encoder.dim
+        name = "boom"
+
+        def encode(self, texts, batch_size=64):
+            raise AssertionError("import must not re-embed")
+
+    with Indexer(encoder=BoomEncoder()) as ix2:
+        ix2.import_json(str(tmp_path / "d.json"))
+        got = ix2.dense.get_vectors([0, 1, 2, 3])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

@@ -464,3 +464,40 @@ def test_key_expiry():
     key = ctx.keys.create_key("short", ttl_seconds=0.01)
     time.sleep(0.05)
     assert not ctx.authorize(key.key, "ip")[0]
+
+
+def test_multilingual_embedder_fallback(demo_docs):
+    """Without multilingual weights on disk the hook serves the hashing
+    encoder (language-agnostic), same output contract."""
+    from hybridsearch_tpu.services.language import MultilingualEmbedder
+
+    emb = MultilingualEmbedder(dim=64)
+    out = emb.encode(["hola mundo", "hello world"])
+    assert out.shape == (2, 64)
+    out2 = emb.encode(["hola mundo", "hello world"])
+    np.testing.assert_allclose(out, out2)
+
+
+def test_auto_indexer_reindexes_on_change(tmp_path):
+    """create_auto_indexer wires watcher events to a full reindex
+    (reference watcher.py:157-186)."""
+    import time as _t
+
+    from hybridsearch_tpu.index.builder import Indexer
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.services.watcher import create_auto_indexer
+
+    ix = Indexer(encoder=HashingEncoder(dim=64))
+    w = create_auto_indexer(ix, str(tmp_path), poll_interval=0.05, debounce=0.0)
+    w.start()
+    try:
+        _t.sleep(0.15)
+        (tmp_path / "a.txt").write_text("machine learning content here")
+        for _ in range(80):
+            if ix.dense.n_docs == 1:
+                break
+            _t.sleep(0.05)
+    finally:
+        w.stop()
+    assert ix.dense.n_docs == 1
+    assert "machine learning" in ix.contents[0]
