@@ -32,11 +32,6 @@ import jax.numpy as jnp
 NEG_INF = jnp.float32(-jnp.inf)
 
 
-def block_n_min_pallas() -> int:
-    """Minimum corpus granularity for the Pallas tile-max fast path."""
-    return 512
-
-
 def l2_normalize(x: jax.Array, axis: int = -1, eps: float = 1e-12) -> jax.Array:
     """L2-normalize along `axis` (reference indexer.py:43 faiss.normalize_L2)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True))

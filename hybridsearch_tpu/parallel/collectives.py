@@ -9,7 +9,6 @@ moves O(shards * k) floats, never O(N) (SURVEY §2-P, §5.8).
 
 from __future__ import annotations
 
-import functools
 from typing import Tuple
 
 import jax
@@ -203,15 +202,3 @@ def sharded_hybrid_topk(
     )
     return fn(queries, docs_sharded, bm25_doc_ids, bm25_weights,
               bias_sharded, *run_arrays)
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def merge_shard_topk(
-    vals: jax.Array, idxs: jax.Array, k: int
-) -> Tuple[jax.Array, jax.Array]:
-    """Merge per-shard candidate lists [S, B, k_l] -> global [B, k]."""
-    S, B, kl = vals.shape
-    flat_v = jnp.transpose(vals, (1, 0, 2)).reshape(B, S * kl)
-    flat_i = jnp.transpose(idxs, (1, 0, 2)).reshape(B, S * kl)
-    mv, sel = jax.lax.top_k(flat_v, k)
-    return mv, jnp.take_along_axis(flat_i, sel, axis=1)
