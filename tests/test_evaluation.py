@@ -146,3 +146,40 @@ def test_train_checkpoint_roundtrip(tmp_path):
     enc = load_encoder(str(tmp_path / "ck"), cfg=cfg)
     emb = enc.encode(["hello world"])
     assert emb.shape == (1, 32)
+
+
+def test_beir_loader_and_evaluate(tmp_path):
+    """BEIR-format layout loads and evaluates end-to-end (tiny synthetic
+    dataset; real SciFact/MS MARCO plug in the same way when on disk)."""
+    import json
+    import os
+
+    from hybridsearch_tpu.evaluation.beir import evaluate_beir, load_beir
+
+    root = tmp_path / "beir"
+    os.makedirs(root / "qrels")
+    corpus = [
+        {"_id": "d1", "title": "ML", "text": "machine learning models learn"},
+        {"_id": "d2", "title": "", "text": "pasta needs boiling water"},
+        {"_id": "d3", "title": "NN", "text": "neural networks have layers"},
+    ]
+    with open(root / "corpus.jsonl", "w") as f:
+        for r in corpus:
+            f.write(json.dumps(r) + "\n")
+    with open(root / "queries.jsonl", "w") as f:
+        f.write(json.dumps({"_id": "q1", "text": "machine learning"}) + "\n")
+        f.write(json.dumps({"_id": "q2", "text": "cooking pasta"}) + "\n")
+    with open(root / "qrels" / "test.tsv", "w") as f:
+        f.write("query-id\tcorpus-id\tscore\n")
+        f.write("q1\td1\t1\nq2\td2\t1\nq1\td3\t0\n")
+
+    docs, keys, test_set = load_beir(str(root))
+    assert len(docs) == 3 and keys["d2"] == 1
+    assert {t["query"]: t["relevant_doc_ids"] for t in test_set} == {
+        "machine learning": [0], "cooking pasta": [1],
+    }
+
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False)
+    agg = evaluate_beir(s, str(root), k=2)
+    assert agg["docs"] == 3 and agg["queries"] == 2
+    assert agg["recall"] == 1.0  # tiny corpus: both relevants retrieved
