@@ -91,7 +91,28 @@ class HashingEncoder:
             ) / jnp.sqrt(jnp.float32(self.dim))
         return self._table
 
+    _STOP_HASHES = None
+
+    @classmethod
+    def _stop_hashes(cls):
+        if cls._STOP_HASHES is None:
+            from hybridsearch_tpu.text.extractor import STOPWORDS
+
+            cls._STOP_HASHES = tuple(sorted(stable_hash(w) for w in STOPWORDS))
+        return cls._STOP_HASHES
+
     def _features(self, text: str) -> List[tuple]:
+        # fast path: tokenize + FNV hashing in one native C pass
+        # (hash-identical to the Python path below; ~10x faster indexing)
+        try:
+            from hybridsearch_tpu.text.native import token_hashes
+
+            uni, bi = token_hashes(text, self._stop_hashes())
+            feats = [(int(h) % self.n_buckets, 1.0) for h in uni]
+            feats += [(int(h) % self.n_buckets, self.bigram_weight) for h in bi]
+            return feats[: self.max_tokens] or [(0, 0.0)]
+        except ImportError:
+            pass
         toks = extract_tokens(text)
         feats = [(stable_hash(t) % self.n_buckets, 1.0) for t in toks]
         for a, b in zip(toks, toks[1:]):

@@ -49,6 +49,13 @@ def _lib() -> Optional[ctypes.CDLL]:
                     ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
                     ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
                 ]
+                lib.hst_token_hashes.restype = ctypes.c_int64
+                lib.hst_token_hashes.argtypes = [
+                    ctypes.c_char_p, ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                    ctypes.POINTER(ctypes.c_uint64),
+                    ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                ]
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -73,6 +80,36 @@ def native_tokenize(text: str) -> List[str]:
     n = lib.hst_tokenize(data, len(data), starts, ends, cap)
     lowered = data.lower()
     return [lowered[starts[i] : ends[i]].decode("utf-8", "replace") for i in range(n)]
+
+
+_STOP_HASH_CACHE: dict = {}
+
+
+def token_hashes(text: str, stop_hashes: "tuple") -> "tuple":
+    """(unigram_hashes, bigram_hashes) of lowercase word tokens with
+    stopwords removed — one C pass, hash-identical to Python stable_hash
+    over extract_tokens output. Raises ImportError without the library."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None:
+        raise ImportError("libtextops.so not built")
+    key = id(stop_hashes)
+    arr = _STOP_HASH_CACHE.get(key)
+    if arr is None:
+        arr = np.sort(np.asarray(stop_hashes, dtype=np.uint64))
+        _STOP_HASH_CACHE[key] = arr
+    data = text.encode("utf-8", errors="replace")
+    cap = max(16, len(data) // 2 + 1)
+    uni = np.empty(cap, dtype=np.uint64)
+    bi = np.empty(cap, dtype=np.uint64)
+    n = lib.hst_token_hashes(
+        data, len(data),
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(arr),
+        uni.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        bi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap,
+    )
+    return uni[:n], bi[: max(0, n - 1)]
 
 
 def levenshtein(a: str, b: str) -> int:

@@ -104,6 +104,75 @@ double hst_partial_ratio(const char* a, int64_t la, const char* b, int64_t lb) {
   return 100.0 * (1.0 - static_cast<double>(best) / static_cast<double>(ls));
 }
 
+// Tokenize + hash in one pass for the hashing encoder: lowercase word
+// tokens ([A-Za-z0-9_]+), drop tokens whose FNV-1a hash appears in the
+// sorted `stop_hashes` list, then emit FNV-1a hashes of each kept token
+// (out_uni) and of each adjacent pair joined by '_' (out_bi, n-1 entries).
+// Returns the number of kept tokens. Must produce hashes identical to the
+// Python stable_hash over the lowercase token text.
+static inline uint64_t fnv1a_update(uint64_t h, const char* p, int64_t n) {
+  const uint64_t kPrime = 0x100000001B3ULL;
+  for (int64_t i = 0; i < n; ++i) {
+    h ^= static_cast<unsigned char>(p[i]);
+    h *= kPrime;
+  }
+  return h;
+}
+
+static inline bool in_sorted(const uint64_t* a, int64_t n, uint64_t v) {
+  int64_t lo = 0, hi = n;
+  while (lo < hi) {
+    int64_t mid = (lo + hi) / 2;
+    if (a[mid] < v) lo = mid + 1; else hi = mid;
+  }
+  return lo < n && a[lo] == v;
+}
+
+int64_t hst_token_hashes(const char* data, int64_t len,
+                         const uint64_t* stop_hashes, int64_t n_stop,
+                         uint64_t* out_uni, uint64_t* out_bi, int64_t cap) {
+  const uint64_t kOffset = 0xCBF29CE484222325ULL;
+  // buffer for the lowercased current token (tokens are ASCII by def)
+  char buf[256];
+  char prev[256];
+  int64_t prev_len = 0;
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < len && n < cap) {
+    unsigned char c = static_cast<unsigned char>(data[i]);
+    bool word = (c == '_' || (c >= '0' && c <= '9') || (c >= 'A' && c <= 'Z') ||
+                 (c >= 'a' && c <= 'z'));
+    if (!word) { ++i; continue; }
+    int64_t blen = 0;
+    while (i < len) {
+      unsigned char d = static_cast<unsigned char>(data[i]);
+      bool w = (d == '_' || (d >= '0' && d <= '9') || (d >= 'A' && d <= 'Z') ||
+                (d >= 'a' && d <= 'z'));
+      if (!w) break;
+      if (blen < 255) {
+        buf[blen++] = (d >= 'A' && d <= 'Z') ? static_cast<char>(d + 32)
+                                             : static_cast<char>(d);
+      }
+      ++i;
+    }
+    uint64_t h = fnv1a_update(kOffset, buf, blen);
+    if (in_sorted(stop_hashes, n_stop, h)) continue;
+    out_uni[n] = h;
+    if (n > 0) {
+      // hash(prev + "_" + tok)
+      uint64_t hb = fnv1a_update(kOffset, prev, prev_len);
+      const char us = '_';
+      hb = fnv1a_update(hb, &us, 1);
+      hb = fnv1a_update(hb, buf, blen);
+      out_bi[n - 1] = hb;
+    }
+    __builtin_memcpy(prev, buf, static_cast<size_t>(blen));
+    prev_len = blen;
+    ++n;
+  }
+  return n;
+}
+
 // 64-bit FNV-1a hashes over character shingles of length `k`.
 int64_t hst_minhash_shingles(const char* data, int64_t len, int64_t k,
                              uint64_t* out, int64_t cap) {

@@ -134,3 +134,27 @@ def test_hashing_encoder_properties(demo_docs):
     ml2 = enc.encode(["training data for machine learning"])[0]
     other = enc.encode(["boiling pasta with salt"])[0]
     assert cos(ml1, ml2) > cos(ml1, other)
+
+
+def test_native_token_hashes_parity():
+    """C tokenize+hash pass == Python stable_hash over extract_tokens."""
+    from hybridsearch_tpu.models.encoder import HashingEncoder, stable_hash
+    from hybridsearch_tpu.text import native as nat
+
+    if not nat.native_available():
+        pytest.skip("libtextops.so not built")
+    enc = HashingEncoder(dim=32)
+    for text in (
+        "The QUICK brown fox and the lazy dog",
+        "numbers 123 and under_scores mix-in",
+        "",
+        "the and of to",  # all stopwords
+    ):
+        uni, bi = nat.token_hashes(text, enc._stop_hashes())
+        from hybridsearch_tpu.text.extractor import extract_tokens
+
+        toks = extract_tokens(text)
+        assert [int(x) for x in uni] == [stable_hash(t) for t in toks]
+        assert [int(x) for x in bi] == [
+            stable_hash(a + "_" + b) for a, b in zip(toks, toks[1:])
+        ]
