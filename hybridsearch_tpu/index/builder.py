@@ -84,7 +84,7 @@ class Indexer:
 
     # -- embedding ---------------------------------------------------------------
 
-    def embed(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
+    def embed(self, texts: Sequence[str], batch_size: int = 512) -> np.ndarray:
         """Batched encode (reference indexer.py:229-243)."""
         out = []
         for i in range(0, len(texts), batch_size):

@@ -119,20 +119,42 @@ class HashingEncoder:
             feats.append((stable_hash(a + "_" + b) % self.n_buckets, self.bigram_weight))
         return feats[: self.max_tokens] or [(0, 0.0)]
 
+    def _feature_arrays(self, text: str):
+        """(ids, weights) numpy arrays for one text — vectorized fast path
+        over the native tokenize+hash pass."""
+        try:
+            from hybridsearch_tpu.text.native import token_hashes
+
+            uni, bi = token_hashes(text, self._stop_hashes())
+            ids = np.concatenate([uni, bi]).astype(np.int64) % self.n_buckets
+            ws = np.concatenate([
+                np.ones(len(uni), np.float32),
+                np.full(len(bi), self.bigram_weight, np.float32),
+            ])
+        except ImportError:
+            feats = self._features(text)
+            ids = np.asarray([f for f, _w in feats], dtype=np.int64)
+            ws = np.asarray([w for _f, w in feats], dtype=np.float32)
+        ids = ids[: self.max_tokens]
+        ws = ws[: self.max_tokens]
+        if len(ids) == 0:
+            ids = np.zeros(1, np.int64)
+            ws = np.zeros(1, np.float32)
+        return ids.astype(np.int32), ws
+
     def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
         if not len(texts):
             return np.zeros((0, self.dim), dtype=np.float32)
-        feats = [self._features(t) for t in texts]
-        L = max(len(f) for f in feats)
+        feats = [self._feature_arrays(t) for t in texts]
+        L = max(len(f[0]) for f in feats)
         # Bucket pad length to limit jit recompiles across calls.
         L = max(8, 1 << (L - 1).bit_length())
         B = len(texts)
         ids = np.zeros((B, L), dtype=np.int32)
         ws = np.zeros((B, L), dtype=np.float32)
-        for i, f in enumerate(feats):
-            for j, (fid, w) in enumerate(f):
-                ids[i, j] = fid
-                ws[i, j] = w
+        for i, (fid, w) in enumerate(feats):
+            ids[i, : len(fid)] = fid
+            ws[i, : len(w)] = w
         out = _gather_mean(self.table, jnp.asarray(ids), jnp.asarray(ws))
         return np.asarray(out, dtype=np.float32)
 
