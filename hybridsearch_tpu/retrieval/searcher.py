@@ -82,6 +82,36 @@ def _semantic_full(q: jax.Array, docs: jax.Array) -> jax.Array:
     return jnp.dot(qn, docs.T, preferred_element_type=jnp.float32)
 
 
+@functools.partial(jax.jit, static_argnames=("k", "widths", "n"))
+def _hybrid_one_program(
+    q: jax.Array,
+    docs: jax.Array,  # [n, D] pre-normalized slice
+    bm_doc_ids: jax.Array,
+    bm_weights: jax.Array,
+    run_arrays: tuple,  # interleaved (starts, lengths) per width
+    w_s: jax.Array,
+    w_l: jax.Array,
+    bias: jax.Array,  # [n]
+    k: int,
+    widths: tuple,
+    n: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """The whole single-device hybrid query in ONE compiled program:
+    semantic matmul + bucketed BM25 + alive-masked min-max fusion + tiled
+    top-k. One device dispatch per query batch instead of 4-6 (matters for
+    per-query latency; XLA also fuses across the stages)."""
+    from hybridsearch_tpu.ops.bm25 import _local_bucketed_scores
+
+    qn = l2_normalize(q.astype(jnp.float32))
+    sem = jnp.dot(qn, docs.T, preferred_element_type=jnp.float32)
+    if run_arrays:
+        lex = _local_bucketed_scores(bm_doc_ids, bm_weights, run_arrays,
+                                     widths, n)
+    else:
+        lex = jnp.zeros_like(sem)
+    return _fuse_and_topk(sem, lex, w_s, w_l, bias, k)
+
+
 class Searcher:
     def __init__(
         self,
@@ -252,6 +282,25 @@ class Searcher:
                     l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32))),
                     snap.docs, sh.doc_ids, sh.weights, groups, k,
                     sw, lw, valid_n=snap.n, bias_sharded=snap.bias,
+                )
+        elif (
+            self.lexical_mode == "bm25"
+            and self.semantic_mode == "exact"
+            and bm25_state.postings is not None
+            and bm25_state.n_docs == n
+        ):
+            # whole query in one compiled program (single device dispatch)
+            with trace_span("hybrid_fused"):
+                groups = bm25.encode_queries_bucketed(list(queries),
+                                                      bm25_state)
+                widths = tuple(w for w, _s, _l in groups)
+                runs = tuple(a for _w, st, ln in groups for a in (st, ln))
+                po = bm25_state.postings
+                vals, idxs = _hybrid_one_program(
+                    jnp.asarray(np.asarray(q_vecs, np.float32)),
+                    snap.docs[:n], po.doc_ids, po.weights, runs,
+                    jnp.float32(sw), jnp.float32(lw), snap.bias[:n],
+                    k, widths, n,
                 )
         else:
             with trace_span("semantic"):

@@ -73,10 +73,13 @@ def test_recall_parity_vs_oracle(searcher, demo_docs):
 def test_stage_timer_and_spans(searcher):
     searcher.search("machine learning", top_k=3)
     stats = searcher.get_stats()["stages"]
-    for stage in ("encode", "semantic", "lexical", "fuse_topk"):
-        assert stage in stats
-        assert stats[stage]["count"] >= 1
-        assert stats[stage]["p50_ms"] >= 0.0
+    assert "encode" in stats
+    # default path runs the whole hybrid in one program; the staged path
+    # (fuzzy/scatter modes) logs semantic/lexical/fuse_topk separately
+    assert "hybrid_fused" in stats or {"semantic", "lexical",
+                                       "fuse_topk"} <= set(stats)
+    for s in stats.values():
+        assert s["count"] >= 1 and s["p50_ms"] >= 0.0
 
 
 def test_stage_timer_rolling_window():
