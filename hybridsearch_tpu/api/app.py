@@ -38,7 +38,7 @@ from hybridsearch_tpu.services.metadata_filter import (
     MetadataFilterEngine,
 )
 from hybridsearch_tpu.services.semantic_cache import SemanticCache
-from hybridsearch_tpu.services.watcher import FileWatcher, create_auto_indexer
+from hybridsearch_tpu.services.watcher import FileWatcher
 
 JSON = Dict[str, Any]
 Handler = Callable[["EngineState", Dict[str, str], JSON, Dict[str, str]],
@@ -101,19 +101,35 @@ class EngineState:
         except Exception:
             pass
 
+    # -- mutation discipline ------------------------------------------------------
+
+    def invalidate_query_caches(self) -> None:
+        """Every index mutation must call this: cached /search responses
+        reference doc ids that a mutation may repoint or remove."""
+        if self.semantic_cache is not None:
+            self.semantic_cache.invalidate()
+
     # -- jobs ------------------------------------------------------------------
 
     def _index_job(self, payload, progress_cb, cancel_event):
+        """Async index handler. Idempotent under JobQueue retries: committed
+        progress is tracked in the payload (the same dict across retries), so
+        a retry resumes after the last committed batch instead of re-adding
+        every batch (which would duplicate docs up to max_retries+1 times)."""
         docs = payload.get("documents", [])
         batch = 32
-        added: List[int] = []
-        for i in range(0, len(docs), batch):
+        added: List[int] = payload.setdefault("_added_ids", [])
+        start = int(payload.get("_committed", 0))
+        for i in range(start, len(docs), batch):
             if cancel_event.is_set():
                 raise RuntimeError("cancelled")
             with self._mutate_lock:
-                added.extend(self.indexer.add_documents(docs[i : i + batch]))
+                ids = self.indexer.add_documents(docs[i : i + batch])
+                added.extend(int(x) for x in ids)
+                payload["_committed"] = i + batch
+            self.invalidate_query_caches()
             progress_cb(100.0 * min(1.0, (i + batch) / max(len(docs), 1)))
-        return {"added": len(added), "doc_ids": [int(x) for x in added]}
+        return {"added": len(added), "doc_ids": list(added)}
 
     def close(self) -> None:
         if self.watcher is not None:
@@ -395,16 +411,16 @@ def h_index_add(state, params, body, query):
 
 
 def h_delete_document(state, params, body, query):
-    """DELETE /documents/{id} — tombstone the doc in the dense index (it
-    stops surfacing immediately; compaction reclaims space). Beyond the
-    reference's surface, enabled by the tombstone bias machinery."""
+    """DELETE /documents/{id} — tombstone the doc in the dense index, the
+    BM25 postings AND the host store (it stops surfacing from every path
+    immediately; compaction reclaims space). Beyond the reference's surface,
+    enabled by the tombstone bias machinery."""
     doc_id = int(params["doc_id"])
     if doc_id < 0 or doc_id >= state.indexer.dense.n_docs:
         return 404, {"detail": f"doc {doc_id} not found"}
     with state._mutate_lock:
-        state.indexer.dense.delete([doc_id])
-    if state.semantic_cache is not None:
-        state.semantic_cache.invalidate()
+        state.indexer.delete_documents([doc_id])
+    state.invalidate_query_caches()
     return 200, {"status": "deleted", "doc_id": doc_id,
                  "tombstoned": state.indexer.dense.deleted_count}
 
@@ -457,6 +473,10 @@ def h_metrics(state, params, body, query):
             f"hst_cache_misses_total {cs['misses']}",
             f"hst_cache_entries {cs['entries']}",
         ]
+    from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+    for name, v in sorted(GLOBAL_COUNTERS.all().items()):
+        lines.append(f"hst_{name}_total {v}")
     return 200, {"_text": "\n".join(lines) + "\n"}
 
 
@@ -476,7 +496,21 @@ def h_watcher_start(state, params, body, query):
         return 400, {"detail": "directory is required"}
     if state.watcher is not None and state.watcher.is_running:
         return 400, {"detail": "watcher already running"}
-    state.watcher = create_auto_indexer(state.indexer, directory)
+    from hybridsearch_tpu.text.extractor import discover_documents
+
+    def _reindex(_event: str, _path: str) -> None:
+        # same mutation discipline as the handlers: take the lock, then
+        # invalidate the semantic cache (a destructive full reindex repoints
+        # every doc_id — stale cached /search responses must not survive it)
+        docs = discover_documents(directory)
+        if docs:
+            with state._mutate_lock:
+                state.indexer.index_documents(
+                    [c for _p, c in docs], [p for p, _c in docs]
+                )
+            state.invalidate_query_caches()
+
+    state.watcher = FileWatcher(directory, _reindex)
     state.watcher.start()
     return 200, {"status": "watching", "directory": directory}
 

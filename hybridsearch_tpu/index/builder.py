@@ -149,6 +149,17 @@ class Indexer:
         self.bm25.fit_tokens(self._token_cache)
         return ids
 
+    def delete_documents(self, doc_ids: Sequence[int]) -> int:
+        """Tombstone docs consistently across the dense index, the BM25
+        postings, and the host store (DELETE /documents/{id}): deleted docs
+        stop surfacing from every retrieval path immediately; compaction /
+        the next full reindex reclaims space."""
+        ids = [int(i) for i in doc_ids]
+        self.dense.delete(ids)
+        self.bm25.delete(ids)
+        self.store.delete_documents(ids)
+        return len(ids)
+
     def _align_bm25_shards(self) -> None:
         """Partition BM25 postings by the dense index's rows-per-shard so
         hybrid fusion runs shard-locally (parallel/collectives.py)."""
@@ -169,6 +180,10 @@ class Indexer:
                 self.dense.build(self.embed(contents))
             self._align_bm25_shards()
             self.bm25.fit(contents)
+            deleted = self.store.deleted_ids()
+            if deleted:  # re-apply persisted tombstones to both arms
+                self.dense.delete(deleted)
+                self.bm25.delete(deleted)
         return len(contents)
 
     # -- persistence ---------------------------------------------------------------
@@ -216,6 +231,9 @@ class Indexer:
             idx.bm25.load(bm25_path)  # no tokenize+refit on reload
         elif contents:
             idx.bm25.fit(contents)
+        deleted = idx.store.deleted_ids()
+        if deleted:  # dense tombstones persist via bias.npy; BM25's do not
+            idx.bm25.delete(deleted)
         return idx
 
     # -- export / import (reference cli.py:129-159) -----------------------------

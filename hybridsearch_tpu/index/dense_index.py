@@ -30,7 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hybridsearch_tpu.ops.dense import l2_normalize, scan_dense_topk
+from hybridsearch_tpu.ops.dense import l2_normalize, scan_dense_topk, tiled_dense_topk
 from hybridsearch_tpu.parallel import collectives, mesh as mesh_lib
 
 NEG_INF_F32 = float("-inf")
@@ -219,8 +219,6 @@ class DenseIndex:
                 valid_n=snap.n, bias_sharded=bias,
             )
         elif snap.capacity >= 65536 and k_eff <= 512:
-            # capacity-padded rows carry a -inf bias? No: padding rows have
-            # bias 0 and zero vectors (score <= 0); mask by index below.
             vals, idxs = tiled_dense_topk(
                 q, snap.docs, k_eff, block_n=max(self.block_n, 65536),
                 bias=bias,

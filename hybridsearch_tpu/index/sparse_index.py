@@ -97,6 +97,10 @@ class BM25:
         self.docs_per_shard: Optional[int] = None
         self._state = _BM25State(Vocabulary(), None, None, 0, None)
         self._doc_tokens: List[List[str]] = []
+        # Deleted doc ids, masked out of search() results (paired with the
+        # dense index's tombstone bias so DELETE /documents/{id} is
+        # consistent across BOTH arms; compaction/refit clears them).
+        self._tombstones: set = set()
 
     # state accessors (read the snapshot once per operation for consistency)
 
@@ -172,7 +176,18 @@ class BM25:
             runs = np.bincount(t_arr, minlength=len(vocab) + 1)
             new_state = _BM25State(vocab, postings, None, n_docs, runs)
         self._state = new_state  # atomic publish
+        self._tombstones = set()  # a refit defines a fresh corpus
         return self
+
+    # -- deletion ------------------------------------------------------------
+
+    def delete(self, doc_ids: Sequence[int]) -> None:
+        """Tombstone docs: they stop surfacing from search(). Postings and
+        global stats (df, avg_len) are untouched until the next fit — the
+        same reclaim-on-compact contract as DenseIndex.delete."""
+        tombs = set(self._tombstones)
+        tombs.update(int(i) for i in doc_ids)
+        self._tombstones = tombs  # atomic publish (replace, never mutate)
 
     # -- query encoding ----------------------------------------------------
 
@@ -259,7 +274,8 @@ class BM25:
         search (bm25.py:129-158 only returns docs with positive scores)."""
         if self.n_docs == 0:
             return []
-        k = min(top_k, self.n_docs)
+        tombs = self._tombstones
+        k = min(top_k + len(tombs), self.n_docs)
         state = self._state
         if state.sharded is not None:
             groups = self.encode_queries_bucketed([query], state)
@@ -269,12 +285,13 @@ class BM25:
                                                     groups, k)
             vals, idxs = np.asarray(vals)[0], np.asarray(idxs)[0]
             return [(int(i), float(v)) for v, i in zip(vals, idxs)
-                    if i >= 0 and v > 0.0]
+                    if i >= 0 and v > 0.0 and int(i) not in tombs][:top_k]
         scores = self.score_all(query)
         if scores.size == 0:
             return []
         idx = np.argsort(-scores, kind="stable")[:k]
-        return [(int(i), float(scores[i])) for i in idx if scores[i] > 0.0]
+        return [(int(i), float(scores[i])) for i in idx
+                if scores[i] > 0.0 and int(i) not in tombs][:top_k]
 
     def batch_scores(self, queries: Sequence[str]) -> np.ndarray:
         """[B, n_docs] scores for a query batch — the batched device path the

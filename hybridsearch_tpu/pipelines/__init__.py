@@ -245,11 +245,12 @@ class HybridBM25Pipeline(BasePipeline):
         q_vec = ix.encoder.encode([query])
         sem = self.searcher._semantic_scores(q_vec, n, snap)  # full scores
         lex = jnp.asarray(ix.bm25.batch_scores([query]))
-        # reference normalizes by max only, over ALL docs (top_k=len(docs))
+        # reference normalizes by max only, over ALL docs (top_k=len(docs));
+        # tombstone bias keeps deleted docs out of this path too
         fused = (
             max_normalize(sem) * self.semantic_weight
             + max_normalize(lex) * self.bm25_weight
-        )
+        ) + snap.bias[:n][None, :]
         if n > 65536:  # device tiled selection instead of a host full sort
             from hybridsearch_tpu.ops.dense import tiled_matrix_topk
 
@@ -257,14 +258,14 @@ class HybridBM25Pipeline(BasePipeline):
             vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
             results = [
                 (float(v), ix.contents[int(i)], int(i))
-                for v, i in zip(vals, idx) if i >= 0
+                for v, i in zip(vals, idx) if i >= 0 and np.isfinite(v)
             ]
         else:
             fused_np = np.asarray(fused)[0]
             order = np.argsort(-fused_np, kind="stable")[:top_k]
             results = [
                 (float(fused_np[i]), ix.contents[int(i)], int(i))
-                for i in order
+                for i in order if np.isfinite(fused_np[i])
             ]
         return self._finish(results, query, {"pipeline": self.name})
 
@@ -320,8 +321,14 @@ class MultiStagePipeline(BasePipeline):
         # Stage 1: dense retrieval (pure semantic, pipelines.py:474-481)
         q_vec = ix.encoder.encode([query])
         k1 = min(self.stage1_k, n)
-        _vals, idxs = ix.dense.search(q_vec, k1)
-        candidates = idxs[0]
+        vals1, idxs = ix.dense.search(q_vec, k1)
+        # drop -1 padding ids (k1 > alive docs) and tombstoned (-inf) hits —
+        # Python's -1 indexing would otherwise smuggle the LAST doc into
+        # stage 2 with a fabricated score (the batched path already guards)
+        keep = (idxs[0] >= 0) & np.isfinite(vals1[0])
+        candidates = idxs[0][keep]
+        if candidates.size == 0:
+            return self._finish([], query, {"pipeline": self.name})
         # Stage 2: BM25 scores gathered at candidates (pipelines.py:484-487)
         cand_scores = ix.bm25.candidate_scores(query, candidates)
         k2 = min(self.stage2_k, len(candidates))
@@ -356,7 +363,10 @@ class MultiStagePipeline(BasePipeline):
         B = len(queries)
         q_vecs = ix.encoder.encode(list(queries))
         k1 = min(self.stage1_k, n)
-        _vals, idxs = ix.dense.search(q_vecs, k1)  # [B, k1]
+        vals1, idxs = ix.dense.search(q_vecs, k1)  # [B, k1]
+        # mark padding (-1) and tombstoned (-inf) hits invalid so the
+        # stage-3 id guard drops them
+        idxs = np.where((idxs >= 0) & np.isfinite(vals1), idxs, -1)
         # Stage 2: batched candidate BM25
         bm25_state = ix.bm25._state
         groups = ix.bm25.encode_queries_bucketed(list(queries), bm25_state)

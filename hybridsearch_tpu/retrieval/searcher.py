@@ -166,9 +166,28 @@ class Searcher:
         add can't change n between the arms — SURVEY §5.2 discipline)."""
         dense = self.indexer.dense
         n = snap.n
-        if self.semantic_mode == "scatter" or (
-            self.indexer.mesh is not None and n > 0
-        ):
+        mesh_fallback = (
+            self.semantic_mode != "scatter"
+            and self.indexer.mesh is not None
+            and n > 0
+        )
+        if mesh_fallback and 2 * top_k < n:
+            # Exact mesh hybrid requires BM25 shards aligned with the dense
+            # capacity; landing here means that alignment failed and the
+            # semantic arm downgrades to scatter-2k (exact -> approximate).
+            # Surface it: warn once, count every occurrence (/metrics).
+            from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+            if GLOBAL_COUNTERS.inc("semantic_exactness_downgrade") == 1:
+                import warnings
+
+                warnings.warn(
+                    "mesh hybrid fell back to scatter-2k semantics "
+                    "(BM25 shards misaligned with the dense index); results "
+                    "are approximate until the next aligned (re)fit",
+                    RuntimeWarning,
+                )
+        if self.semantic_mode == "scatter" or mesh_fallback:
             # FAISS-branch parity: top (2k) retrieved, scattered into zeros
             # (reference core.py:244-250). Also the scalable path: only 2k
             # candidates leave the kernel.

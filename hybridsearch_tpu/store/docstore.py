@@ -28,6 +28,7 @@ CREATE TABLE IF NOT EXISTS documents (
     char_count INTEGER NOT NULL DEFAULT 0,
     lang TEXT,
     is_duplicate_of INTEGER,
+    deleted INTEGER NOT NULL DEFAULT 0,
     created_at REAL NOT NULL
 );
 CREATE TABLE IF NOT EXISTS query_history (
@@ -93,6 +94,13 @@ class DocStore:
             if path != ":memory:":
                 self._conn.execute("PRAGMA journal_mode=WAL")
             self._conn.executescript(_SCHEMA)
+            # migrate pre-existing stores created before the deleted column
+            cols = [r["name"] for r in self._conn.execute(
+                "PRAGMA table_info(documents)").fetchall()]
+            if "deleted" not in cols:
+                self._conn.execute(
+                    "ALTER TABLE documents ADD COLUMN deleted INTEGER "
+                    "NOT NULL DEFAULT 0")
             self._conn.commit()
 
     def close(self) -> None:
@@ -156,13 +164,32 @@ class DocStore:
             ).fetchone()
         return dict(row) if row else None
 
-    def get_all_documents(self) -> List[Dict[str, Any]]:
-        """Ordered by doc_id (reference indexer.py:362-373)."""
+    def get_all_documents(self, include_deleted: bool = False) -> List[Dict[str, Any]]:
+        """Ordered by doc_id (reference indexer.py:362-373); tombstoned docs
+        are excluded from listings unless asked for."""
+        where = "" if include_deleted else "WHERE deleted=0 "
         with self._lock:
             rows = self._conn.execute(
-                "SELECT * FROM documents ORDER BY doc_id"
+                f"SELECT * FROM documents {where}ORDER BY doc_id"
             ).fetchall()
         return [dict(r) for r in rows]
+
+    def delete_documents(self, doc_ids: Sequence[int]) -> None:
+        """Soft-delete: rows stay (positional doc_id alignment with the
+        device indexes must survive reloads) but leave listings."""
+        with self._lock:
+            self._conn.executemany(
+                "UPDATE documents SET deleted=1 WHERE doc_id=?",
+                [(int(i),) for i in doc_ids],
+            )
+            self._conn.commit()
+
+    def deleted_ids(self) -> List[int]:
+        with self._lock:
+            rows = self._conn.execute(
+                "SELECT doc_id FROM documents WHERE deleted=1 ORDER BY doc_id"
+            ).fetchall()
+        return [r["doc_id"] for r in rows]
 
     def get_contents(self) -> Tuple[List[int], List[str]]:
         with self._lock:

@@ -59,6 +59,31 @@ class StageTimer:
 GLOBAL_TIMER = StageTimer()
 
 
+class Counters:
+    """Named monotonic counters surfaced through /metrics (e.g. the
+    exact->approximate semantic-arm downgrade counter)."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._counts: Dict[str, int] = {}
+
+    def inc(self, name: str, by: int = 1) -> int:
+        with self._lock:
+            self._counts[name] = self._counts.get(name, 0) + by
+            return self._counts[name]
+
+    def get(self, name: str) -> int:
+        with self._lock:
+            return self._counts.get(name, 0)
+
+    def all(self) -> Dict[str, int]:
+        with self._lock:
+            return dict(self._counts)
+
+
+GLOBAL_COUNTERS = Counters()
+
+
 @contextlib.contextmanager
 def trace_span(stage: str, timer: Optional[StageTimer] = None) -> Iterator[None]:
     """Time a stage and annotate the device trace when profiling."""
