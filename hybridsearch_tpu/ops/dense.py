@@ -132,7 +132,8 @@ def scan_dense_topk(
     return vals, idxs
 
 
-@functools.partial(jax.jit, static_argnames=("k", "block_n", "tile"))
+@functools.partial(jax.jit,
+                   static_argnames=("k", "block_n", "tile", "with_stats"))
 def tiled_dense_topk(
     queries: jax.Array,
     docs: jax.Array,
@@ -140,7 +141,8 @@ def tiled_dense_topk(
     block_n: int = 262144,
     tile: int = 128,
     bias: jax.Array | None = None,
-) -> Tuple[jax.Array, jax.Array]:
+    with_stats: bool = False,
+) -> Tuple[jax.Array, ...]:
     """Exact top-k via tile-max two-phase selection — the fast path at scale.
 
     lax.top_k over a [B, block_n] score block is sort-dominated; this kernel
@@ -160,6 +162,12 @@ def tiled_dense_topk(
 
     docs must be pre-L2-normalized. bias: optional [N] additive score bias
     (0 / -inf tombstone + filter mask).
+
+    with_stats=True additionally returns (smin [B], smax [B]): the exact
+    global min/max of the RAW scores over alive docs (bias treated as a
+    0/-inf mask), computed inside the same single sweep — the normalization
+    statistics of the sparse-correction hybrid (ops/hybrid.py). Return is
+    then (vals, idxs, smin, smax). Not supported in int8 mode.
     """
     q = queries.astype(jnp.float32)
     B, Dm = q.shape
@@ -200,6 +208,8 @@ def tiled_dense_topk(
     # (int_prod / 127^2 ~= cosine). bf16 mode: operands stay bf16 for the
     # MXU. Otherwise fp32.
     int8_mode = d.dtype == jnp.int8
+    if with_stats and int8_mode:
+        raise NotImplementedError("with_stats is not supported in int8 mode")
     INV8 = jnp.float32(1.0 / (127.0 * 127.0))
     if int8_mode:
         q8f = jnp.clip(jnp.round(q * 127.0), -127.0, 127.0)
@@ -227,15 +237,25 @@ def tiled_dense_topk(
         and (d.dtype != jnp.int8 or os.environ.get("HST_INT8_PALLAS") == "1")
     )
 
+    tile_mins = None
     if use_pallas:
-        from hybridsearch_tpu.ops.pallas_topk import pallas_tile_max
+        from hybridsearch_tpu.ops.pallas_topk import (
+            pallas_tile_max,
+            pallas_tile_minmax,
+        )
 
         q_dev = q_mm.astype(jnp.int8) if int8_mode else q_mm
-        tile_maxes = pallas_tile_max(
-            q_dev, d, bias_p, block_n=pallas_tpb * tile
-        )  # [B, n_tiles]
+        if with_stats:
+            tile_maxes, tile_mins = pallas_tile_minmax(
+                q_dev, d, bias_p, block_n=pallas_tpb * tile
+            )  # [B, n_tiles] each
+        else:
+            tile_maxes = pallas_tile_max(
+                q_dev, d, bias_p, block_n=pallas_tpb * tile
+            )  # [B, n_tiles]
     else:
         col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
+        POS_INF = jnp.float32(jnp.inf)
 
         def pass1(_, inp):
             blk_i, e_blk = inp
@@ -248,18 +268,35 @@ def tiled_dense_topk(
             if int8_mode:
                 s = s * INV8
             gidx = blk_i * block_n + col
+            raw = s
             if bias_p is not None:
                 b_blk = jax.lax.dynamic_slice(
                     bias_p, (blk_i * block_n,), (block_n,)
                 )
                 s = s + b_blk[None, :]
+            else:
+                b_blk = None
             s = jnp.where(gidx < N, s, NEG_INF)
             tile_max = jnp.max(s.reshape(B, tiles_per_block, tile), axis=2)
-            return None, tile_max
+            if not with_stats:
+                return None, tile_max
+            alive = gidx < N
+            if b_blk is not None:
+                alive = alive & (b_blk[None, :] >= 0.0)
+            s_min = jnp.where(alive, raw, POS_INF)
+            tile_min = jnp.min(s_min.reshape(B, tiles_per_block, tile), axis=2)
+            return None, (tile_max, tile_min)
 
-        _, tile_maxes = jax.lax.scan(
+        _, scanned = jax.lax.scan(
             pass1, None, (jnp.arange(nb, dtype=jnp.int32), d_blocks)
-        )  # [nb, B, tiles_per_block]
+        )  # [nb, B, tiles_per_block] (pair when with_stats)
+        if with_stats:
+            tile_maxes, tile_mins = scanned
+            tile_mins = jnp.transpose(tile_mins, (1, 0, 2)).reshape(
+                B, nb * tiles_per_block
+            )[:, :n_tiles]
+        else:
+            tile_maxes = scanned
         tile_maxes = jnp.transpose(tile_maxes, (1, 0, 2)).reshape(
             B, nb * tiles_per_block
         )
@@ -316,6 +353,10 @@ def tiled_dense_topk(
     vals, sel3 = jax.lax.top_k(s3, k_eff)
     idxs = jnp.take_along_axis(gidx3, sel3, axis=1)
     idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
+    if with_stats:
+        smax = jnp.max(tile_maxes, axis=1)
+        smin = jnp.min(tile_mins, axis=1)
+        return vals, idxs, smin, smax
     return vals, idxs
 
 

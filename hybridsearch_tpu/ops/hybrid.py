@@ -1,0 +1,313 @@
+"""Sparse-correction exact hybrid retrieval at corpus scale.
+
+The reference's hybrid semantics (reference core.py:199-271 and
+pipelines.py:315-343) normalize BOTH full score arrays and fuse them:
+
+    hybrid(d) = w_s * norm(sem(d)) + w_l * norm(lex(d))
+
+The round-1 fused path materializes the full [B, N] lexical array, which is
+20 GB at 10M docs x 512 queries — a non-starter. This module computes the
+same top-k WITHOUT any [B, N] array, using a threshold-algorithm (Fagin TA)
+candidate union plus TPU-shaped block-max bounds:
+
+  dense arm   one streaming sweep of the doc matrix (tiled_dense_topk
+              with_stats=True): exact top-K' semantic candidates plus the
+              exact global min/max of semantic scores over alive docs —
+              the min-max normalization statistics.
+  lexical arm posting entries are scatter-added at 128-doc TILE granularity
+              into [B, n_tiles] *bounds* (all BM25 weights are >= 0, so a
+              tile's weight-sum upper-bounds every doc score inside it —
+              block-max WAND, TPU style). The top-M tiles by bound are
+              rescored exactly (binary-search candidate scoring over the
+              CSR runs), giving the top lexical candidates and the exact
+              lexical max; all other docs are certified <= the M-th bound.
+  fusion      each arm's candidates get their OTHER arm's exact score
+              (lexical: CSR binary search; semantic: gather k rows of the
+              doc matrix and dot), both arms normalize with the exact
+              global statistics, and the fused top-k is taken over the
+              candidate union (deduplicated).
+  certificate every doc outside the union has sem <= the K'-th dense value
+              and lex <= max(M-th tile bound, C'-th lexical candidate), so
+                tau = w_s * nsem(semK') + w_l * nlex(lex_bound)
+              upper-bounds every unseen doc. If the k-th fused candidate
+              >= tau, the result is EXACT; the per-query flag reports it,
+              and callers escalate (K', M) or fall back when it is False.
+
+Lexical min is 0 whenever at least one alive doc contains no query term;
+the caller certifies this from posting lengths (total postings touched <
+alive docs). BM25 min-max therefore normalizes by the exact max alone.
+
+bias must be a 0/-inf alive mask (tombstones + metadata pre-filter), the
+only form the framework produces.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.ops.bm25 import (
+    BM25Postings,
+    _bm25_scores_runs,
+    _cand_scores_runs,
+)
+from hybridsearch_tpu.ops.dense import (
+    NEG_INF,
+    tiled_dense_topk,
+    tiled_matrix_topk,
+)
+
+TILE = 128
+
+
+@functools.partial(jax.jit, static_argnames=("n_tiles", "width"))
+def _bm25_tile_bounds(
+    doc_ids: jax.Array,
+    weights: jax.Array,
+    starts: jax.Array,  # [B, T]
+    lengths: jax.Array,  # [B, T]
+    n_tiles: int,
+    width: int,
+) -> jax.Array:
+    """[B, n_tiles] per-tile SUMS of posting weights (upper bound on any
+    single doc's score within the tile, since weights >= 0).
+
+    Same carry-free gather + one-scatter structure as _bm25_scores_runs,
+    but the scatter target is 128x smaller (doc_id // TILE)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)[0]
+    drop = jnp.int32(n_tiles * TILE)  # // TILE == n_tiles -> mode="drop"
+
+    def gather_one(s_row, l_row):
+        def body(_, sl):
+            st, ln = sl
+            ids = jax.lax.dynamic_slice(doc_ids, (st,), (width,))
+            ws = jax.lax.dynamic_slice(weights, (st,), (width,))
+            valid = iota < ln
+            return None, (jnp.where(valid, ids, drop),
+                          jnp.where(valid, ws, 0.0))
+
+        _, (ids, ws) = jax.lax.scan(body, None, (s_row, l_row))
+        return ids.reshape(-1), ws.reshape(-1)
+
+    ids_flat, ws_flat = jax.vmap(gather_one)(starts, lengths)
+    tids = ids_flat // TILE
+
+    def scatter_one(tids_row, ws_row):
+        return jnp.zeros((n_tiles,), jnp.float32).at[tids_row].add(
+            ws_row, mode="drop"
+        )
+
+    return jax.vmap(scatter_one)(tids, ws_flat)
+
+
+class HybridTopK(NamedTuple):
+    values: jax.Array  # [B, k] fused scores (desc)
+    indices: jax.Array  # [B, k] doc ids, -1 for empty slots
+    exact: jax.Array  # [B] bool — True when the TA certificate holds
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "k", "k_dense", "m_tiles", "c_lex", "widths", "norm", "block_n",
+    ),
+)
+def _hybrid_sparse_impl(
+    q: jax.Array,  # [B, D] L2-normalized fp32 queries
+    docs: jax.Array,  # [N, D] L2-normalized (bf16/fp32), N % 128 == 0
+    po_doc_ids: jax.Array,
+    po_weights: jax.Array,
+    run_arrays: tuple,  # interleaved (starts, lengths) per width
+    w_s: jax.Array,
+    w_l: jax.Array,
+    bias: Optional[jax.Array],  # [N] 0/-inf alive mask or None
+    lex_min_zero: jax.Array,  # [B] bool host certificate (see module doc)
+    k: int,
+    k_dense: int,
+    m_tiles: int,
+    c_lex: int,
+    widths: tuple,
+    norm: str,
+    block_n: int,
+) -> HybridTopK:
+    B, D = q.shape
+    N = docs.shape[0]
+    n_tiles = N // TILE
+    eps = jnp.float32(1e-12)
+
+    # -- dense arm: exact top-K' + exact alive min/max in ONE sweep --------
+    kd = min(k_dense, N)
+    vals_d, idxs_d, smin, smax = tiled_dense_topk(
+        q, docs, kd, block_n=block_n, bias=bias, with_stats=True
+    )
+    # raw semantic values of alive candidates equal the selection values
+    # (mask bias adds 0); dead/padded slots are -inf/-1.
+
+    # -- lexical arm: tile bounds -> top-M tiles -> exact rescore ----------
+    m_eff = min(m_tiles, n_tiles)
+    bounds = jnp.zeros((B, n_tiles), jnp.float32)
+    for i, width in enumerate(widths):
+        starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
+        bounds = bounds + _bm25_tile_bounds(
+            po_doc_ids, po_weights, starts, lengths, n_tiles, width
+        )
+    if n_tiles > 65536:
+        bvals, btiles = tiled_matrix_topk(bounds, m_eff)
+        btiles = jnp.maximum(btiles, 0)
+    else:
+        bvals, btiles = jax.lax.top_k(bounds, m_eff)
+    # unseen-TILE score bound (weights >= 0). When every tile is a
+    # candidate there are no unseen tiles: the floor 0 (lex scores are
+    # non-negative, so no doc scores below it) replaces the loose tile-sum.
+    tau_b = (bvals[:, -1] if m_eff < n_tiles
+             else jnp.zeros((B,), jnp.float32))
+
+    cand = (btiles[:, :, None] * TILE
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, TILE), 2)
+            ).reshape(B, m_eff * TILE)
+    safe_c = jnp.where(cand < N, cand, N + 2)
+    lex_c = jnp.zeros((B, m_eff * TILE), jnp.float32)
+    for i, width in enumerate(widths):
+        starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
+        lex_c = lex_c + _cand_scores_runs(
+            po_doc_ids, po_weights, starts, lengths, safe_c, N, width
+        )
+    if bias is not None:
+        alive_c = (cand < N) & (jnp.take(bias, jnp.minimum(cand, N - 1)) >= 0)
+    else:
+        alive_c = cand < N
+    lex_c_m = jnp.where(alive_c, lex_c, NEG_INF)
+    lex_max = jnp.max(lex_c_m, axis=1)  # [B]
+    # certificate: the global alive lexical max is inside the candidate
+    # tiles (every other tile's bound <= tau_b <= lex_max)
+    cert_lexmax = lex_max >= tau_b
+
+    ce = min(c_lex, m_eff * TILE)
+    lex_sel_vals, sel_pos = jax.lax.top_k(lex_c_m, ce)  # [B, C']
+    ids_lex = jnp.take_along_axis(cand, sel_pos, axis=1)
+    alive_lex = jnp.isfinite(lex_sel_vals)
+    # semantic scores of the lexical candidates: gather k rows + dot
+    d_sel = jnp.take(docs, jnp.clip(ids_lex, 0, N - 1).reshape(-1), axis=0)
+    d_sel = d_sel.reshape(B, ce, D).astype(jnp.float32)
+    sem_lex = jnp.einsum("bcd,bd->bc", d_sel, q,
+                         preferred_element_type=jnp.float32)
+
+    # lexical scores of the dense candidates (exact CSR binary search)
+    safe_d = jnp.where(idxs_d >= 0, idxs_d, N + 2)
+    lex_d = jnp.zeros((B, kd), jnp.float32)
+    for i, width in enumerate(widths):
+        starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
+        lex_d = lex_d + _cand_scores_runs(
+            po_doc_ids, po_weights, starts, lengths, safe_d, N, width
+        )
+
+    # -- normalization with exact global statistics ------------------------
+    if norm == "minmax":
+        rng_s = smax - smin
+
+        def nsem(x):
+            return jnp.where(
+                rng_s[:, None] > eps,
+                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
+                jnp.ones_like(x),
+            )
+
+        def nlex(x):  # lexical min certified 0 by the caller
+            return jnp.where(
+                lex_max[:, None] > eps,
+                x / jnp.maximum(lex_max[:, None], eps),
+                jnp.ones_like(x),
+            )
+    else:  # "max" (HybridBM25Pipeline quirk: divide by max only)
+        def nsem(x):
+            return jnp.where(smax[:, None] > eps,
+                             x / jnp.maximum(smax[:, None], eps), x)
+
+        def nlex(x):
+            return jnp.where(lex_max[:, None] > eps,
+                             x / jnp.maximum(lex_max[:, None], eps), x)
+
+    # -- fuse the candidate union ------------------------------------------
+    ids_all = jnp.concatenate([idxs_d, ids_lex], axis=1)  # [B, K'+C']
+    sem_all = jnp.concatenate([vals_d, sem_lex], axis=1)
+    lex_all = jnp.concatenate([lex_d, lex_sel_vals], axis=1)
+    alive_all = jnp.concatenate([jnp.isfinite(vals_d), alive_lex], axis=1)
+    fused = w_s * nsem(sem_all) + w_l * nlex(jnp.where(alive_all, lex_all, 0.0))
+    fused = jnp.where(alive_all, fused, NEG_INF)
+
+    # dedup docs appearing in both arms: sort by id, kill repeats
+    order = jnp.argsort(ids_all, axis=1)
+    ids_sorted = jnp.take_along_axis(ids_all, order, axis=1)
+    fused_sorted = jnp.take_along_axis(fused, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids_sorted[:, 1:] == ids_sorted[:, :-1]],
+        axis=1,
+    )
+    fused_sorted = jnp.where(dup, NEG_INF, fused_sorted)
+    k_eff = min(k, ids_all.shape[1])
+    vals_f, pos = jax.lax.top_k(fused_sorted, k_eff)
+    idxs_f = jnp.take_along_axis(ids_sorted, pos, axis=1)
+    idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
+
+    # -- TA certificate ------------------------------------------------------
+    # unseen docs: sem <= K'-th dense value, lex <= max(tau_b, C'-th cand)
+    sem_kth = vals_d[:, -1]
+    lex_bound = jnp.maximum(tau_b, lex_sel_vals[:, -1])
+    tau = (w_s * nsem(sem_kth[:, None])[:, 0]
+           + w_l * nlex(jnp.maximum(lex_bound, 0.0)[:, None])[:, 0])
+    kth = vals_f[:, k_eff - 1]
+    cert = cert_lexmax
+    if norm == "minmax":
+        # min-max needs the lexical min too; it is 0 only when certified
+        cert = cert & lex_min_zero
+    # a -inf kth value means fewer than k alive docs exist -> all retrieved
+    exact = ((kth >= tau) | ~jnp.isfinite(kth)) & cert
+    return HybridTopK(values=vals_f, indices=idxs_f, exact=exact)
+
+
+def hybrid_sparse_topk(
+    q: jax.Array,
+    docs: jax.Array,
+    postings: BM25Postings,
+    groups: Sequence[Tuple[int, jax.Array, jax.Array]],
+    k: int,
+    w_s: float,
+    w_l: float,
+    bias: Optional[jax.Array] = None,
+    k_dense: int = 128,
+    m_tiles: int = 64,
+    c_lex: int = 512,
+    norm: str = "minmax",
+    block_n: int = 262144,
+    n_alive: Optional[int] = None,
+) -> HybridTopK:
+    """Exact hybrid top-k at scale without [B, N] score arrays.
+
+    q must be L2-normalized; docs pre-normalized with docs.shape[0] % 128
+    == 0 (capacity rounding guarantees it). groups come from
+    BM25.encode_queries_bucketed. Returns per-query `exact` flags; callers
+    escalate (k_dense, m_tiles) or fall back to full fusion when False.
+    """
+    B = q.shape[0]
+    N = docs.shape[0]
+    widths = tuple(int(w) for w, _s, _l in groups)
+    run_arrays = tuple(a for _w, st, ln in groups for a in (st, ln))
+    # lexical-min-is-zero certificate: postings touched < alive docs
+    n_alive = N if n_alive is None else n_alive
+    if groups:
+        touched = np.zeros(B, dtype=np.int64)
+        for _w, _st, ln in groups:
+            touched += np.asarray(ln).sum(axis=1)
+        lex_min_zero = jnp.asarray(touched < n_alive)
+    else:
+        lex_min_zero = jnp.ones((B,), bool)
+    return _hybrid_sparse_impl(
+        q, docs, postings.doc_ids, postings.weights, run_arrays,
+        jnp.float32(w_s), jnp.float32(w_l), bias, lex_min_zero,
+        k=k, k_dense=k_dense, m_tiles=m_tiles, c_lex=c_lex,
+        widths=widths, norm=norm, block_n=block_n,
+    )

@@ -32,6 +32,11 @@ from hybridsearch_tpu.text.chunker import get_chunker
 
 SearchResult = Tuple[float, str, int]
 
+# HybridBM25Pipeline switches to the sparse-correction kernel above this
+# corpus size (full [1, n] score arrays below it, for exact reference
+# parity including the normalize-over-everything quirk).
+HYBRID_BM25_SPARSE_MIN = 65536
+
 
 @dataclasses.dataclass
 class PipelineResult:
@@ -243,6 +248,39 @@ class HybridBM25Pipeline(BasePipeline):
         if n == 0:
             return self._finish([], query, {"pipeline": self.name})
         q_vec = ix.encoder.encode([query])
+        bm25_state = ix.bm25._state
+        if (n > HYBRID_BM25_SPARSE_MIN and bm25_state.postings is not None
+                and bm25_state.n_docs == n):
+            # sparse-correction path: the same divide-by-max fusion with NO
+            # [1, n] score arrays (40 MB/query at 10M docs otherwise). One
+            # semantic difference at the margin: arm maxima are taken over
+            # ALIVE docs only, so a tombstoned doc holding an arm max no
+            # longer skews the normalization (the small-N path keeps the
+            # reference's include-everything max).
+            from hybridsearch_tpu.ops.dense import l2_normalize
+            from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
+
+            groups = ix.bm25.encode_queries_bucketed([query], bm25_state)
+            q = l2_normalize(jnp.asarray(np.asarray(q_vec, np.float32)))
+            n_alive = n - ix.dense.deleted_count
+            for kd, mt, cl in ((128, 64, 512), (512, 512, 4096)):
+                res = hybrid_sparse_topk(
+                    q, snap.docs, bm25_state.postings, groups,
+                    min(top_k, n), self.semantic_weight, self.bm25_weight,
+                    bias=snap.bias, k_dense=kd, m_tiles=mt, c_lex=cl,
+                    norm="max", n_alive=n_alive,
+                )
+                exact = bool(np.asarray(res.exact)[0])
+                if exact:
+                    break
+            vals, idx = np.asarray(res.values)[0], np.asarray(res.indices)[0]
+            results = [
+                (float(v), ix.contents[int(i)], int(i))
+                for v, i in zip(vals, idx)
+                if 0 <= i < len(ix.contents) and np.isfinite(v)
+            ]
+            return self._finish(results, query,
+                                {"pipeline": self.name, "exact": exact})
         sem = self.searcher._semantic_scores(q_vec, n, snap)  # full scores
         lex = jnp.asarray(ix.bm25.batch_scores([query]))
         # reference normalizes by max only, over ALL docs (top_k=len(docs));
@@ -251,22 +289,12 @@ class HybridBM25Pipeline(BasePipeline):
             max_normalize(sem) * self.semantic_weight
             + max_normalize(lex) * self.bm25_weight
         ) + snap.bias[:n][None, :]
-        if n > 65536:  # device tiled selection instead of a host full sort
-            from hybridsearch_tpu.ops.dense import tiled_matrix_topk
-
-            vals, idx = tiled_matrix_topk(fused, min(top_k, n))
-            vals, idx = np.asarray(vals)[0], np.asarray(idx)[0]
-            results = [
-                (float(v), ix.contents[int(i)], int(i))
-                for v, i in zip(vals, idx) if i >= 0 and np.isfinite(v)
-            ]
-        else:
-            fused_np = np.asarray(fused)[0]
-            order = np.argsort(-fused_np, kind="stable")[:top_k]
-            results = [
-                (float(fused_np[i]), ix.contents[int(i)], int(i))
-                for i in order if np.isfinite(fused_np[i])
-            ]
+        fused_np = np.asarray(fused)[0]
+        order = np.argsort(-fused_np, kind="stable")[:top_k]
+        results = [
+            (float(fused_np[i]), ix.contents[int(i)], int(i))
+            for i in order if np.isfinite(fused_np[i])
+        ]
         return self._finish(results, query, {"pipeline": self.name})
 
 

@@ -39,6 +39,16 @@ from hybridsearch_tpu.text.extractor import extract_tokens
 
 SearchResult = Tuple[float, str, int]
 
+# Above this corpus size the single-device fused path switches from full
+# [B, n] fusion to the sparse-correction hybrid (ops/hybrid.py): identical
+# semantics, certified per query, no [B, n] lexical array. At 10M docs the
+# full path would materialize 20 GB of lexical scores per 512-query batch.
+SPARSE_HYBRID_MIN_DOCS = int(
+    __import__("os").environ.get("HST_SPARSE_HYBRID_MIN_DOCS", "200000")
+)
+# (k_dense, m_tiles, c_lex) escalation ladder when a certificate fails.
+_SPARSE_LADDER = ((128, 64, 512), (512, 256, 2048), (1024, 1024, 8192))
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fuse_and_topk(
@@ -307,6 +317,20 @@ class Searcher:
             and self.semantic_mode == "exact"
             and bm25_state.postings is not None
             and bm25_state.n_docs == n
+            and n >= SPARSE_HYBRID_MIN_DOCS
+        ):
+            # sparse-correction hybrid: same minmax-fusion semantics with
+            # NO [B, n] arrays; per-query exactness certificate with
+            # escalation (ops/hybrid.py)
+            with trace_span("hybrid_sparse"):
+                vals, idxs = self._sparse_hybrid(
+                    queries, q_vecs, snap, bm25, bm25_state, k, sw, lw
+                )
+        elif (
+            self.lexical_mode == "bm25"
+            and self.semantic_mode == "exact"
+            and bm25_state.postings is not None
+            and bm25_state.n_docs == n
         ):
             # whole query in one compiled program (single device dispatch)
             with trace_span("hybrid_fused"):
@@ -352,6 +376,38 @@ class Searcher:
                     n_results=len(row), latency_ms=latency_ms,
                 )
         return results
+
+    def _sparse_hybrid(self, queries, q_vecs, snap, bm25, bm25_state, k,
+                       sw, lw):
+        """Large-corpus hybrid via ops/hybrid.py with certificate
+        escalation; a final uncertified result is returned best-effort with
+        a warning + /metrics counter rather than materializing [B, n]."""
+        from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
+
+        groups = bm25.encode_queries_bucketed(list(queries), bm25_state)
+        q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
+        n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
+        res = None
+        for kd, mt, cl in _SPARSE_LADDER:
+            res = hybrid_sparse_topk(
+                q, snap.docs, bm25_state.postings, groups,
+                k, sw, lw, bias=snap.bias, k_dense=kd, m_tiles=mt,
+                c_lex=cl, n_alive=n_alive,
+            )
+            if bool(np.asarray(jax.device_get(res.exact)).all()):
+                return res.values, res.indices
+        from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+        if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
+            import warnings
+
+            warnings.warn(
+                "sparse hybrid certificate failed after escalation; "
+                "returning the best-effort top-k (bounds were too loose "
+                "for this query/corpus)",
+                RuntimeWarning,
+            )
+        return res.values, res.indices
 
     # -- feedback --------------------------------------------------------------------
 
