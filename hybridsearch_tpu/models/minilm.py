@@ -25,16 +25,19 @@ import numpy as np
 from hybridsearch_tpu.models.bert import BertConfig, BiEncoder, CrossEncoder
 from hybridsearch_tpu.models.tokenizer import BertTokenizer
 
-_SEARCH_DIRS = (
-    os.environ.get("HST_MODEL_DIR", ""),
-    os.path.expanduser("~/.cache/huggingface"),
-    "./models",
-)
+def _search_dirs() -> Tuple[str, ...]:
+    """Checkpoint search roots, resolved at call time so $HST_MODEL_DIR set
+    after import still takes effect."""
+    return (
+        os.environ.get("HST_MODEL_DIR", ""),
+        os.path.expanduser("~/.cache/huggingface"),
+        "./models",
+    )
 
 
 def find_checkpoint(name: str) -> Optional[str]:
     """Locate an HF checkpoint directory containing weights for `name`."""
-    for base in _SEARCH_DIRS:
+    for base in _search_dirs():
         if not base or not os.path.isdir(base):
             continue
         for root, _dirs, files in os.walk(base):
