@@ -7,9 +7,12 @@ script detection, batch detection, and a multilingual encoder hook
 
 First-party detector (the reference wraps `langdetect`, absent here):
 script detection by Unicode block ranges (reference language.py:140-168
-does the same), then for Latin-script text an n-gram/stopword profile
-scorer over the most common function words of 12 major Latin-script
-languages. langdetect is used transparently when importable.
+does the same), within-script refiners (Cyrillic/Arabic-script/Devanagari
+languages are told apart by distinctive code points; Japanese vs Chinese by
+kana presence), and for Latin-script text a function-word profile scorer
+plus diacritic signatures covering every Latin-script language in
+SUPPORTED_LANGUAGES — the full 50+ list the reference gets from langdetect.
+langdetect is still used transparently when importable.
 """
 
 from __future__ import annotations
@@ -33,27 +36,61 @@ SUPPORTED_LANGUAGES = [
 ]  # 50+ language codes (reference language.py:34-40)
 
 _SCRIPT_RANGES: List[Tuple[int, int, str]] = [
+    (0x0370, 0x03FF, "greek"),
     (0x0400, 0x04FF, "cyrillic"),
+    (0x0530, 0x058F, "armenian"),
     (0x0590, 0x05FF, "hebrew"),
     (0x0600, 0x06FF, "arabic"),
+    (0x0750, 0x077F, "arabic"),
     (0x0900, 0x097F, "devanagari"),
     (0x0980, 0x09FF, "bengali"),
+    (0x0A00, 0x0A7F, "gurmukhi"),
+    (0x0A80, 0x0AFF, "gujarati"),
+    (0x0B00, 0x0B7F, "oriya"),
+    (0x0B80, 0x0BFF, "tamil"),
+    (0x0C00, 0x0C7F, "telugu"),
+    (0x0C80, 0x0CFF, "kannada"),
+    (0x0D00, 0x0D7F, "malayalam"),
+    (0x0D80, 0x0DFF, "sinhala"),
     (0x0E00, 0x0E7F, "thai"),
+    (0x0E80, 0x0EFF, "lao"),
+    (0x10A0, 0x10FF, "georgian"),
     (0x1100, 0x11FF, "hangul"),
+    (0x1200, 0x137F, "ethiopic"),
+    (0x1780, 0x17FF, "khmer"),
     (0x3040, 0x309F, "hiragana"),
     (0x30A0, 0x30FF, "katakana"),
     (0x4E00, 0x9FFF, "cjk"),
     (0xAC00, 0xD7AF, "hangul"),
-    (0x0370, 0x03FF, "greek"),
 ]
 
 _SCRIPT_TO_LANG = {
     "cyrillic": "ru", "hebrew": "he", "arabic": "ar", "devanagari": "hi",
     "bengali": "bn", "thai": "th", "hangul": "ko", "hiragana": "ja",
-    "katakana": "ja", "cjk": "zh", "greek": "el",
+    "katakana": "ja", "cjk": "zh", "greek": "el", "armenian": "hy",
+    "gurmukhi": "pa", "gujarati": "gu", "oriya": "or", "tamil": "ta",
+    "telugu": "te", "kannada": "kn", "malayalam": "ml", "sinhala": "si",
+    "lao": "lo", "georgian": "ka", "ethiopic": "am", "khmer": "km",
 }
 
-# Function-word profiles for Latin-script languages.
+# Within-script disambiguation: distinctive code points that only one
+# language of the shared script uses (checked in order; first hit wins).
+_SCRIPT_REFINERS: Dict[str, List[Tuple[str, str]]] = {
+    "cyrillic": [
+        ("іїєґ", "uk"),      # Ukrainian-only letters
+        ("јќѓџљњ", "mk"),   # Macedonian (also Serbian ј/љ/њ — mk per list)
+        ("ъщ", "bg"),        # frequent in Bulgarian, rare in Russian text
+    ],
+    "arabic": [
+        ("پچژگ", "fa"),     # Persian-only letters
+        ("ٹڈڑےہں", "ur"),  # Urdu-only letters
+    ],
+    "devanagari": [
+        ("ळऱ", "mr"),        # Marathi retroflexes
+    ],
+}
+
+# Function-word profiles for Latin-script languages (top function words).
 _PROFILES: Dict[str, frozenset] = {
     "en": frozenset("the and of to in is that it was for with as his on be at by".split()),
     "es": frozenset("el la de que y en los del se las por un para con una su".split()),
@@ -68,7 +105,45 @@ _PROFILES: Dict[str, frozenset] = {
     "pl": frozenset("w i na z do nie to jest że się o jak po co za".split()),
     "tr": frozenset("bir ve bu da ne için ile olarak daha çok gibi ama en".split()),
     "id": frozenset("yang dan di dengan untuk dari pada ini itu adalah ke tidak".split()),
+    "ca": frozenset("el la de i que a en per amb els una les és al del més".split()),
+    "cs": frozenset("a se na je to že s z do o jak ale po už být v".split()),
+    "sk": frozenset("a sa na je to že s z do o ako ale po už som v".split()),
+    "sl": frozenset("je in se na za da so z v ki pa po ne bi tudi".split()),
+    "hr": frozenset("je i u na se da su za s od ne koji kao ali što".split()),
+    "ro": frozenset("și de la în a cu pe este un o care mai din nu pentru".split()),
+    "hu": frozenset("a az és hogy nem is egy meg már csak volt ez ha mint van".split()),
+    "fi": frozenset("ja on ei se että oli hän mutta kun niin myös ole sen joka".split()),
+    "et": frozenset("ja on ei ta see et oli ka kui aga oma või nagu mis".split()),
+    "lt": frozenset("ir yra tai kad į iš su bet kaip jis buvo o ne jo".split()),
+    "lv": frozenset("un ir tas ka no ar par bet kā viņš bija vai ne tik".split()),
+    "af": frozenset("die en van het is in nie dat op vir met aan was sy om".split()),
+    "sq": frozenset("dhe të në e një për me nga si ka nuk është se më".split()),
+    "cy": frozenset("y yn a i o ar ei yr am gan fod wedi mae bod".split()),
+    "sw": frozenset("na ya wa kwa ni za katika la kuwa kama hii cha kwamba".split()),
+    "so": frozenset("oo iyo ka in uu ay waa ku si loo aan la soo".split()),
+    "tl": frozenset("ang ng sa na mga ay at para hindi ito kung siya ito".split()),
+    "vi": frozenset("và của là có không được cho một người này trong đã các".split()),
 }
+
+# Diacritic/letter signatures: characters (nearly) unique to one Latin-script
+# language — a strong vote when profiles tie on short texts.
+_LATIN_SIGNATURES: List[Tuple[str, str]] = [
+    ("ơưạảấầẩẫậắằẳẵặẹẻẽếềểễệỉịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹđ", "vi"),
+    ("ățșţş", "ro"),
+    ("őű", "hu"),
+    ("ąęłńśźż", "pl"),
+    ("řůě", "cs"),
+    ("ľĺŕä", "sk"),
+    ("āēīū", "lv"),
+    ("ėųū", "lt"),
+    ("õ", "et"),  # ä/ö/ü are shared with fi/sv/de; õ alone is distinctive
+    ("ß", "de"),
+    ("ğış", "tr"),
+    ("ñ", "es"),
+    ("ãõ", "pt"),
+    ("ŵŷ", "cy"),
+    ("ë", "sq"),
+]
 
 
 @dataclasses.dataclass
@@ -115,16 +190,29 @@ class LanguageDetector:
                 pass
         script = detect_script(text)
         if script is not None:
-            return DetectionResult(_SCRIPT_TO_LANG.get(script, "unknown"), 0.9,
-                                   script)
-        # Latin-script: function-word profile scoring.
-        words = [w for w in text.lower().split() if w.isalpha()]
+            lang = _SCRIPT_TO_LANG.get(script, "unknown")
+            for chars, refined in _SCRIPT_REFINERS.get(script, []):
+                if any(c in text for c in chars):
+                    lang = refined
+                    break
+            if script == "cjk" and any(
+                0x3040 <= ord(c) <= 0x30FF for c in text
+            ):
+                lang = "ja"  # kana present -> Japanese, not Chinese
+            return DetectionResult(lang, 0.9, script)
+        # Latin-script: function-word profiles + diacritic signatures.
+        lower = text.lower()
+        words = [w for w in lower.split() if w.isalpha()]
         if not words:
             return DetectionResult("unknown", 0.0)
         scores = {
             lang: sum(1 for w in words if w in prof) / len(words)
             for lang, prof in _PROFILES.items()
         }
+        for chars, lang in _LATIN_SIGNATURES:
+            hits = sum(1 for c in lower if c in chars)
+            if hits:
+                scores[lang] = scores.get(lang, 0.0) + min(0.4, 0.2 * hits)
         lang, score = max(scores.items(), key=lambda kv: kv[1])
         confidence = min(1.0, 2.5 * score)
         if confidence < self.min_confidence:

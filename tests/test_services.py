@@ -501,3 +501,52 @@ def test_auto_indexer_reindexes_on_change(tmp_path):
         w.stop()
     assert ix.dense.n_docs == 1
     assert "machine learning" in ix.contents[0]
+
+
+def test_language_breadth_scripts():
+    """Every non-Latin script in the 50-language support list detects
+    first-party (reference language.py:34-40 coverage via langdetect)."""
+    d = LanguageDetector()
+    cases = {
+        "นี่คือข้อความภาษาไทย": "th",
+        "이것은 한국어 텍스트입니다": "ko",
+        "これは日本語のテキストです": "ja",
+        "漢字だけでなくひらがなもある": "ja",  # kana disambiguates from zh
+        "这是中文文本没有假名": "zh",
+        "זהו טקסט בעברית": "he",
+        "هذا نص باللغة العربية": "ar",
+        "این متن فارسی است و دارای گچپژ": "fa",  # Persian-only letters
+        "یہ اردو میں ہے ڈاک ٹھیک": "ur",  # Urdu-only letters
+        "यह हिंदी में पाठ है": "hi",
+        "এটি বাংলা পাঠ্য": "bn",
+        "இது தமிழ் உரை": "ta",
+        "ఇది తెలుగు వచనం": "te",
+        "ಇದು ಕನ್ನಡ ಪಠ್ಯ": "kn",
+        "ഇത് മലയാളം വാചകം": "ml",
+        "આ ગુજરાતી લખાણ છે": "gu",
+        "ਇਹ ਪੰਜਾਬੀ ਪਾਠ ਹੈ": "pa",
+        "αυτό είναι ελληνικό κείμενο": "el",
+        "це український текст із літерою ї": "uk",
+    }
+    for text, want in cases.items():
+        got = d.detect(text).language
+        assert got == want, (text, got, want)
+
+
+def test_language_breadth_latin_profiles():
+    d = LanguageDetector()
+    cases = {
+        "acesta este un text în limba română și are diacritice": "ro",
+        "ez egy magyar szöveg és nagyon hosszú hogy biztos legyen": "hu",
+        "tämä on suomenkielinen teksti ja se on pitkä että varma": "fi",
+        "toto je český text a je to dlouhé že se pozná": "cs",
+        "đây là văn bản tiếng việt của chúng tôi": "vi",
+        "to jest polski tekst i jest długi że się pozna": "pl",
+        "dit is een nederlandse tekst en het is lang": "nl",
+        "detta är en svensk text och den är som lång": "sv",
+        "bu bir türkçe metin ve çok uzun gibi ama en iyi": "tr",
+        "ini adalah teks bahasa indonesia yang panjang untuk itu": "id",
+    }
+    for text, want in cases.items():
+        got = d.detect(text).language
+        assert got == want, (text, got, want)
