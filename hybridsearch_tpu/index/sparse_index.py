@@ -213,6 +213,28 @@ class BM25:
             )
         return []
 
+    def encode_queries_sparse(
+        self, queries: Sequence[str], state: Optional[_BM25State] = None
+    ):
+        """(groups, hot) for the sparse-correction hybrid (ops/hybrid.py):
+        run pieces with hot terms EXCLUDED, plus the hot-term arrays
+        (tile-bound table rows + run starts/lengths for bisection) from
+        encode_hot_terms. hot is None when no query touches a hot term."""
+        state = state or self._state
+        if state.postings is None:
+            return [], None
+        po = state.postings
+        term_id_lists = [state.vocab.encode(extract_tokens(q)) for q in queries]
+        hot = bm25_ops.encode_hot_terms(po, term_id_lists)
+        exclude = None
+        if hot is not None:
+            exclude = set(np.flatnonzero(po.hot_rows_of >= 0).tolist())
+        groups = bm25_ops.encode_run_pieces(
+            po.starts_host, po.lengths_host, term_id_lists,
+            po.max_postings, exclude=exclude,
+        )
+        return groups, hot
+
     def _encode_queries(self, queries: Sequence[str]) -> jnp.ndarray:
         """Token-id encode + pad to a bucketed width (pad id = vocab_size,
         an empty posting run)."""

@@ -34,7 +34,16 @@ import numpy as np
 
 
 class BM25Postings(NamedTuple):
-    """Device-resident eager-scored postings (term-major CSR)."""
+    """Device-resident eager-scored postings (term-major CSR).
+
+    Terms whose posting run exceeds LENGTH_BUCKETS[-1] ("hot" terms — the
+    stopword-grade tail the reference's 55-word English stopword list
+    cannot catch in other languages or codebases) additionally carry a
+    precomputed per-128-doc-tile weight-sum row (hot_tile_bounds), so the
+    sparse-correction hybrid (ops/hybrid.py) never gathers their
+    multi-million-entry runs at query time: tile bounds come from one row
+    gather, and exact candidate scores from in-place bisection over the
+    run (no materialized slice)."""
 
     indptr: jax.Array  # [V+1] int32 — start offset of each term's run
     doc_ids: jax.Array  # [nnz + P_max] int32 — padded tail = n_docs
@@ -44,6 +53,12 @@ class BM25Postings(NamedTuple):
     vocab_size: int  # static
     starts_host: Optional[np.ndarray] = None  # [V] host run starts
     lengths_host: Optional[np.ndarray] = None  # [V] host run lengths
+    hot_rows_of: Optional[np.ndarray] = None  # [V] int32 host, -1 = cold
+    hot_tile_bounds: Optional[jax.Array] = None  # [H+1, n_tiles] f32 (row H = 0)
+
+
+HOT_DF_THRESHOLD = LENGTH_BUCKETS_MAX = 65536  # runs longer than this are hot
+MAX_HOT_TERMS = 1024  # bound the [H+1, n_tiles] table; overflow stays cold
 
 
 def build_postings_arrays(
@@ -52,6 +67,7 @@ def build_postings_arrays(
     weights: np.ndarray,
     n_docs: int,
     vocab_size: int,
+    tile: int = 128,
 ) -> BM25Postings:
     """Host-side CSR build from COO (term, doc, weight) triples.
 
@@ -72,6 +88,27 @@ def build_postings_arrays(
     pad = max_post
     d_pad = np.concatenate([d, np.full(pad, n_docs, dtype=np.int32)])
     w_pad = np.concatenate([w, np.zeros(pad, dtype=np.float32)])
+
+    # hot-term tile-bound table (query-time cost: one row gather per term)
+    starts = indptr[:-1]
+    lengths = indptr[1:] - indptr[:-1]
+    hot_rows_of = np.full(vocab_size, -1, dtype=np.int32)
+    hot_bounds = None
+    hot_tids = np.flatnonzero(lengths > HOT_DF_THRESHOLD)
+    if len(hot_tids):
+        if len(hot_tids) > MAX_HOT_TERMS:  # keep the hottest; rest stay cold
+            hot_tids = hot_tids[np.argsort(-lengths[hot_tids])[:MAX_HOT_TERMS]]
+            hot_tids = np.sort(hot_tids)
+        n_tiles = -(-n_docs // tile)
+        hb = np.zeros((len(hot_tids) + 1, n_tiles), dtype=np.float32)
+        for row, tid in enumerate(hot_tids):
+            st, ln = int(starts[tid]), int(lengths[tid])
+            hb[row] = np.bincount(
+                d[st : st + ln] // tile, weights=w[st : st + ln],
+                minlength=n_tiles,
+            )[:n_tiles]
+        hot_rows_of[hot_tids] = np.arange(len(hot_tids), dtype=np.int32)
+        hot_bounds = jnp.asarray(hb)
     return BM25Postings(
         indptr=jnp.asarray(indptr.astype(np.int32)),
         doc_ids=jnp.asarray(d_pad),
@@ -81,6 +118,8 @@ def build_postings_arrays(
         vocab_size=vocab_size,
         starts_host=indptr[:-1].astype(np.int64),
         lengths_host=(indptr[1:] - indptr[:-1]).astype(np.int64),
+        hot_rows_of=hot_rows_of,
+        hot_tile_bounds=hot_bounds,
     )
 
 
@@ -95,6 +134,7 @@ def build_postings_arrays(
 # shapes meant a fresh XLA compile per query batch (seconds each); with
 # stable shapes the same scoring runs in <1 ms.
 LENGTH_BUCKETS = (128, 1024, 8192, 65536)
+assert LENGTH_BUCKETS[-1] == HOT_DF_THRESHOLD  # hot = beyond the top bucket
 TERM_LADDER = (8, 32, 128, 256)
 # Per-width cap on pieces per query: bounds the gather staging arrays to
 # ~B * T_cap * W * 8 bytes. Overflow pieces are emitted as additional
@@ -125,18 +165,23 @@ def encode_run_pieces(
     lengths_host: "np.ndarray",
     query_term_ids: Sequence[Sequence[int]],
     cap: int,
+    exclude: Optional[set] = None,
 ) -> List[Tuple[int, jax.Array, jax.Array]]:
     """Host-side query encoding: term ids -> per-bucket (width,
     starts [B, T], lengths [B, T]) run pieces.
 
     Long posting runs are split into width-sized pieces so the device
     program never slices wider than LENGTH_BUCKETS[-1]; empty buckets are
-    omitted; T pads to TERM_LADDER (bounded compile set).
+    omitted; T pads to TERM_LADDER (bounded compile set). Terms in
+    `exclude` (hot terms handled via the precomputed tile-bound table +
+    bisection) are skipped.
     """
     B = len(query_term_ids)
     buckets: dict = {}
     for qi, ids in enumerate(query_term_ids):
         for tid in ids:
+            if exclude and tid in exclude:
+                continue
             start = int(starts_host[tid])
             remaining = int(lengths_host[tid])
             off = 0
@@ -351,6 +396,88 @@ def _cand_scores_runs(
 
         acc, _ = jax.lax.scan(piece, jnp.zeros(cand_row.shape, jnp.float32),
                               (st_row, ln_row))
+        return acc
+
+    return jax.vmap(per_query)(starts, lengths, candidates)
+
+
+_HOT_LADDER = (1, 2, 4, 8)
+
+
+def encode_hot_terms(
+    postings: BM25Postings,
+    query_term_ids: Sequence[Sequence[int]],
+) -> Optional[Tuple[jax.Array, jax.Array, jax.Array]]:
+    """(hot_rows [B, Hm], hot_starts [B, Hm], hot_lens [B, Hm]) for the
+    hot terms of each query, padded to a small ladder (row pad = H, the
+    all-zeros bounds row; start/len pad = 0). None when no query touches a
+    hot term."""
+    if postings.hot_rows_of is None or postings.hot_tile_bounds is None:
+        return None
+    B = len(query_term_ids)
+    per_q: List[List[Tuple[int, int, int]]] = []
+    longest = 0
+    for ids in query_term_ids:
+        rows = []
+        for tid in ids:
+            row = int(postings.hot_rows_of[tid])
+            if row >= 0:
+                rows.append((row, int(postings.starts_host[tid]),
+                             int(postings.lengths_host[tid])))
+        per_q.append(rows)
+        longest = max(longest, len(rows))
+    if longest == 0:
+        return None
+    Hm = next((h for h in _HOT_LADDER if h >= longest), _HOT_LADDER[-1])
+    H = postings.hot_tile_bounds.shape[0] - 1
+    rows_arr = np.full((B, Hm), H, dtype=np.int32)
+    st_arr = np.zeros((B, Hm), dtype=np.int32)
+    ln_arr = np.zeros((B, Hm), dtype=np.int32)
+    for qi, rows in enumerate(per_q):
+        for j, (row, st, ln) in enumerate(rows[:Hm]):
+            rows_arr[qi, j], st_arr[qi, j], ln_arr[qi, j] = row, st, ln
+    return jnp.asarray(rows_arr), jnp.asarray(st_arr), jnp.asarray(ln_arr)
+
+
+@functools.partial(jax.jit, static_argnames=("n_iters",))
+def cand_scores_bisect(
+    doc_ids: jax.Array,  # [nnz_pad] int32, doc-sorted within each run
+    weights: jax.Array,  # [nnz_pad] float32
+    starts: jax.Array,  # [B, H] run starts (0 = pad with len 0)
+    lengths: jax.Array,  # [B, H] run lengths (0 = pad)
+    candidates: jax.Array,  # [B, C] doc ids (out-of-range = no hit)
+    n_iters: int = 26,
+) -> jax.Array:
+    """[B, C] summed weights of candidates across hot-term runs by IN-PLACE
+    lower-bound bisection over the HBM-resident run — no dynamic_slice of
+    the (multi-million-entry) run is ever materialized. 2^26 covers runs to
+    67M postings. Cost: B*H*C*n_iters random 4-byte gathers."""
+
+    def per_query(st_row, ln_row, cand_row):
+        def per_term(acc, sl):
+            st, ln = sl
+
+            def body(_i, lohi):
+                lo, hi = lohi
+                mid = (lo + hi) // 2
+                v = doc_ids[st + jnp.minimum(mid, jnp.maximum(ln - 1, 0))]
+                upd = lo < hi
+                go_right = upd & (v < cand_row)
+                lo = jnp.where(go_right, mid + 1, lo)
+                hi = jnp.where(upd & ~go_right, mid, hi)
+                return lo, hi
+
+            lo = jnp.zeros(cand_row.shape, jnp.int32)
+            hi = jnp.broadcast_to(ln, cand_row.shape)
+            lo, _hi = jax.lax.fori_loop(0, n_iters, body, (lo, hi))
+            pos = st + jnp.minimum(lo, jnp.maximum(ln - 1, 0))
+            hit = (lo < ln) & (doc_ids[pos] == cand_row)
+            return acc + jnp.where(hit, weights[pos], 0.0), None
+
+        acc, _ = jax.lax.scan(
+            per_term, jnp.zeros(cand_row.shape, jnp.float32),
+            (st_row, ln_row),
+        )
         return acc
 
     return jax.vmap(per_query)(starts, lengths, candidates)

@@ -181,28 +181,6 @@ def tiled_dense_topk(
     else:
         bias_p = None
 
-    # Choose tiles_per_block as a divisor of n_tiles when possible: padding
-    # to a block multiple would COPY the (multi-GB) doc matrix in HBM.
-    tpb_target = max(1, min(block_n, Np) // tile)
-    tpb = 1
-    for cand in range(min(tpb_target, n_tiles), 0, -1):
-        if n_tiles % cand == 0:
-            tpb = cand
-            break
-        if tpb_target - cand > 4096:  # give up the divisor hunt, pad instead
-            break
-    if n_tiles % tpb == 0 and tpb >= max(1, tpb_target // 64):
-        tiles_per_block = tpb
-        block_n = tiles_per_block * tile
-        nb = n_tiles // tiles_per_block
-    else:  # rare: n_tiles nearly prime — pad (copies the doc matrix)
-        block_n = max(tile, (min(block_n, Np) // tile) * tile)
-        nb = -(-Np // block_n)
-        if nb * block_n != Np:
-            d = jnp.pad(d, ((0, nb * block_n - Np), (0, 0)))
-        tiles_per_block = block_n // tile
-    d_blocks = d[: nb * block_n].reshape(nb, block_n, Dm)
-
     # int8 mode: docs are symmetric-quantized (x*127 rounded); the query is
     # quantized identically so every pass computes the same values
     # (int_prod / 127^2 ~= cosine). bf16 mode: operands stay bf16 for the
@@ -217,44 +195,63 @@ def tiled_dense_topk(
     else:
         q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
 
-    # pass 1 fast path: Pallas fused matmul + tile-max epilogue (never
-    # materializes the score block in HBM). Needs aligned shapes and a
-    # VMEM-sized block that divides n_tiles.
-    # tpb must be a multiple of 8 (Mosaic output-tiling rule); the grid may
-    # overhang N — garbage rows land in tiles >= n_tiles, which are sliced
-    # off inside pallas_tile_max.
+    # pass 1 fast path: Pallas fused matmul + tile-max epilogue in
+    # TRANSPOSED layout (ops/pallas_topk.py pallas_tile_stats_t): one
+    # natural [block, D] x [D, B] MXU dot per grid step, invalid rows
+    # masked in-kernel, output [nb, tpb, B] with full lanes (the v1
+    # [nb, B, tpb] layout padded its 32-wide lane dim 4x in HBM).
     import os
 
     pallas_tpb = int(os.environ.get("HST_PALLAS_TPB", "32"))
     use_pallas = (
         jax.default_backend() == "tpu"
         and tile == 128
-        and Np == N  # N % 128 == 0 confines edge garbage to dropped tiles
+        and Np == N  # capacity rounding guarantees this in the framework
         and Dm % 128 == 0
         and n_tiles >= 2 * pallas_tpb
-        # the int8 Pallas variant crashes this environment's TPU compile
-        # helper; opt in explicitly once on direct-attached hardware
-        and (d.dtype != jnp.int8 or os.environ.get("HST_INT8_PALLAS") == "1")
+        and not int8_mode  # int8 scores through the XLA fallback
     )
 
-    tile_mins = None
+    tile_mins_b = None  # [nb, tpb, B] alive-minima when with_stats
     if use_pallas:
-        from hybridsearch_tpu.ops.pallas_topk import (
-            pallas_tile_max,
-            pallas_tile_minmax,
-        )
+        from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
 
-        q_dev = q_mm.astype(jnp.int8) if int8_mode else q_mm
+        Bp = _round_up(B, 128)  # lane-full query batch for the kernel
+        q_t = q_mm.T
+        if Bp != B:
+            q_t = jnp.pad(q_t, ((0, 0), (0, Bp - B)))
+        outs = pallas_tile_stats_t(
+            q_t, d, bias_p, n_valid=N, block_n=pallas_tpb * tile,
+            with_min=with_stats,
+        )
+        tiles_b = outs[0][:, :, :B]  # [nb, tpb, B]
         if with_stats:
-            tile_maxes, tile_mins = pallas_tile_minmax(
-                q_dev, d, bias_p, block_n=pallas_tpb * tile
-            )  # [B, n_tiles] each
-        else:
-            tile_maxes = pallas_tile_max(
-                q_dev, d, bias_p, block_n=pallas_tpb * tile
-            )  # [B, n_tiles]
+            tile_mins_b = outs[1][:, :, :B]
+        nb, tpb = tiles_b.shape[0], tiles_b.shape[1]
     else:
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, block_n), 1)
+        # XLA fallback (CPU tests, int8, tiny corpora): lax.scan over doc
+        # blocks, emitting the same [nb, tpb, B] layout. tiles_per_block
+        # must divide n_tiles (jnp.pad to a block multiple would COPY the
+        # multi-GB doc matrix in HBM — measured allocator thrash).
+        tpb_target = max(1, min(block_n, Np) // tile)
+        tpb = 1
+        for cand in range(min(tpb_target, n_tiles), 0, -1):
+            if n_tiles % cand == 0:
+                tpb = cand
+                break
+            if tpb_target - cand > 4096:  # give up the hunt, pad instead
+                break
+        if n_tiles % tpb == 0 and tpb >= max(1, tpb_target // 64):
+            blk = tpb * tile
+            nb = n_tiles // tpb
+        else:  # rare: n_tiles nearly prime — pad (copies the doc matrix)
+            blk = max(tile, (min(block_n, Np) // tile) * tile)
+            nb = -(-Np // blk)
+            if nb * blk != Np:
+                d = jnp.pad(d, ((0, nb * blk - Np), (0, 0)))
+            tpb = blk // tile
+        d_blocks = d[: nb * blk].reshape(nb, blk, Dm)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
         POS_INF = jnp.float32(jnp.inf)
 
         def pass1(_, inp):
@@ -264,82 +261,83 @@ def tiled_dense_topk(
             s = jax.lax.dot_general(
                 q_mm, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [B, block_n]
+            )  # [B, blk]
             if int8_mode:
                 s = s * INV8
-            gidx = blk_i * block_n + col
+            gidx = blk_i * blk + col
             raw = s
             if bias_p is not None:
-                b_blk = jax.lax.dynamic_slice(
-                    bias_p, (blk_i * block_n,), (block_n,)
-                )
+                b_blk = jax.lax.dynamic_slice(bias_p, (blk_i * blk,), (blk,))
                 s = s + b_blk[None, :]
             else:
                 b_blk = None
             s = jnp.where(gidx < N, s, NEG_INF)
-            tile_max = jnp.max(s.reshape(B, tiles_per_block, tile), axis=2)
+            tile_max = jnp.max(s.reshape(B, tpb, tile), axis=2).T  # [tpb, B]
             if not with_stats:
                 return None, tile_max
             alive = gidx < N
             if b_blk is not None:
                 alive = alive & (b_blk[None, :] >= 0.0)
             s_min = jnp.where(alive, raw, POS_INF)
-            tile_min = jnp.min(s_min.reshape(B, tiles_per_block, tile), axis=2)
+            tile_min = jnp.min(s_min.reshape(B, tpb, tile), axis=2).T
             return None, (tile_max, tile_min)
 
         _, scanned = jax.lax.scan(
             pass1, None, (jnp.arange(nb, dtype=jnp.int32), d_blocks)
-        )  # [nb, B, tiles_per_block] (pair when with_stats)
+        )  # [nb, tpb, B] (pair when with_stats)
         if with_stats:
-            tile_maxes, tile_mins = scanned
-            tile_mins = jnp.transpose(tile_mins, (1, 0, 2)).reshape(
-                B, nb * tiles_per_block
-            )[:, :n_tiles]
+            tiles_b, tile_mins_b = scanned
         else:
-            tile_maxes = scanned
-        tile_maxes = jnp.transpose(tile_maxes, (1, 0, 2)).reshape(
-            B, nb * tiles_per_block
-        )
-        tile_maxes = tile_maxes[:, : n_tiles]
+            tiles_b = scanned
 
+    # pass 2 (hierarchical, on the [nb, tpb, B] layout directly): the block
+    # max IS the supertile max — take the top-k blocks per query (cheap
+    # [B, nb] sort), gather just those blocks' tile maxima, then the top-k
+    # tiles. Exact by the tile-max theorem at both levels: if a global
+    # top-k value lived outside the selected blocks/tiles, >= k
+    # blocks/tiles would each hold a larger value — contradiction. Garbage
+    # tiles from grid overhang are -inf (masked in-kernel), never selected.
     k_tiles = min(k, n_tiles)
-    # pass 2 (hierarchical): a flat top-k over n_tiles maxima is itself
-    # sort-dominated at 10M docs (78k tiles). Apply the same tile-max theorem
-    # one level up: group 128 tiles into a supertile, take top-k supertiles
-    # (cheap sort over n_tiles/128), then top-k over just the selected
-    # supertiles' k*128 tile maxima. Both levels are exact by the same
-    # argument as pass 3.
-    SUPER = 128
-    if n_tiles > 4 * SUPER and k_tiles * SUPER < n_tiles:
-        n_super = -(-n_tiles // SUPER)
-        pad_t = n_super * SUPER - n_tiles
-        tm = jnp.pad(tile_maxes, ((0, 0), (0, pad_t)), constant_values=NEG_INF)
-        super_max = jnp.max(tm.reshape(B, n_super, SUPER), axis=2)
-        _, top_super = jax.lax.top_k(super_max, k_tiles)  # [B, k]
-        # gather the selected supertiles' tile maxima: [B, k, SUPER]
-        tm_groups = tm.reshape(B, n_super, SUPER)
-        sel_tm = jnp.take_along_axis(
-            tm_groups, top_super[:, :, None], axis=1
-        )  # [B, k, SUPER]
-        sel_tm = sel_tm.reshape(B, k_tiles * SUPER)
-        tile_ids = (top_super[:, :, None] * SUPER
-                    + jax.lax.broadcasted_iota(jnp.int32, (1, 1, SUPER), 2)
-                    ).reshape(B, k_tiles * SUPER)
-        _, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
-        top_tiles = jnp.take_along_axis(tile_ids, sel_pos, axis=1)
-        top_tiles = jnp.minimum(top_tiles, n_tiles - 1)
+    block_max_t = jnp.max(tiles_b, axis=1).T  # [B, nb]
+    k_blocks = min(k_tiles, nb)
+    if nb > 8192:  # avoid a wide sort program at extreme corpus sizes
+        _, top_blocks = tiled_matrix_topk(block_max_t, k_blocks)
+        top_blocks = jnp.maximum(top_blocks, 0)
     else:
-        _, top_tiles = jax.lax.top_k(tile_maxes, k_tiles)  # [B, k_tiles]
+        _, top_blocks = jax.lax.top_k(block_max_t, k_blocks)  # [B, kb]
+    # gather the selected blocks' tile maxima: [B, kb, tpb]
+    sel_tm = jax.vmap(lambda col, rows: col[rows], in_axes=(2, 0))(
+        tiles_b, top_blocks
+    )
+    sel_tm = sel_tm.reshape(B, k_blocks * tpb)
+    tile_ids = (top_blocks[:, :, None] * tpb
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tpb), 2)
+                ).reshape(B, k_blocks * tpb)
+    if k_blocks * tpb > 4096:
+        _, sel_pos = tiled_matrix_topk(sel_tm, k_tiles)
+        sel_pos = jnp.maximum(sel_pos, 0)
+    else:
+        _, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
+    top_tiles = jnp.take_along_axis(tile_ids, sel_pos, axis=1)
+    top_tiles = jnp.minimum(top_tiles, n_tiles - 1)
 
     # pass 3: gather the selected tiles' docs and re-score exactly (same
-    # quantized values as pass 1 in int8 mode).
+    # quantized values as pass 1 in int8 mode). Chunked over tiles so the
+    # gathered [B, chunk, tile, D] buffer stays bounded (~256 MB) for any
+    # k — an unchunked gather at k_dense=1024, B=128 was a 12 GB HBM temp.
     d_tiles = d[: Np].reshape(n_tiles, tile, Dm)
-    sel = jnp.take(d_tiles, top_tiles, axis=0)  # [B, k_tiles, tile, D]
     q3 = q_mm.astype(jnp.float32) if int8_mode else q
-    s3 = jnp.einsum(
-        "bktd,bd->bkt", sel.astype(jnp.float32), q3,
-        preferred_element_type=jnp.float32,
-    ).reshape(B, k_tiles * tile)
+    per_tile_bytes = max(1, B * tile * Dm * 4)
+    chunk = max(1, min(k_tiles, 268_435_456 // per_tile_bytes))
+    s3_parts = []
+    for c0 in range(0, k_tiles, chunk):
+        tt = top_tiles[:, c0 : c0 + chunk]  # [B, c]
+        sel = jnp.take(d_tiles, tt, axis=0)  # [B, c, tile, D]
+        s3_parts.append(jnp.einsum(
+            "bktd,bd->bkt", sel.astype(jnp.float32), q3,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, tt.shape[1] * tile))
+    s3 = jnp.concatenate(s3_parts, axis=1) if len(s3_parts) > 1 else s3_parts[0]
     if int8_mode:
         s3 = s3 * INV8
     gidx3 = (top_tiles[:, :, None] * tile
@@ -350,12 +348,16 @@ def tiled_dense_topk(
         s3 = s3 + jnp.take(bias_p, gidx3)
     s3 = jnp.where(gidx3 < N, s3, NEG_INF)
     k_eff = min(k, N)
-    vals, sel3 = jax.lax.top_k(s3, k_eff)
+    if k_tiles * tile > 4096:
+        vals, sel3 = tiled_matrix_topk(s3, k_eff)
+        sel3 = jnp.maximum(sel3, 0)
+    else:
+        vals, sel3 = jax.lax.top_k(s3, k_eff)
     idxs = jnp.take_along_axis(gidx3, sel3, axis=1)
     idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
     if with_stats:
-        smax = jnp.max(tile_maxes, axis=1)
-        smin = jnp.min(tile_mins, axis=1)
+        smax = jnp.max(block_max_t, axis=1)
+        smin = jnp.min(tile_mins_b, axis=(0, 1))
         return vals, idxs, smin, smax
     return vals, idxs
 

@@ -54,6 +54,7 @@ from hybridsearch_tpu.ops.bm25 import (
     BM25Postings,
     _bm25_scores_runs,
     _cand_scores_runs,
+    cand_scores_bisect,
 )
 from hybridsearch_tpu.ops.dense import (
     NEG_INF,
@@ -122,6 +123,10 @@ def _hybrid_sparse_impl(
     po_doc_ids: jax.Array,
     po_weights: jax.Array,
     run_arrays: tuple,  # interleaved (starts, lengths) per width
+    hot_rows: Optional[jax.Array],  # [B, Hm] rows into hot_bounds (pad = H)
+    hot_starts: Optional[jax.Array],  # [B, Hm] hot-term run starts
+    hot_lens: Optional[jax.Array],  # [B, Hm] hot-term run lengths (0 = pad)
+    hot_bounds: Optional[jax.Array],  # [H+1, >=n_tiles] per-tile sums
     w_s: jax.Array,
     w_l: jax.Array,
     bias: Optional[jax.Array],  # [N] 0/-inf alive mask or None
@@ -155,6 +160,12 @@ def _hybrid_sparse_impl(
         bounds = bounds + _bm25_tile_bounds(
             po_doc_ids, po_weights, starts, lengths, n_tiles, width
         )
+    if hot_rows is not None:
+        # hot terms: one precomputed tile-bound row gather per term (never
+        # touches their multi-million-entry posting runs)
+        hb = hot_bounds[:, :n_tiles]
+        for j in range(hot_rows.shape[1]):
+            bounds = bounds + hb[hot_rows[:, j]]
     if n_tiles > 65536:
         bvals, btiles = tiled_matrix_topk(bounds, m_eff)
         btiles = jnp.maximum(btiles, 0)
@@ -175,6 +186,10 @@ def _hybrid_sparse_impl(
         starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
         lex_c = lex_c + _cand_scores_runs(
             po_doc_ids, po_weights, starts, lengths, safe_c, N, width
+        )
+    if hot_rows is not None:
+        lex_c = lex_c + cand_scores_bisect(
+            po_doc_ids, po_weights, hot_starts, hot_lens, safe_c
         )
     if bias is not None:
         alive_c = (cand < N) & (jnp.take(bias, jnp.minimum(cand, N - 1)) >= 0)
@@ -203,6 +218,10 @@ def _hybrid_sparse_impl(
         starts, lengths = run_arrays[2 * i], run_arrays[2 * i + 1]
         lex_d = lex_d + _cand_scores_runs(
             po_doc_ids, po_weights, starts, lengths, safe_d, N, width
+        )
+    if hot_rows is not None:
+        lex_d = lex_d + cand_scores_bisect(
+            po_doc_ids, po_weights, hot_starts, hot_lens, safe_d
         )
 
     # -- normalization with exact global statistics ------------------------
@@ -284,29 +303,42 @@ def hybrid_sparse_topk(
     norm: str = "minmax",
     block_n: int = 262144,
     n_alive: Optional[int] = None,
+    hot: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> HybridTopK:
     """Exact hybrid top-k at scale without [B, N] score arrays.
 
     q must be L2-normalized; docs pre-normalized with docs.shape[0] % 128
     == 0 (capacity rounding guarantees it). groups come from
-    BM25.encode_queries_bucketed. Returns per-query `exact` flags; callers
-    escalate (k_dense, m_tiles) or fall back to full fusion when False.
+    BM25.encode_queries_bucketed with hot terms excluded when `hot` is
+    given (ops/bm25.py encode_hot_terms: per-query rows into the postings'
+    precomputed hot tile-bound table + run starts/lengths for bisection).
+    Returns per-query `exact` flags; callers escalate (k_dense, m_tiles)
+    or fall back to full fusion when False.
     """
     B = q.shape[0]
     N = docs.shape[0]
+    n_tiles = N // TILE
     widths = tuple(int(w) for w, _s, _l in groups)
     run_arrays = tuple(a for _w, st, ln in groups for a in (st, ln))
+    hot_rows = hot_starts = hot_lens = hot_bounds = None
+    if hot is not None:
+        hot_rows, hot_starts, hot_lens = hot
+        hot_bounds = postings.hot_tile_bounds
+        if hot_bounds.shape[1] < n_tiles:  # capacity-padded doc matrix
+            hot_bounds = jnp.pad(
+                hot_bounds, ((0, 0), (0, n_tiles - hot_bounds.shape[1]))
+            )
     # lexical-min-is-zero certificate: postings touched < alive docs
     n_alive = N if n_alive is None else n_alive
-    if groups:
-        touched = np.zeros(B, dtype=np.int64)
-        for _w, _st, ln in groups:
-            touched += np.asarray(ln).sum(axis=1)
-        lex_min_zero = jnp.asarray(touched < n_alive)
-    else:
-        lex_min_zero = jnp.ones((B,), bool)
+    touched = np.zeros(B, dtype=np.int64)
+    for _w, _st, ln in groups:
+        touched += np.asarray(ln).sum(axis=1)
+    if hot is not None:
+        touched += np.asarray(hot_lens).sum(axis=1)
+    lex_min_zero = jnp.asarray(touched < n_alive)
     return _hybrid_sparse_impl(
         q, docs, postings.doc_ids, postings.weights, run_arrays,
+        hot_rows, hot_starts, hot_lens, hot_bounds,
         jnp.float32(w_s), jnp.float32(w_l), bias, lex_min_zero,
         k=k, k_dense=k_dense, m_tiles=m_tiles, c_lex=c_lex,
         widths=widths, norm=norm, block_n=block_n,

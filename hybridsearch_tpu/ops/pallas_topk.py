@@ -1,15 +1,20 @@
 """Pallas TPU kernels for the dense retrieval hot path.
 
-`pallas_tile_max`: fused matmul + per-tile max epilogue — pass 1 of the
-tiled exact top-k (ops/dense.py:tiled_dense_topk). The XLA version
-materializes the [B, block_n] score block in HBM between the dot and the
-reduce (~10 GB of extra traffic per sweep at 10M docs); this kernel keeps
-the scores in VMEM and writes only the [B, n_tiles] tile maxima (128x
-smaller), making the whole pass HBM-bound on reading the bf16 doc matrix
-once — the speed-of-light for exact flat search.
+`pallas_tile_stats_t`: fused matmul + per-tile max (and optional alive-min)
+epilogue — pass 1 of the tiled exact top-k (ops/dense.py:tiled_dense_topk),
+replacing the reference's numba cosine loops and FAISS flat search
+(reference utils.py:5-54, indexer.py:20-67). The XLA version materializes
+the [B, block_n] score block in HBM between the dot and the reduce (~10 GB
+of extra traffic per sweep at 10M docs); this kernel keeps the scores in
+VMEM and writes only the per-tile maxima (128x smaller), making the whole
+pass HBM-bound on reading the bf16 doc matrix once — the speed-of-light
+for exact flat search.
 
-Grid: one program per doc block. The query block [B, D] stays resident in
-VMEM across the grid; Pallas double-buffers the doc-block DMA automatically.
+Grid: one program per doc block. The transposed query block [D, B] stays
+resident in VMEM across the grid and each step runs one natural
+[block, D] x [D, B] MXU dot; Pallas double-buffers the doc-block DMA
+automatically. Output layout is [nb, tpb, B] (lanes = queries, kept full
+by padding B to 128) — see the v2 note below.
 """
 
 from __future__ import annotations
@@ -25,244 +30,134 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128  # docs per selection tile (lane width)
 
 
-def _tile_max_body(q_ref, d_ref, o_ref, bias_ref=None):
-    """One doc block: scores = q @ d_blk^T (+bias), write per-tile maxima.
+# -- transposed-layout kernels (v2) ------------------------------------------------
+#
+# The v1 kernels compute q [B, D] x docs [block, D]^T — an rhs-transposed
+# dot Mosaic must relayout every grid step — and write [nb, B, tpb] blocks
+# whose trailing tpb=32 lane dim pads 4x in HBM (measured 152 MB/sweep
+# written for 38 MB of data). v2 takes the query TRANSPOSED ([D, B], cast
+# once outside) so each grid step is one natural [M, K] x [K, N] MXU dot
+# (docs stationary-major, no relayout, no per-chunk loop), masks invalid
+# rows in-kernel, and writes [nb, tpb, B] — B >= 128 keeps lanes full, so
+# the output is unpadded and 4x less write traffic.
 
-    The matmul runs in query chunks of <=128 rows so the fp32 score buffer
-    stays small (<=2 MB at block_n=4096) regardless of batch size — large
-    batches otherwise blow the VMEM budget and stall the DMA pipeline."""
-    B = q_ref.shape[0]
-    block_n = d_ref.shape[0]
+
+def _tile_max_t_body(qt_ref, d_ref, o_ref, bias_ref, n_valid, block_n):
+    """One doc block, transposed: s = d_blk @ q_t -> [block_n, B];
+    per-tile (128 doc rows) maxima -> [tpb, B]."""
+    B = qt_ref.shape[1]
     tpb = block_n // TILE
-    bias = bias_ref[:][None, :] if bias_ref is not None else None
-    q_chunk = min(B, 128)
-    for c in range(0, B, q_chunk):
-        s = jax.lax.dot_general(
-            q_ref[c : c + q_chunk, :], d_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [q_chunk, block_n] in VMEM
-        if bias is not None:
-            s = s + bias
-        o_ref[0, c : c + q_chunk, :] = jnp.max(
-            s.reshape(s.shape[0], tpb, TILE), axis=2
-        )
+    i = pl.program_id(0)
+    s = jax.lax.dot_general(
+        d_ref[:], qt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [block_n, B]
+    row = i * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_n, 1), 0)
+    if bias_ref is not None:
+        s = s + bias_ref[:][:, None]
+    s = jnp.where(row < n_valid, s, jnp.float32(-jnp.inf))
+    o_ref[0] = jnp.max(s.reshape(tpb, TILE, B), axis=1)
 
 
-def _tile_max_kernel(q_ref, d_ref, bias_ref, o_ref):
-    _tile_max_body(q_ref, d_ref, o_ref, bias_ref)
-
-
-def _tile_max_kernel_nobias(q_ref, d_ref, o_ref):
-    _tile_max_body(q_ref, d_ref, o_ref, None)
-
-
-def _tile_minmax_body(q_ref, d_ref, omax_ref, omin_ref, bias_ref=None):
-    """Like _tile_max_body but also writes per-tile minima over ALIVE docs.
-
-    bias is a 0/-inf mask: maxima see s + bias (dead -> -inf), minima see s
-    masked to +inf where bias < 0 (dead rows never set the min). The minima
-    feed the exact min-max normalization stats of the sparse-correction
-    hybrid (ops/hybrid.py) without a second sweep of the doc matrix."""
-    B = q_ref.shape[0]
-    block_n = d_ref.shape[0]
+def _tile_minmax_t_body(qt_ref, d_ref, omax_ref, omin_ref, bias_ref,
+                        n_valid, block_n):
+    """v2 minmax: maxima see s + bias (dead -> -inf); minima see raw s
+    masked to +inf on dead/padding rows (exact alive-min stats for the
+    sparse-correction hybrid, one sweep)."""
+    B = qt_ref.shape[1]
     tpb = block_n // TILE
-    bias = bias_ref[:][None, :] if bias_ref is not None else None
-    q_chunk = min(B, 128)
-    for c in range(0, B, q_chunk):
-        s = jax.lax.dot_general(
-            q_ref[c : c + q_chunk, :], d_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    i = pl.program_id(0)
+    s = jax.lax.dot_general(
+        d_ref[:], qt_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    row = i * block_n + jax.lax.broadcasted_iota(jnp.int32, (block_n, 1), 0)
+    valid = row < n_valid
+    if bias_ref is not None:
+        bias = bias_ref[:][:, None]
+        s_max = jnp.where(valid, s + bias, jnp.float32(-jnp.inf))
+        s_min = jnp.where(valid & (bias >= 0.0), s, jnp.float32(jnp.inf))
+    else:
+        s_max = jnp.where(valid, s, jnp.float32(-jnp.inf))
+        s_min = jnp.where(valid, s, jnp.float32(jnp.inf))
+    omax_ref[0] = jnp.max(s_max.reshape(tpb, TILE, B), axis=1)
+    omin_ref[0] = jnp.min(s_min.reshape(tpb, TILE, B), axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("block_n", "n_valid", "with_min"))
+def pallas_tile_stats_t(
+    queries_t: jax.Array,  # [D, B] already in the docs' matmul dtype
+    docs: jax.Array,  # [N, D] bf16/fp32, N % 128 == 0
+    bias: jax.Array | None,
+    n_valid: int,
+    block_n: int = 4096,
+    with_min: bool = False,
+) -> Tuple[jax.Array, ...]:
+    """Tile maxima (and optionally alive-tile minima) of docs @ queries_t
+    in [nb, tpb, B] layout. Rows >= n_valid are masked in-kernel (-inf max /
+    +inf min), so grid overhang needs no epilogue slicing.
+
+    Requirements: D % 128 == 0, block_n % (8 * TILE) == 0, B % 128 == 0
+    (lane-full output; callers pad the query batch)."""
+    D, B = queries_t.shape
+    N = docs.shape[0]
+    assert N % TILE == 0 and block_n % (8 * TILE) == 0 and D % 128 == 0
+    assert B % 128 == 0
+    nb = -(-N // block_n)
+    tpb = block_n // TILE
+
+    in_specs = [
+        pl.BlockSpec((D, B), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [queries_t, docs]
+    if bias is not None:
+        in_specs.append(
+            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM)
         )
+        args.append(bias.astype(jnp.float32))
+
+    out_block = pl.BlockSpec((1, tpb, B), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    n_out = 2 if with_min else 1
+    if with_min:
         if bias is not None:
-            s_max = s + bias
-            s_min = jnp.where(bias >= 0.0, s, jnp.float32(jnp.inf))
+            def kernel(qt, d, b, omax, omin):
+                _tile_minmax_t_body(qt, d, omax, omin, b, n_valid, block_n)
         else:
-            s_max = s
-            s_min = s
-        rows = s.shape[0]
-        omax_ref[0, c : c + q_chunk, :] = jnp.max(
-            s_max.reshape(rows, tpb, TILE), axis=2
-        )
-        omin_ref[0, c : c + q_chunk, :] = jnp.min(
-            s_min.reshape(rows, tpb, TILE), axis=2
-        )
-
-
-def _tile_minmax_kernel(q_ref, d_ref, bias_ref, omax_ref, omin_ref):
-    _tile_minmax_body(q_ref, d_ref, omax_ref, omin_ref, bias_ref)
-
-
-def _tile_minmax_kernel_nobias(q_ref, d_ref, omax_ref, omin_ref):
-    _tile_minmax_body(q_ref, d_ref, omax_ref, omin_ref, None)
-
-
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def pallas_tile_minmax(
-    queries: jax.Array,
-    docs: jax.Array,
-    bias: jax.Array | None,
-    block_n: int = 16384,
-) -> Tuple[jax.Array, jax.Array]:
-    """([B, n_tiles] tile maxima, [B, n_tiles] tile minima) of
-    queries @ docs^T with a 0/-inf bias mask (see _tile_minmax_body).
-
-    Same alignment requirements as pallas_tile_max. bf16/fp32 only (the
-    int8 path keeps the max-only kernel)."""
-    B, D = queries.shape
-    N = docs.shape[0]
-    assert N % TILE == 0 and block_n % (8 * TILE) == 0 and D % 128 == 0
-    n_tiles = N // TILE
-    nb = -(-N // block_n)
-    tpb = block_n // TILE
-    q = queries.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else (
-        queries.astype(jnp.float32)
-    )
-    in_specs = [
-        pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [q, docs]
-    kernel = _tile_minmax_kernel_nobias
-    if bias is not None:
-        in_specs.append(
-            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM)
-        )
-        args.append(bias.astype(jnp.float32))
-        kernel = _tile_minmax_kernel
-    grid_spec = pl.GridSpec(
-        grid=(nb,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, B, tpb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, B, tpb), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    omax, omin = pl.pallas_call(
-        kernel,
-        out_shape=[
-            jax.ShapeDtypeStruct((nb, B, tpb), jnp.float32),
-            jax.ShapeDtypeStruct((nb, B, tpb), jnp.float32),
-        ],
-        grid_spec=grid_spec,
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 96),
-            dimension_semantics=("arbitrary",),
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * B * N * D,
-            bytes_accessed=N * D * docs.dtype.itemsize + B * D * 4
-            + N * 4 + 2 * B * (N // TILE) * 4,
-            transcendentals=0,
-        ),
-    )(*args)
-    tmax = jnp.transpose(omax, (1, 0, 2)).reshape(B, nb * tpb)[:, :n_tiles]
-    tmin = jnp.transpose(omin, (1, 0, 2)).reshape(B, nb * tpb)[:, :n_tiles]
-    return tmax, tmin
-
-
-INT8_INV_SCALE = 1.0 / (127.0 * 127.0)
-
-
-def _tile_max_body_int8(q_ref, d_ref, o_ref, bias_ref=None):
-    """int8 variant: int8 q x int8 docs on the MXU with int32 accumulation
-    (2x MXU throughput and half the HBM read traffic of bf16); scores are
-    rescaled to ~cosine before the bias add / tile max."""
-    B = q_ref.shape[0]
-    block_n = d_ref.shape[0]
-    tpb = block_n // TILE
-    bias = bias_ref[:][None, :] if bias_ref is not None else None
-    q_chunk = min(B, 128)
-    for c in range(0, B, q_chunk):
-        s = jax.lax.dot_general(
-            q_ref[c : c + q_chunk, :], d_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        sf = s.astype(jnp.float32) * INT8_INV_SCALE
+            def kernel(qt, d, omax, omin):
+                _tile_minmax_t_body(qt, d, omax, omin, None, n_valid, block_n)
+    else:
         if bias is not None:
-            sf = sf + bias
-        o_ref[0, c : c + q_chunk, :] = jnp.max(
-            sf.reshape(sf.shape[0], tpb, TILE), axis=2
-        )
+            def kernel(qt, d, b, o):
+                _tile_max_t_body(qt, d, o, b, n_valid, block_n)
+        else:
+            def kernel(qt, d, o):
+                _tile_max_t_body(qt, d, o, None, n_valid, block_n)
 
-
-def _tile_max_kernel_int8(q_ref, d_ref, bias_ref, o_ref):
-    _tile_max_body_int8(q_ref, d_ref, o_ref, bias_ref)
-
-
-def _tile_max_kernel_int8_nobias(q_ref, d_ref, o_ref):
-    _tile_max_body_int8(q_ref, d_ref, o_ref, None)
-
-
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def pallas_tile_max(
-    queries: jax.Array,
-    docs: jax.Array,
-    bias: jax.Array | None,
-    block_n: int = 16384,
-) -> jax.Array:
-    """[B, n_tiles] tile maxima of (queries @ docs^T + bias).
-
-    bias=None selects the no-bias kernel variant (skips streaming the [N]
-    bias vector — one less HBM input on the all-alive fast path).
-
-    Requirements: docs.shape[0] % block_n == 0, block_n % 128 == 0,
-    D % 128 == 0. Callers (tiled_dense_topk) guarantee alignment.
-    """
-    B, D = queries.shape
-    N = docs.shape[0]
-    # Mosaic rejects output blocks whose trailing dim is neither a multiple
-    # of 8 nor the full array dim, so tpb must be a multiple of 8. The grid
-    # need NOT divide N: Pallas pads edge blocks, and since N % 128 == 0 the
-    # garbage rows land only in tiles >= n_tiles, which the caller slices
-    # away below.
-    assert N % TILE == 0 and block_n % (8 * TILE) == 0 and D % 128 == 0
-    n_tiles = N // TILE
-    nb = -(-N // block_n)
-    tpb = block_n // TILE
-    q = queries.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else (
-        queries.astype(jnp.float32)
-    )
-
-    in_specs = [
-        pl.BlockSpec((B, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((block_n, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-    ]
-    args = [q, docs]
-    int8_mode = docs.dtype == jnp.int8
-    kernel = _tile_max_kernel_int8_nobias if int8_mode else _tile_max_kernel_nobias
-    if bias is not None:
-        in_specs.append(
-            pl.BlockSpec((block_n,), lambda i: (i,), memory_space=pltpu.VMEM)
-        )
-        args.append(bias.astype(jnp.float32))
-        kernel = _tile_max_kernel_int8 if int8_mode else _tile_max_kernel
-    grid_spec = pl.GridSpec(
-        grid=(nb,),
-        in_specs=in_specs,
-        # out [nb, B, tpb]: trailing block dims equal the full array dims,
-        # which satisfies the TPU (8, 128) tiling rule for any tpb.
-        out_specs=pl.BlockSpec((1, B, tpb), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-    )
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((nb, B, tpb), jnp.float32),
-        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((nb, tpb, B), jnp.float32)] * n_out,
+        grid_spec=pl.GridSpec(
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=[out_block] * n_out,
+        ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1024 * 1024 * 96),
-            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=int(1024 * 1024 * 100),
+            dimension_semantics=(
+                __import__("os").environ.get("HST_PALLAS_SEM", "arbitrary"),
+            ),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * N * D,
             bytes_accessed=N * D * docs.dtype.itemsize + B * D * 4
-            + N * 4 + B * (N // TILE) * 4,
+            + (N * 4 if bias is not None else 0)
+            + n_out * B * (N // TILE) * 4,
             transcendentals=0,
         ),
     )(*args)
-    full = jnp.transpose(out, (1, 0, 2)).reshape(B, nb * tpb)
-    return full[:, :n_tiles]
+    return tuple(out)

@@ -260,7 +260,7 @@ class HybridBM25Pipeline(BasePipeline):
             from hybridsearch_tpu.ops.dense import l2_normalize
             from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
 
-            groups = ix.bm25.encode_queries_bucketed([query], bm25_state)
+            groups, hot = ix.bm25.encode_queries_sparse([query], bm25_state)
             q = l2_normalize(jnp.asarray(np.asarray(q_vec, np.float32)))
             n_alive = n - ix.dense.deleted_count
             for kd, mt, cl in ((128, 64, 512), (512, 512, 4096)):
@@ -268,7 +268,7 @@ class HybridBM25Pipeline(BasePipeline):
                     q, snap.docs, bm25_state.postings, groups,
                     min(top_k, n), self.semantic_weight, self.bm25_weight,
                     bias=snap.bias, k_dense=kd, m_tiles=mt, c_lex=cl,
-                    norm="max", n_alive=n_alive,
+                    norm="max", n_alive=n_alive, hot=hot,
                 )
                 exact = bool(np.asarray(res.exact)[0])
                 if exact:

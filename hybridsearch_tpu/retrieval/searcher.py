@@ -384,7 +384,7 @@ class Searcher:
         a warning + /metrics counter rather than materializing [B, n]."""
         from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
 
-        groups = bm25.encode_queries_bucketed(list(queries), bm25_state)
+        groups, hot = bm25.encode_queries_sparse(list(queries), bm25_state)
         q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
         n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
         res = None
@@ -392,7 +392,7 @@ class Searcher:
             res = hybrid_sparse_topk(
                 q, snap.docs, bm25_state.postings, groups,
                 k, sw, lw, bias=snap.bias, k_dense=kd, m_tiles=mt,
-                c_lex=cl, n_alive=n_alive,
+                c_lex=cl, n_alive=n_alive, hot=hot,
             )
             if bool(np.asarray(jax.device_get(res.exact)).all()):
                 return res.values, res.indices

@@ -17,12 +17,32 @@ _LIB: Optional[ctypes.CDLL] = None
 _LOAD_TRIED = False
 
 
+def _try_build(src_dir: str) -> None:
+    """Build libtextops.so on first use when a toolchain exists (a fresh
+    checkout has only the .cc source; without this, indexing silently
+    falls back to the ~10x slower per-token Python hash path)."""
+    import subprocess
+
+    try:
+        subprocess.run(
+            ["make", "-C", src_dir],
+            check=True, capture_output=True, timeout=120,
+        )
+    except Exception:
+        pass  # no toolchain / failed build -> Python fallbacks
+
+
 def _lib() -> Optional[ctypes.CDLL]:
     global _LIB, _LOAD_TRIED
     if _LOAD_TRIED:
         return _LIB
     _LOAD_TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    native_dir = os.path.join(here, "native")
+    if not os.path.exists(os.path.join(native_dir, "libtextops.so")) and (
+        os.path.exists(os.path.join(native_dir, "Makefile"))
+    ):
+        _try_build(native_dir)
     for cand in (
         os.path.join(here, "native", "libtextops.so"),
         os.path.join(os.path.dirname(__file__), "libtextops.so"),

@@ -205,3 +205,120 @@ def test_values_sorted_and_ids_valid(corpus):
     for b in range(B):
         row = i[b][i[b] >= 0]
         assert len(set(row.tolist())) == len(row)
+
+
+# -- hot terms (df > LENGTH_BUCKETS[-1]) ----------------------------------------------
+
+
+@pytest.fixture()
+def hot_corpus(rng, monkeypatch):
+    """Corpus where one stopword-grade term appears in most docs. The hot
+    threshold is lowered so the test corpus stays small; exactness of the
+    hot path (precomputed tile bounds + bisection) holds for any cutoff."""
+    from hybridsearch_tpu.ops import bm25 as bm25_ops
+
+    monkeypatch.setattr(bm25_ops, "HOT_DF_THRESHOLD", 64)
+    toks = rng.choice(VOCAB, size=(N, 10))
+    texts = [
+        " ".join(row) + (" verycommon" if i % 3 else "")
+        for i, row in enumerate(toks)
+    ]
+    bm25 = BM25().fit(texts)
+    po = bm25._state.postings
+    assert po.hot_tile_bounds is not None
+    assert (po.hot_rows_of >= 0).sum() >= 1
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((N, D)).astype(np.float32)))
+    queries = ["verycommon " + " ".join(rng.choice(VOCAB, size=2))
+               for _ in range(B)]
+    return bm25, texts, docs, queries
+
+
+def test_hot_term_table_built(hot_corpus, rng):
+    """Fit-time per-tile bound rows equal a direct scatter of the term's
+    posting weights."""
+    bm25, texts, docs, queries = hot_corpus
+    po = bm25._state.postings
+    hot_tids = np.flatnonzero(po.hot_rows_of >= 0)
+    for tid in hot_tids:
+        st = int(po.starts_host[tid])
+        ln = int(po.lengths_host[tid])
+        d = np.asarray(po.doc_ids)[st:st + ln]
+        w = np.asarray(po.weights)[st:st + ln]
+        want = np.bincount(d // 128, weights=w,
+                           minlength=po.hot_tile_bounds.shape[1])
+        row = np.asarray(po.hot_tile_bounds)[int(po.hot_rows_of[tid])]
+        np.testing.assert_allclose(row, want[: len(row)], rtol=1e-5)
+
+
+def test_cand_scores_bisect_matches_gather(hot_corpus, rng):
+    from hybridsearch_tpu.ops import bm25 as bm25_ops
+
+    bm25, texts, docs, queries = hot_corpus
+    po = bm25._state.postings
+    state = bm25._state
+    term_lists = [state.vocab.encode(q.split()) for q in queries]
+    hot = bm25_ops.encode_hot_terms(po, term_lists)
+    assert hot is not None
+    rows, starts, lens = hot
+    cands = jnp.asarray(rng.integers(0, N, size=(B, 32)).astype(np.int32))
+    got = np.asarray(bm25_ops.cand_scores_bisect(
+        po.doc_ids, po.weights, starts, lens, cands))
+    # oracle: direct lookups in the CSR runs
+    d_np = np.asarray(po.doc_ids)
+    w_np = np.asarray(po.weights)
+    want = np.zeros((B, 32), np.float32)
+    for b in range(B):
+        for j in range(starts.shape[1]):
+            st, ln = int(starts[b, j]), int(lens[b, j])
+            run = d_np[st:st + ln]
+            for c in range(32):
+                pos = np.searchsorted(run, int(cands[b, c]))
+                if pos < ln and run[pos] == int(cands[b, c]):
+                    want[b, c] += w_np[st + pos]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_hot_path_matches_full_fusion(hot_corpus):
+    """End to end: hybrid_sparse_topk with hot terms diverted through the
+    tile-bound table + bisection must match the full-fusion oracle."""
+    bm25, texts, docs, queries = hot_corpus
+    q = l2_normalize(jnp.asarray(
+        np.random.default_rng(5).standard_normal((B, D)).astype(np.float32)))
+    groups, hot = bm25.encode_queries_sparse(queries)
+    assert hot is not None
+    po = bm25._state.postings
+    bias = jnp.zeros((N,), jnp.float32)
+    # a stopword-grade term inflates every tile's bound, so certification
+    # needs all tiles as candidates here (the searcher ladder escalates to
+    # the same place on real corpora)
+    res = hybrid_sparse_topk(q, docs, po, groups, K, 0.7, 0.3, bias=bias,
+                             k_dense=64, m_tiles=32, c_lex=512,
+                             n_alive=N, hot=hot)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.7, 0.3, bias, K)
+    _assert_match(res, ovals, oidx)
+
+
+def test_searcher_uses_hot_path(hot_corpus, monkeypatch):
+    """Searcher._sparse_hybrid flows through encode_queries_sparse and
+    matches the small-corpus fused path on the same corpus."""
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    bm25, texts, docs, queries = hot_corpus
+    monkeypatch.setenv("HST_SPARSE_HYBRID_MIN_DOCS", "1")
+    import hybridsearch_tpu.retrieval.searcher as searcher_mod
+
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 1)
+    enc = HashingEncoder(dim=64)
+    sparse = Searcher(encoder=enc)
+    sparse.indexer.index_documents(texts)
+    # force the hot threshold onto the searcher's own BM25 fit
+    from hybridsearch_tpu.ops import bm25 as bm25_ops
+
+    assert bm25_ops.HOT_DF_THRESHOLD == 64  # monkeypatched by the fixture
+    sparse.indexer.bm25.fit(texts)
+    po = sparse.indexer.bm25._state.postings
+    assert po.hot_tile_bounds is not None
+    res = sparse.search("verycommon " + texts[7][:30], top_k=5, log=False)
+    assert len(res) == 5
