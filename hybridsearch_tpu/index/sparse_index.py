@@ -213,6 +213,51 @@ class BM25:
             )
         return []
 
+    # -- impact-pruned tier (ops/impact.py) --------------------------------
+
+    def impact_postings(self, p_max: int = 4096):
+        """Lazily build (and cache per fitted state) the impact-ordered
+        pruned tier used by the at-scale hybrid (ops/hybrid.py
+        hybrid_impact_topk). Rebuilt automatically after a refit."""
+        state = self._state
+        if state.postings is None:
+            return None
+        cached = getattr(self, "_impact_cache", None)
+        if cached is not None and cached[0] is state and cached[1] >= p_max:
+            return cached[2]
+        from hybridsearch_tpu.ops.impact import build_impact_postings
+
+        po = state.postings
+        nnz = int(po.indptr[-1]) if po.indptr.shape[0] else 0
+        doc_ids = np.asarray(po.doc_ids[:nnz])
+        weights = np.asarray(po.weights[:nnz])
+        term_ids = np.repeat(
+            np.arange(po.vocab_size, dtype=np.int64),
+            np.asarray(state.term_runs[: po.vocab_size])
+            if state.term_runs is not None
+            else np.diff(np.asarray(po.indptr)),
+        )
+        imp = build_impact_postings(
+            term_ids, doc_ids, weights, po.n_docs, po.vocab_size,
+            p_max=p_max,
+        )
+        self._impact_cache = (state, p_max, imp)  # atomic publish
+        return imp
+
+    def encode_queries_impact(self, queries: Sequence[str], p_depth: int,
+                              p_max: int = 4096):
+        """(ImpactPostings, ImpactQueryEnc) for hybrid_impact_topk."""
+        from hybridsearch_tpu.ops.impact import encode_impact_queries
+
+        imp = self.impact_postings(p_max=p_max)
+        if imp is None:
+            return None, None
+        state = self._state
+        term_id_lists = [state.vocab.encode(extract_tokens(q))
+                         for q in queries]
+        return imp, encode_impact_queries(imp, term_id_lists,
+                                          p_depth=p_depth)
+
     def encode_queries_sparse(
         self, queries: Sequence[str], state: Optional[_BM25State] = None
     ):

@@ -288,6 +288,183 @@ def _hybrid_sparse_impl(
     return HybridTopK(values=vals_f, indices=idxs_f, exact=exact)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "k_dense", "c_per_term", "p_depth", "norm",
+                     "block_n", "bq"),
+)
+def _hybrid_impact_impl(
+    q: jax.Array,  # [B, D] L2-normalized fp32 queries
+    docs: jax.Array,  # [N, D] L2-normalized (bf16/fp32), N % 128 == 0
+    imp_doc_ids: jax.Array,
+    imp_weights: jax.Array,
+    starts: jax.Array,  # [B, T]
+    lengths: jax.Array,  # [B, T]
+    slack: jax.Array,  # [B, T] tail bound at p_depth
+    complete: jax.Array,  # [B] bool — all query terms fully covered
+    w_s: jax.Array,
+    w_l: jax.Array,
+    bias: Optional[jax.Array],  # [N] 0/-inf alive mask or None
+    n_alive: jax.Array,  # scalar int32
+    k: int,
+    k_dense: int,
+    c_per_term: int,
+    p_depth: int,
+    norm: str,
+    block_n: int,
+    bq: int,
+) -> HybridTopK:
+    from hybridsearch_tpu.ops.impact import onehot_rescore, slice_impact_runs
+
+    B, D = q.shape
+    N = docs.shape[0]
+    eps = jnp.float32(1e-12)
+    T = starts.shape[1]
+    cp = min(c_per_term, p_depth)
+
+    # -- dense arm: exact top-K' + exact alive min/max in ONE sweep --------
+    kd = min(k_dense, N)
+    vals_d, idxs_d, smin, smax = tiled_dense_topk(
+        q, docs, kd, block_n=block_n, bias=bias, with_stats=True
+    )
+
+    # -- lexical arm: impact-run prefixes --------------------------------
+    ids_r, ws_r = slice_impact_runs(
+        imp_doc_ids, imp_weights, starts, lengths, p_depth=p_depth,
+        n_docs=N,
+    )  # [B, T, p]
+    ids_flat = ids_r.reshape(B, T * p_depth)
+    ws_flat = ws_r.reshape(B, T * p_depth)
+    # lexical candidates: the top-cp prefix of every term (impact order
+    # makes the prefix the per-term argmax set — no selection op needed)
+    cand_l = ids_r[:, :, :cp].reshape(B, T * cp)
+    # unseen-doc bound: a doc outside term t's top-cp has w_t <= the cp-th
+    # kept weight (or the tail slack when the term was truncated shallower)
+    wcp = jnp.where(lengths > cp, ws_r[:, :, cp - 1], 0.0)
+    tau_lex = jnp.sum(jnp.maximum(wcp, slack), axis=1)  # [B]
+
+    # -- rescore the full candidate union on the MXU ----------------------
+    safe_d = jnp.where(idxs_d >= 0, idxs_d, N + 2)
+    cand_all = jnp.concatenate([safe_d, cand_l], axis=1)  # [B, kd + T*cp]
+    lex_all = onehot_rescore(cand_all, ids_flat, ws_flat, bq=bq)
+    alive_all = cand_all < N
+    if bias is not None:
+        alive_all = alive_all & (
+            jnp.take(bias, jnp.minimum(cand_all, N - 1)) >= 0.0
+        )
+    lex_alive = jnp.where(alive_all, lex_all, NEG_INF)
+    lex_max = jnp.maximum(jnp.max(lex_alive, axis=1), 0.0)  # [B]
+    cert_lexmax = lex_max >= tau_lex
+
+    # semantic scores of the lexical candidates: gather rows + dot (the
+    # dense arm's candidates already carry exact semantic values)
+    d_sel = jnp.take(docs, jnp.clip(cand_l, 0, N - 1).reshape(-1), axis=0)
+    d_sel = d_sel.reshape(B, T * cp, D).astype(jnp.float32)
+    sem_l = jnp.einsum("bcd,bd->bc", d_sel, q,
+                       preferred_element_type=jnp.float32)
+    sem_all = jnp.concatenate([vals_d, sem_l], axis=1)
+
+    # -- normalization with exact semantic stats + pruned lexical max ------
+    touched = jnp.sum(lengths, axis=1)  # [B] pruned postings touched
+    lex_min_zero = touched < n_alive
+    if norm == "minmax":
+        rng_s = smax - smin
+
+        def nsem(x):
+            return jnp.where(
+                rng_s[:, None] > eps,
+                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
+                jnp.ones_like(x),
+            )
+
+        def nlex(x):
+            return jnp.where(
+                lex_max[:, None] > eps,
+                x / jnp.maximum(lex_max[:, None], eps),
+                jnp.ones_like(x),
+            )
+    else:  # "max" (HybridBM25Pipeline quirk: divide by max only)
+        def nsem(x):
+            return jnp.where(smax[:, None] > eps,
+                             x / jnp.maximum(smax[:, None], eps), x)
+
+        def nlex(x):
+            return jnp.where(lex_max[:, None] > eps,
+                             x / jnp.maximum(lex_max[:, None], eps), x)
+
+    fused = w_s * nsem(sem_all) + w_l * nlex(
+        jnp.where(alive_all, lex_all, 0.0)
+    )
+    fused = jnp.where(alive_all, fused, NEG_INF)
+
+    # dedup docs appearing in both arms: sort by id, kill repeats
+    order = jnp.argsort(cand_all, axis=1)
+    ids_sorted = jnp.take_along_axis(cand_all, order, axis=1)
+    fused_sorted = jnp.take_along_axis(fused, order, axis=1)
+    dup = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), ids_sorted[:, 1:] == ids_sorted[:, :-1]],
+        axis=1,
+    )
+    fused_sorted = jnp.where(dup, NEG_INF, fused_sorted)
+    k_eff = min(k, cand_all.shape[1])
+    vals_f, pos = jax.lax.top_k(fused_sorted, k_eff)
+    idxs_f = jnp.take_along_axis(ids_sorted, pos, axis=1)
+    idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
+
+    # -- exactness certificate --------------------------------------------
+    # Sound only when every query term's FULL posting run is covered
+    # (`complete`): candidate scores are then true scores, tau_lex bounds
+    # every non-candidate doc, and sem <= the K'-th dense value outside the
+    # dense candidates.
+    sem_kth = vals_d[:, -1]
+    tau = (w_s * nsem(sem_kth[:, None])[:, 0]
+           + w_l * nlex(tau_lex[:, None])[:, 0])
+    kth = vals_f[:, k_eff - 1]
+    # slicing shallower than the encoded runs drops tail entries from the
+    # candidate rescore — never exact then
+    sliced_full = jnp.all(lengths <= p_depth, axis=1)
+    cert = complete & sliced_full & cert_lexmax
+    if norm == "minmax":
+        cert = cert & lex_min_zero
+    exact = ((kth >= tau) | ~jnp.isfinite(kth)) & cert
+    return HybridTopK(values=vals_f, indices=idxs_f, exact=exact)
+
+
+def hybrid_impact_topk(
+    q: jax.Array,
+    docs: jax.Array,
+    imp,  # ImpactPostings
+    enc,  # ImpactQueryEnc
+    k: int,
+    w_s: float,
+    w_l: float,
+    bias: Optional[jax.Array] = None,
+    k_dense: int = 512,
+    c_per_term: int = 64,
+    p_depth: int = 1024,
+    norm: str = "minmax",
+    block_n: int = 262144,
+    n_alive: Optional[int] = None,
+    bq: int = 32,
+) -> HybridTopK:
+    """Hybrid top-k at scale via the impact-pruned lexical arm
+    (ops/impact.py). Same fused semantics as the reference's hybrid
+    (reference core.py:199-271) over the pruned posting set; the per-query
+    `exact` flag is True only when the result provably equals full-corpus
+    fusion. q must be L2-normalized; docs pre-normalized with
+    docs.shape[0] % 128 == 0."""
+    N = docs.shape[0]
+    p = min(p_depth, imp.p_max)
+    return _hybrid_impact_impl(
+        q, docs, imp.doc_ids, imp.weights,
+        enc.starts, enc.lengths, enc.slack, jnp.asarray(enc.complete),
+        jnp.float32(w_s), jnp.float32(w_l), bias,
+        jnp.int32(N if n_alive is None else n_alive),
+        k=k, k_dense=k_dense, c_per_term=c_per_term, p_depth=p,
+        norm=norm, block_n=block_n, bq=bq,
+    )
+
+
 def hybrid_sparse_topk(
     q: jax.Array,
     docs: jax.Array,

@@ -1,0 +1,255 @@
+"""Impact-ordered pruned postings — the TPU-shaped lexical arm at scale.
+
+The exact sparse-correction hybrid (ops/hybrid.py) is bounded by XLA
+gather/scatter throughput on TPU (~40-100M posting entries/s measured on
+v5e), because every query must touch every posting of its terms. This
+module implements the classic IR answer — impact-ordered index pruning
+(per-term top-P postings by weight) — re-shaped for the TPU's strengths:
+
+  build   per term, keep the P highest-weight postings, stored
+          weight-descending ("impact order"), plus the P-th weight as the
+          tail bound (slack). Terms with df <= P are complete (slack 0).
+  query   top-Cp lexical candidates per term are the FIRST Cp entries of
+          each pruned run — a contiguous slice, no sort, no scatter, no
+          heap. The bound for any doc outside a term's top-Cp is that
+          term's Cp-th weight (impact order makes the prefix the argmax).
+  rescore candidate scores are computed by a ONE-HOT MATMUL on the MXU:
+          score[c] = sum_w (cand[c] == ids[w]) * weight[w] — the
+          comparison matrix streams through the systolic array instead of
+          element-serial scatter. Measured ~100x the XLA scatter rate.
+
+Semantics: scores are exact over the PRUNED entries; a doc's true BM25
+score exceeds its pruned score by at most the sum of the slacks of the
+query terms that do not cover it. `hybrid_impact_topk` (ops/hybrid.py)
+reports a per-query `exact` flag that is True only when the top-k is
+provably identical to full-corpus fusion (all query terms complete AND
+the candidate-coverage bound closes). This replaces the reference's
+score-everything hybrid (reference core.py:199-271) the way WAND/
+block-max engines replace exhaustive scoring — bounded, flagged,
+measurably near-exact.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Per-query term-count pad ladder (bounded compile set, like
+# ops/bm25.py TERM_LADDER).
+IMPACT_T_LADDER = (8, 16, 32)
+# Serving-time slice depths must come from a fixed ladder too: p_depth is a
+# static argument of the jitted rescore.
+IMPACT_P_LADDER = (256, 1024, 4096)
+
+
+class ImpactPostings(NamedTuple):
+    """Device-resident impact-ordered pruned postings (term-major CSR).
+
+    doc_ids/weights are weight-DESCENDING within each term's run and
+    padded with one extra run of `p_max` sentinel entries (doc_id =
+    n_docs, weight = 0) so every dynamic slice of width <= p_max is
+    in-bounds.
+    """
+
+    doc_ids: jax.Array  # [nnz_pruned + p_max] int32
+    weights: jax.Array  # [nnz_pruned + p_max] float32
+    n_docs: int  # static
+    p_max: int  # static — build-time prune depth
+    starts_host: np.ndarray  # [V] int64 run starts
+    lengths_host: np.ndarray  # [V] int64 pruned run lengths (= min(df, P))
+    slack_host: np.ndarray  # [V] f32 — P-th weight when df > P else 0
+    weights_host: np.ndarray  # [nnz_pruned] f32 — for depth-d slack lookups
+    df_host: np.ndarray  # [V] int64 full document frequencies
+
+
+def build_impact_postings(
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    weights: np.ndarray,
+    n_docs: int,
+    vocab_size: int,
+    p_max: int = IMPACT_P_LADDER[-1],
+) -> ImpactPostings:
+    """Host-side build from COO (term, doc, weight) triples.
+
+    One lexsort (term asc, weight desc) + one vectorized prefix mask —
+    no per-term Python loops, so 100M+ posting corpora build in seconds.
+    """
+    t = np.asarray(term_ids, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.float32)
+    order = np.lexsort((-w, t))
+    t, d, w = t[order], d[order], w[order]
+    df = np.bincount(t, minlength=vocab_size).astype(np.int64)
+    starts_full = np.concatenate([[0], np.cumsum(df)])
+    # keep mask: position-within-run < p_max (vectorized)
+    pos_in_run = np.arange(len(t), dtype=np.int64) - starts_full[t]
+    keep = pos_in_run < p_max
+    imp_d = d[keep].astype(np.int32)
+    imp_w = w[keep].astype(np.float32)
+    keep_len = np.minimum(df, p_max)
+    imp_starts = np.concatenate([[0], np.cumsum(keep_len)])[:-1]
+    # slack: weight at position p_max-1 of each truncated run
+    slack = np.zeros(vocab_size, dtype=np.float32)
+    trunc = df > p_max
+    if trunc.any():
+        slack[trunc] = w[starts_full[:-1][trunc] + p_max - 1]
+    d_pad = np.concatenate([imp_d, np.full(p_max, n_docs, np.int32)])
+    w_pad = np.concatenate([imp_w, np.zeros(p_max, np.float32)])
+    return ImpactPostings(
+        doc_ids=jnp.asarray(d_pad),
+        weights=jnp.asarray(w_pad),
+        n_docs=n_docs,
+        p_max=p_max,
+        starts_host=imp_starts.astype(np.int64),
+        lengths_host=keep_len.astype(np.int64),
+        slack_host=slack,
+        weights_host=imp_w,
+        df_host=df,
+    )
+
+
+class ImpactQueryEnc(NamedTuple):
+    """Encoded query batch against an ImpactPostings tier."""
+
+    starts: jax.Array  # [B, T] int32 pruned-run starts (pad -> sentinel run)
+    lengths: jax.Array  # [B, T] int32 pruned-run lengths (pad -> 0)
+    slack: jax.Array  # [B, T] f32 per-term tail bound AT the encode depth
+    complete: np.ndarray  # [B] bool — every query term's full run covered
+    certifiable_deeper: np.ndarray  # [B] bool — complete achievable at p_max
+    t_pad: int  # static
+
+
+def encode_impact_queries(
+    imp: ImpactPostings,
+    query_term_ids: Sequence[Sequence[int]],
+    p_depth: Optional[int] = None,
+) -> ImpactQueryEnc:
+    """Host-side encode: term-id lists -> padded [B, T] run descriptors.
+
+    p_depth (<= p_max, from IMPACT_P_LADDER) limits the slice depth; the
+    per-term slack is then the weight at position p_depth-1 (still a
+    valid tail bound for everything below the slice)."""
+    p = imp.p_max if p_depth is None else min(p_depth, imp.p_max)
+    B = len(query_term_ids)
+    longest = max((len(ids) for ids in query_term_ids), default=1)
+    t_pad = next((t for t in IMPACT_T_LADDER if t >= longest),
+                 IMPACT_T_LADDER[-1])
+    sentinel_start = len(imp.weights_host)  # the all-pad tail run
+    st = np.full((B, t_pad), sentinel_start, dtype=np.int32)
+    ln = np.zeros((B, t_pad), dtype=np.int32)
+    sl = np.zeros((B, t_pad), dtype=np.float32)
+    complete = np.ones(B, dtype=bool)
+    certifiable = np.ones(B, dtype=bool)
+    for b, ids in enumerate(query_term_ids):
+        for j, tid in enumerate(ids[:t_pad]):
+            full_len = int(imp.df_host[tid])
+            kept = int(imp.lengths_host[tid])
+            s0 = int(imp.starts_host[tid])
+            st[b, j] = s0
+            ln[b, j] = min(kept, p)
+            if full_len > p:
+                # tail bound at this depth: p-th kept weight (impact order)
+                sl[b, j] = float(imp.weights_host[s0 + min(p, kept) - 1])
+                complete[b] = False
+            if full_len > imp.p_max:
+                certifiable[b] = False
+        if len(ids) > t_pad:
+            complete[b] = False
+            if len(ids) > IMPACT_T_LADDER[-1]:
+                certifiable[b] = False
+    return ImpactQueryEnc(
+        starts=jnp.asarray(st),
+        lengths=jnp.asarray(ln),
+        slack=jnp.asarray(sl),
+        complete=complete,
+        certifiable_deeper=certifiable,
+        t_pad=t_pad,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("p_depth",))
+def slice_impact_runs(
+    doc_ids: jax.Array,
+    weights: jax.Array,
+    starts: jax.Array,  # [B, T]
+    lengths: jax.Array,  # [B, T]
+    p_depth: int,
+    n_docs: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """([B, T, p] ids, [B, T, p] weights) — contiguous top-p prefixes of
+    each query term's impact run; invalid tails masked to (n_docs, 0)."""
+    iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p_depth), 2)
+
+    def one(s):
+        return (jax.lax.dynamic_slice(doc_ids, (s,), (p_depth,)),
+                jax.lax.dynamic_slice(weights, (s,), (p_depth,)))
+
+    ids_r, ws_r = jax.vmap(jax.vmap(one))(starts)
+    valid = iota < lengths[:, :, None]
+    return (jnp.where(valid, ids_r, jnp.int32(n_docs)),
+            jnp.where(valid, ws_r, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("bq",))
+def onehot_rescore(
+    cand: jax.Array,  # [B, C] candidate doc ids (sentinels never match)
+    ids_flat: jax.Array,  # [B, W] pruned posting doc ids (pad = n_docs)
+    ws_flat: jax.Array,  # [B, W] pruned posting weights (pad = 0)
+    bq: int = 32,
+) -> jax.Array:
+    """[B, C] exact sums of pruned posting weights at each candidate, via
+    a one-hot comparison matmul on the MXU.
+
+    A[c, w] = (cand[c] == ids[w]) is exact in bf16 (0/1); the f32-
+    accumulated dot A @ ws gives candidate scores at matmul speed instead
+    of element-serial scatter/gather. Pad candidates (id = n_docs) match
+    only pad postings whose weight is 0, so they score 0 by construction.
+    Blocked over bq queries to bound the [bq, C, W] comparison transient.
+    """
+    B, C = cand.shape
+    W = ids_flat.shape[1]
+    nb = -(-B // bq)
+    if nb * bq != B:
+        pad = nb * bq - B
+        cand = jnp.pad(cand, ((0, pad), (0, 0)), constant_values=-1)
+        ids_flat = jnp.pad(ids_flat, ((0, pad), (0, 0)), constant_values=-2)
+        ws_flat = jnp.pad(ws_flat, ((0, pad), (0, 0)))
+
+    def blk(x):
+        ca, idsb, wsb = x
+        a = (ca[:, :, None] == idsb[:, None, :]).astype(jnp.bfloat16)
+        return jax.lax.dot_general(
+            a, wsb[..., None].astype(jnp.float32),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )[..., 0]
+
+    out = jax.lax.map(
+        blk,
+        (cand.reshape(nb, bq, C), ids_flat.reshape(nb, bq, W),
+         ws_flat.reshape(nb, bq, W)),
+    )
+    return out.reshape(nb * bq, C)[:B]
+
+
+def impact_scores_np(
+    imp: ImpactPostings,
+    term_ids: Sequence[int],
+    p_depth: Optional[int] = None,
+) -> np.ndarray:
+    """NumPy oracle: dense [n_docs] pruned lexical scores for one query.
+    Used by tests to pin the device path bit-for-bit (f32 sums)."""
+    p = imp.p_max if p_depth is None else min(p_depth, imp.p_max)
+    out = np.zeros(imp.n_docs, dtype=np.float64)
+    for tid in term_ids:
+        s0 = int(imp.starts_host[tid])
+        ln = min(int(imp.lengths_host[tid]), p)
+        d = np.asarray(imp.doc_ids[s0:s0 + ln])
+        w = np.asarray(imp.weights[s0:s0 + ln])
+        np.add.at(out, d, w)
+    return out.astype(np.float32)

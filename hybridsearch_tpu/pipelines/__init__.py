@@ -258,20 +258,21 @@ class HybridBM25Pipeline(BasePipeline):
             # longer skews the normalization (the small-N path keeps the
             # reference's include-everything max).
             from hybridsearch_tpu.ops.dense import l2_normalize
-            from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
+            from hybridsearch_tpu.ops.hybrid import hybrid_impact_topk
 
-            groups, hot = ix.bm25.encode_queries_sparse([query], bm25_state)
             q = l2_normalize(jnp.asarray(np.asarray(q_vec, np.float32)))
             n_alive = n - ix.dense.deleted_count
-            for kd, mt, cl in ((128, 64, 512), (512, 512, 4096)):
-                res = hybrid_sparse_topk(
-                    q, snap.docs, bm25_state.postings, groups,
+            for kd, cp, pd in ((512, 64, 256), (1024, 128, 4096)):
+                imp, enc = ix.bm25.encode_queries_impact([query],
+                                                         p_depth=pd)
+                res = hybrid_impact_topk(
+                    q, snap.docs, imp, enc,
                     min(top_k, n), self.semantic_weight, self.bm25_weight,
-                    bias=snap.bias, k_dense=kd, m_tiles=mt, c_lex=cl,
-                    norm="max", n_alive=n_alive, hot=hot,
+                    bias=snap.bias, k_dense=kd, c_per_term=cp, p_depth=pd,
+                    norm="max", n_alive=n_alive,
                 )
                 exact = bool(np.asarray(res.exact)[0])
-                if exact:
+                if exact or not enc.certifiable_deeper[0]:
                     break
             vals, idx = np.asarray(res.values)[0], np.asarray(res.indices)[0]
             results = [

@@ -46,8 +46,10 @@ SearchResult = Tuple[float, str, int]
 SPARSE_HYBRID_MIN_DOCS = int(
     __import__("os").environ.get("HST_SPARSE_HYBRID_MIN_DOCS", "200000")
 )
-# (k_dense, m_tiles, c_lex) escalation ladder when a certificate fails.
-_SPARSE_LADDER = ((128, 64, 512), (512, 256, 2048), (1024, 1024, 8192))
+# (k_dense, c_per_term, p_depth) escalation ladder for the impact-pruned
+# hybrid when an exactness certificate fails (ops/hybrid.py
+# hybrid_impact_topk). Depths come from ops/impact.py IMPACT_P_LADDER.
+_IMPACT_LADDER = ((512, 64, 256), (1024, 128, 1024), (2048, 256, 4096))
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -379,32 +381,49 @@ class Searcher:
 
     def _sparse_hybrid(self, queries, q_vecs, snap, bm25, bm25_state, k,
                        sw, lw):
-        """Large-corpus hybrid via ops/hybrid.py with certificate
-        escalation; a final uncertified result is returned best-effort with
-        a warning + /metrics counter rather than materializing [B, n]."""
-        from hybridsearch_tpu.ops.hybrid import hybrid_sparse_topk
+        """Large-corpus hybrid via the impact-pruned lexical arm
+        (ops/hybrid.py hybrid_impact_topk): candidate generation from
+        impact-run prefixes + one-hot-matmul rescore — the TPU-shaped
+        equivalent of block-max WAND. Escalates (k_dense, c_per_term,
+        p_depth) while the exactness certificate can still close; an
+        uncertified result is served best-effort (near-exact, the standard
+        at-scale IR contract) with a one-time warning + /metrics counter
+        rather than materializing [B, n] lexical scores."""
+        from hybridsearch_tpu.ops.hybrid import hybrid_impact_topk
 
-        groups, hot = bm25.encode_queries_sparse(list(queries), bm25_state)
         q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
         n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
         res = None
-        for kd, mt, cl in _SPARSE_LADDER:
-            res = hybrid_sparse_topk(
-                q, snap.docs, bm25_state.postings, groups,
-                k, sw, lw, bias=snap.bias, k_dense=kd, m_tiles=mt,
-                c_lex=cl, n_alive=n_alive, hot=hot,
+        for kd, cp, pd in _IMPACT_LADDER:
+            imp, enc = bm25.encode_queries_impact(list(queries), p_depth=pd)
+            if imp is None:
+                break
+            res = hybrid_impact_topk(
+                q, snap.docs, imp, enc, k, sw, lw, bias=snap.bias,
+                k_dense=kd, c_per_term=cp, p_depth=pd, n_alive=n_alive,
             )
-            if bool(np.asarray(jax.device_get(res.exact)).all()):
+            exact = np.asarray(jax.device_get(res.exact))
+            if exact.all():
                 return res.values, res.indices
+            # escalation helps only queries whose terms CAN be fully
+            # covered at a deeper prune depth; stop early otherwise
+            if not np.logical_and(~exact, enc.certifiable_deeper).any():
+                break
         from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
+        if res is None:  # no impact tier (no postings): dense-only scores
+            kd = min(k, snap.n)
+            from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+            vals, idxs = tiled_dense_topk(q, snap.docs, kd, bias=snap.bias)
+            return vals, idxs
         if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
             import warnings
 
             warnings.warn(
-                "sparse hybrid certificate failed after escalation; "
-                "returning the best-effort top-k (bounds were too loose "
-                "for this query/corpus)",
+                "sparse hybrid certificate did not close after escalation; "
+                "serving the best-effort top-k (pruned-lexical bounds were "
+                "too loose for this query/corpus)",
                 RuntimeWarning,
             )
         return res.values, res.indices

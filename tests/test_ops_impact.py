@@ -1,0 +1,270 @@
+"""Impact-pruned lexical arm (ops/impact.py) + hybrid_impact_topk vs the
+full-fusion oracle.
+
+The impact path is the at-scale serving hybrid (searcher._sparse_hybrid):
+pruned candidate generation + one-hot-matmul rescore. Wherever its
+exactness certificate reports True the result must equal full [B, N]
+fusion bit-for-bit (up to f32 tolerance); where pruning genuinely loses
+information the certificate must say so.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.index.sparse_index import BM25
+from hybridsearch_tpu.ops.dense import l2_normalize
+from hybridsearch_tpu.ops.fusion import max_normalize
+from hybridsearch_tpu.ops.hybrid import hybrid_impact_topk
+from hybridsearch_tpu.ops.impact import (
+    build_impact_postings,
+    encode_impact_queries,
+    impact_scores_np,
+    onehot_rescore,
+    slice_impact_runs,
+)
+from hybridsearch_tpu.retrieval.searcher import _fuse_and_topk, _semantic_full
+
+VOCAB = [f"word{i}" for i in range(1000)]
+N, D, B, K = 4096, 64, 4, 10
+
+
+@pytest.fixture(scope="module")
+def corpus(rng):
+    toks = rng.choice(VOCAB, size=(N, 12))
+    texts = [" ".join(row) for row in toks]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((N, D)).astype(np.float32)))
+    queries = [" ".join(rng.choice(VOCAB, size=3)) for _ in range(B)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((B, D)).astype(np.float32)))
+    return bm25, docs, queries, q
+
+
+def _oracle(bm25, docs, queries, q, w_s, w_l, bias, k):
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    return _fuse_and_topk(sem, lex, jnp.float32(w_s), jnp.float32(w_l),
+                          bias, k)
+
+
+def _assert_match(res, ovals, oidx):
+    assert bool(res.exact.all()), "certificate must hold on this corpus"
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-5)
+    rv, ov = np.asarray(res.values), np.asarray(ovals)
+    ri, oi = np.asarray(res.indices), np.asarray(oidx)
+    for b in range(rv.shape[0]):
+        mism = ri[b] != oi[b]
+        if mism.any():  # disagreements must be exact-score ties
+            np.testing.assert_allclose(rv[b][mism], ov[b][mism],
+                                       rtol=1e-5, atol=1e-6)
+
+
+# -- build + primitive ops -------------------------------------------------------------
+
+
+def test_build_impact_ordering_and_slack(rng):
+    V, nd = 50, 500
+    t = rng.integers(0, V, size=4000)
+    d = rng.integers(0, nd, size=4000)
+    # dedup (term, doc) pairs the way BM25 COO guarantees
+    uniq = {}
+    for ti, di in zip(t, d):
+        uniq[(int(ti), int(di))] = rng.random() + 0.01
+    t = np.array([k[0] for k in uniq], np.int64)
+    d = np.array([k[1] for k in uniq], np.int64)
+    w = np.array(list(uniq.values()), np.float32)
+    P = 16
+    imp = build_impact_postings(t, d, w, nd, V, p_max=P)
+    df = np.bincount(t, minlength=V)
+    for tid in range(V):
+        s0 = int(imp.starts_host[tid])
+        ln = int(imp.lengths_host[tid])
+        assert ln == min(df[tid], P)
+        run_w = imp.weights_host[s0:s0 + ln]
+        assert (np.diff(run_w) <= 1e-7).all(), "runs must be impact-ordered"
+        mask = t == tid
+        full_sorted = np.sort(w[mask])[::-1]
+        np.testing.assert_allclose(run_w, full_sorted[:ln], rtol=1e-6)
+        if df[tid] > P:
+            assert imp.slack_host[tid] == pytest.approx(full_sorted[P - 1])
+            # every dropped weight is bounded by the slack
+            assert (full_sorted[P:] <= imp.slack_host[tid] + 1e-7).all()
+        else:
+            assert imp.slack_host[tid] == 0.0
+
+
+def test_onehot_rescore_matches_oracle(rng):
+    V, nd, P = 40, 300, 8
+    t = np.repeat(np.arange(V), 20).astype(np.int64)
+    d = np.concatenate([rng.choice(nd, 20, replace=False) for _ in range(V)])
+    w = (rng.random(V * 20) + 0.01).astype(np.float32)
+    imp = build_impact_postings(t, d.astype(np.int64), w, nd, V, p_max=P)
+    term_lists = [rng.choice(V, 4, replace=False).tolist() for _ in range(3)]
+    enc = encode_impact_queries(imp, term_lists)
+    ids_r, ws_r = slice_impact_runs(imp.doc_ids, imp.weights, enc.starts,
+                                    enc.lengths, p_depth=P, n_docs=nd)
+    Bq = len(term_lists)
+    ids_f = ids_r.reshape(Bq, -1)
+    ws_f = ws_r.reshape(Bq, -1)
+    cand = jnp.asarray(rng.integers(0, nd, size=(Bq, 64)).astype(np.int32))
+    got = np.asarray(onehot_rescore(cand, ids_f, ws_f, bq=2))
+    for b in range(Bq):
+        dense = impact_scores_np(imp, term_lists[b])
+        np.testing.assert_allclose(got[b], dense[np.asarray(cand[b])],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_encode_flags(rng):
+    V, nd = 10, 2000
+    # term 0 is stopword-grade (df 1500 > p_max); others tiny
+    t = np.concatenate([np.zeros(1500, np.int64),
+                        np.repeat(np.arange(1, V), 5)])
+    d = np.concatenate([np.arange(1500), rng.integers(0, nd, 5 * (V - 1))])
+    w = (rng.random(len(t)) + 0.01).astype(np.float32)
+    imp = build_impact_postings(t, d.astype(np.int64), w, nd, V, p_max=64)
+    enc = encode_impact_queries(imp, [[0, 1], [1, 2]], p_depth=64)
+    assert not enc.complete[0] and enc.complete[1]
+    assert not enc.certifiable_deeper[0] and enc.certifiable_deeper[1]
+
+
+# -- end-to-end vs full fusion ---------------------------------------------------------
+
+
+def test_matches_full_fusion_minmax(corpus):
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    bias = jnp.zeros((N,), jnp.float32)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.7, 0.3, bias=bias,
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.7, 0.3, bias, K)
+    _assert_match(res, ovals, oidx)
+
+
+def test_matches_full_fusion_with_tombstones(corpus, rng):
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    bias_np = np.zeros(N, np.float32)
+    dead = rng.choice(N, size=200, replace=False)
+    bias_np[dead] = -np.inf
+    bias = jnp.asarray(bias_np)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.6, 0.4, bias=bias,
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.6, 0.4, bias, K)
+    _assert_match(res, ovals, oidx)
+    assert not np.isin(np.asarray(res.indices), dead).any()
+
+
+def test_max_norm_mode(corpus):
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.5, 0.5, norm="max",
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024)
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    fused = max_normalize(sem) * 0.5 + max_normalize(lex) * 0.5
+    import jax.lax as lax
+
+    ovals, _ = lax.top_k(fused, K)
+    assert bool(res.exact.all())
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_semantic_only_queries(corpus):
+    bm25, docs, _queries, q = corpus
+    queries = ["zzz qqq xxx" for _ in range(B)]
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.7, 0.3,
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.7, 0.3,
+                          jnp.zeros((N,), jnp.float32), K)
+    _assert_match(res, ovals, oidx)
+
+
+def test_shallow_slice_never_claims_exact(corpus):
+    """p_depth below the encoded run lengths drops posting tails from the
+    rescore; the certificate must refuse to claim exactness."""
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    if int(np.asarray(enc.lengths).max()) <= 1:
+        pytest.skip("corpus has no runs deeper than 1")
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.7, 0.3,
+                             k_dense=512, c_per_term=1, p_depth=1,
+                             block_n=1024)
+    ex = np.asarray(res.exact)
+    deep = np.asarray(jnp.any(enc.lengths > 1, axis=1))
+    assert not ex[deep].any()
+
+
+def test_starved_budget_exact_or_flagged(corpus):
+    """Tiny candidate budgets: every exact=True row must still match the
+    oracle; exact=False rows may differ but must never be claimed."""
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.1, 0.9,
+                             k_dense=K, c_per_term=8, p_depth=256,
+                             block_n=1024)
+    ovals, _ = _oracle(bm25, docs, queries, q, 0.1, 0.9,
+                       jnp.zeros((N,), jnp.float32), K)
+    ex = np.asarray(res.exact)
+    rv, ov = np.asarray(res.values), np.asarray(ovals)
+    for b in range(B):
+        if ex[b]:
+            np.testing.assert_allclose(rv[b], ov[b], rtol=1e-4, atol=1e-5)
+
+
+def test_values_sorted_ids_valid_no_dups(corpus):
+    bm25, docs, queries, q = corpus
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, K, 0.7, 0.3,
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024)
+    v = np.asarray(res.values)
+    assert (np.diff(v, axis=1) <= 1e-7).all()
+    i = np.asarray(res.indices)
+    assert ((i >= -1) & (i < N)).all()
+    for b in range(B):
+        row = i[b][i[b] >= 0]
+        assert len(set(row.tolist())) == len(row)
+
+
+def test_pruned_quality_jaccard(rng):
+    """Hard pruning on a corpus with correlated arms (the realistic case)
+    must stay near-exact even where certificates fail: top-10 Jaccard vs
+    full fusion >= 0.9."""
+    n, d = 2048, 64
+    topics = rng.standard_normal((8, d)).astype(np.float32)
+    assign = rng.integers(0, 8, size=n)
+    vecs = topics[assign] + 0.5 * rng.standard_normal((n, d)).astype(
+        np.float32)
+    docs = l2_normalize(jnp.asarray(vecs))
+    # lexical signal correlates with topic: docs share topic vocabulary
+    texts = [
+        " ".join(rng.choice(
+            [f"t{assign[i]}w{j}" for j in range(40)], size=10))
+        for i in range(n)
+    ]
+    bm25 = BM25().fit(texts)
+    queries = [f"t{z}w0 t{z}w1 t{z}w2" for z in range(4)]
+    q = l2_normalize(jnp.asarray(
+        topics[:4] + 0.3 * rng.standard_normal((4, d)).astype(np.float32)))
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256, p_max=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, 10, 0.6, 0.4,
+                             k_dense=128, c_per_term=32, p_depth=256,
+                             block_n=1024)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.6, 0.4,
+                          jnp.zeros((n,), jnp.float32), 10)
+    oi = np.asarray(oidx)
+    ri = np.asarray(res.indices)
+    jac = []
+    for b in range(4):
+        a, g = set(oi[b].tolist()), set(x for x in ri[b].tolist() if x >= 0)
+        jac.append(len(a & g) / len(a | g))
+    assert np.mean(jac) >= 0.9, jac
