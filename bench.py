@@ -74,12 +74,19 @@ def run_once(n_docs: int, iters: int) -> float:
     def fn(q):
         return tiled_dense_topk(q, docs, TOP_K, block_n=block_n)
 
+    @functools.partial(jax.jit, donate_argnums=())
+    def rot(q, i):
+        # rotate the batch each iteration: the device tunnel caches
+        # identical dispatches, which would otherwise inflate QPS
+        return jnp.roll(q, i, axis=0)
+
     v, _ = fn(queries)  # warmup / compile
     v.block_until_ready()
+    jax.block_until_ready(rot(queries, 1))
 
     t0 = time.perf_counter()
-    for _ in range(iters):
-        v, _ = fn(queries)
+    for i in range(iters):
+        v, _ = fn(rot(queries, i + 1))
     v.block_until_ready()
     dt = time.perf_counter() - t0
     return QUERY_BATCH * iters / dt

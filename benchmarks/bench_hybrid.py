@@ -71,8 +71,129 @@ def synth_postings(
     rel = cum - np.repeat(run_base, df)  # per-run ascending positions
     run_total = np.repeat(rel[np.cumsum(df) - 1], df)
     doc_ids = np.floor(rel / (run_total + 1e-9) * (n_docs - 1)).astype(np.int64)
-    weights = rng.exponential(2.0, nnz).astype(np.float32) + 0.1
+    # IDF-scaled weights (reference bm25.py:81): common terms score small
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+    sat = (rng.exponential(0.6, nnz) + 0.4).astype(np.float32)
+    weights = idf[term_ids] * np.minimum(sat, 2.5)
     return term_ids, doc_ids, weights, df
+
+
+def synth_correlated(
+    n_docs: int,
+    n_topics: int = 1024,
+    terms_per_topic: int = 32,
+    topic_postings_per_doc: int = 6,
+    bg_postings_per_doc: int = 6,
+    bg_vocab: int = 16_384,
+    seed: int = 3,
+):
+    """Topic-clustered corpus where the dense and lexical arms CORRELATE —
+    the structure real retrieval corpora have (and the reason hybrid
+    fusion works at all). Mirrors run_configs.py's planted-topic design at
+    corpus scale, fully vectorized.
+
+    Returns (topic_of_doc, term_ids, doc_ids, weights, vocab_size, df).
+    Vocabulary layout: [0, n_topics*terms_per_topic) are topic-owned terms;
+    the rest are Zipf background terms (stopword-grade head included).
+    """
+    rng = np.random.default_rng(seed)
+    topic_of = rng.integers(0, n_topics, n_docs)
+    # topic postings: each doc draws terms from its topic's block
+    tp = topic_postings_per_doc
+    t_topic = (topic_of[:, None] * terms_per_topic
+               + rng.integers(0, terms_per_topic, (n_docs, tp))
+               ).reshape(-1).astype(np.int64)
+    d_topic = np.repeat(np.arange(n_docs, dtype=np.int64), tp)
+    # background postings: Zipf over the background block
+    bp = bg_postings_per_doc
+    base = n_topics * terms_per_topic
+    u = rng.random(n_docs * bp)
+    ranks = np.minimum((bg_vocab ** u).astype(np.int64), bg_vocab - 1)
+    t_bg = base + ranks
+    d_bg = np.repeat(np.arange(n_docs, dtype=np.int64), bp)
+    t = np.concatenate([t_topic, t_bg])
+    d = np.concatenate([d_topic, d_bg])
+    # dedup (term, doc) pairs, summing implied tf into a single weight
+    key = t * n_docs + d
+    key, uniq_idx = np.unique(key, return_index=True)
+    t, d = t[uniq_idx], d[uniq_idx]
+    vocab_size = base + bg_vocab
+    df = np.bincount(t, minlength=vocab_size).astype(np.int64)
+    # eager BM25 weights = IDF x tf-saturation: common terms carry small
+    # weights (reference bm25.py:81 smoothed IDF), exactly why impact
+    # pruning loses little mass on stopword-grade terms
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0).astype(np.float32)
+    sat = (rng.exponential(0.6, len(t)) + 0.4).astype(np.float32)
+    w = idf[t] * np.minimum(sat, 2.5)
+    return topic_of, t, d, w, vocab_size, df
+
+
+def correlated_queries(
+    batch: int,
+    n_topics: int = 1024,
+    terms_per_topic: int = 32,
+    bg_vocab: int = 16_384,
+    seed: int = 11,
+):
+    """(term_lists, query_topic): 3-5 topic terms + 0-2 background terms."""
+    rng = np.random.default_rng(seed)
+    base = n_topics * terms_per_topic
+    term_lists, q_topics = [], []
+    for _ in range(batch):
+        z = int(rng.integers(0, n_topics))
+        k = int(rng.integers(3, 6))
+        terms = (z * terms_per_topic
+                 + rng.choice(terms_per_topic, k, replace=False)).tolist()
+        for _ in range(int(rng.integers(0, 3))):
+            u = rng.random()
+            terms.append(int(base + min(int(bg_vocab ** u), bg_vocab - 1)))
+        term_lists.append(terms)
+        q_topics.append(z)
+    return term_lists, np.asarray(q_topics)
+
+
+def build_correlated_corpus(n_docs: int, topic_of: np.ndarray,
+                            n_topics: int = 1024, seed: int = 0):
+    """[n_docs, D] bf16 normalized doc vectors clustered by topic,
+    generated on device chunk by chunk, plus the [n_topics, D] centroids."""
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _write
+
+    key = jax.random.PRNGKey(seed)
+    key, ck = jax.random.split(key)
+    cent = jax.random.normal(ck, (n_topics, D), dtype=jnp.float32)
+    cent = cent / jnp.linalg.norm(cent, axis=-1, keepdims=True)
+
+    @jax.jit
+    def _block(k, z):
+        x = cent[z] + 1.0 * jax.random.normal(k, (z.shape[0], D),
+                                              dtype=jnp.float32)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
+                            1e-12)
+        return x.astype(jnp.bfloat16)
+
+    buf = jnp.zeros((n_docs, D), dtype=jnp.bfloat16)
+    chunk = 1_000_000
+    for i in range(0, n_docs, chunk):
+        m = min(chunk, n_docs - i)
+        key, sub = jax.random.split(key)
+        z = jnp.asarray(topic_of[i:i + m].astype(np.int32))
+        buf = _write(buf, _block(sub, z), i)
+    buf.block_until_ready()
+    return buf, cent
+
+
+def query_vectors(q_topics: np.ndarray, cent, seed: int = 7):
+    import jax
+    import jax.numpy as jnp
+
+    k = jax.random.PRNGKey(seed)
+    z = jnp.asarray(q_topics.astype(np.int32))
+    q = cent[z] + 0.6 * jax.random.normal(k, (len(q_topics), D),
+                                          dtype=jnp.float32)
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 
 def synth_queries(
@@ -100,42 +221,45 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from bench import build_corpus
     from hybridsearch_tpu.ops.hybrid import hybrid_impact_topk
     from hybridsearch_tpu.ops.impact import (
         build_impact_postings,
         encode_impact_queries,
     )
 
-    docs = build_corpus(n_docs)
-
-    t_ids, d_ids, w, df = synth_postings(n_docs)
+    topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
+    docs, cent = build_correlated_corpus(n_docs, topic_of)
     t0 = time.time()
-    imp = build_impact_postings(t_ids, d_ids, w, n_docs, len(df),
+    imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                 p_max=P_MAX)
     jax.block_until_ready(imp.weights)
     build_s = time.time() - t0
+    # full doc-sorted CSR (generator emits term-major doc-sorted COO) for
+    # the hot-term margin correction
+    starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
+    full = (jnp.asarray(d_ids.astype(np.int32)), jnp.asarray(w))
 
-    term_lists = synth_queries(batch, df)
-    enc = encode_impact_queries(imp, term_lists, p_depth=PD)
-    qkey = jax.random.PRNGKey(17)
-    q = jax.random.normal(qkey, (batch, D), dtype=jnp.float32)
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    term_lists, q_topics = correlated_queries(batch)
+    enc = encode_impact_queries(imp, term_lists, p_depth=PD,
+                                full_starts=starts_full, full_lengths=df)
+    q = query_vectors(q_topics, cent)
 
     def serve_once(qq):
-        res = hybrid_impact_topk(
+        return hybrid_impact_topk(
             qq, docs, imp, enc, TOP_K, 0.7, 0.3,
             k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
+            full_postings=full,
         )
-        jax.block_until_ready(res.values)
-        return res
 
     res = serve_once(q)  # warmup/compile
-    # rotate queries each iteration: the device tunnel caches identical
+    jax.block_until_ready(res.values)
+    # throughput: pipeline the batches (block once at the end), but rotate
+    # queries each iteration — the device tunnel caches identical
     # dispatches, which would otherwise report fantasy QPS
     t0 = time.perf_counter()
     for i in range(iters):
         res = serve_once(jnp.roll(q, i + 1, axis=0))
+    jax.block_until_ready(res.values)
     dt = time.perf_counter() - t0
     qps = batch * iters / dt
     exact = np.asarray(jax.device_get(res.exact))
@@ -162,26 +286,30 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
         encode_impact_queries,
     )
 
-    docs = build_corpus(n_docs)
-    t_ids, d_ids, w, df = synth_postings(n_docs)
-    imp = build_impact_postings(t_ids, d_ids, w, n_docs, len(df),
+    topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
+    docs, cent = build_correlated_corpus(n_docs, topic_of)
+    imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                 p_max=P_MAX)
-    term_lists = synth_queries(batch, df)
-    enc = encode_impact_queries(imp, term_lists, p_depth=PD)
-    q = jax.random.normal(jax.random.PRNGKey(17), (batch, D),
-                          dtype=jnp.float32)
-    q = q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
+    full = (jnp.asarray(d_ids.astype(np.int32)), jnp.asarray(w))
+    term_lists, q_topics = correlated_queries(batch)
+    enc = encode_impact_queries(imp, term_lists, p_depth=PD,
+                                full_starts=starts_full, full_lengths=df)
+    q = query_vectors(q_topics, cent)
     res = hybrid_impact_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
                              k_dense=KD, c_per_term=CP, p_depth=PD,
-                             n_alive=n_docs)
+                             n_alive=n_docs, full_postings=full)
     got_ids = np.asarray(jax.device_get(res.indices))
 
-    qs = np.asarray(q, np.float64)
-    docs_np = np.asarray(docs.astype(jnp.float32), np.float64)
+    # oracle semantic scores on device (same bf16 matrix, f32 accumulate);
+    # a host f64 matmul at 1M docs takes minutes on this 1-core machine
+    sem_all = np.asarray(jax.device_get(
+        jnp.einsum("nd,bd->bn", docs.astype(jnp.float32), q,
+                   preferred_element_type=jnp.float32))).astype(np.float64)
     starts = np.concatenate([[0], np.cumsum(df)])
     jac = []
     for b in range(batch):
-        sem = docs_np @ qs[b]
+        sem = sem_all[b]
         lex = np.zeros(n_docs)
         for t in term_lists[b]:
             s0, l0 = starts[t], df[t]

@@ -246,17 +246,22 @@ class BM25:
 
     def encode_queries_impact(self, queries: Sequence[str], p_depth: int,
                               p_max: int = 4096):
-        """(ImpactPostings, ImpactQueryEnc) for hybrid_impact_topk."""
+        """(ImpactPostings, ImpactQueryEnc) for hybrid_impact_topk. The
+        enc carries hot descriptors into the FULL postings so the margin
+        correction can make truncated-term candidate scores exact."""
         from hybridsearch_tpu.ops.impact import encode_impact_queries
 
         imp = self.impact_postings(p_max=p_max)
         if imp is None:
             return None, None
         state = self._state
+        po = state.postings
         term_id_lists = [state.vocab.encode(extract_tokens(q))
                          for q in queries]
-        return imp, encode_impact_queries(imp, term_id_lists,
-                                          p_depth=p_depth)
+        return imp, encode_impact_queries(
+            imp, term_id_lists, p_depth=p_depth,
+            full_starts=po.starts_host, full_lengths=po.lengths_host,
+        )
 
     def encode_queries_sparse(
         self, queries: Sequence[str], state: Optional[_BM25State] = None

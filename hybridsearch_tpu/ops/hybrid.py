@@ -291,7 +291,7 @@ def _hybrid_sparse_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_dense", "c_per_term", "p_depth", "norm",
-                     "block_n", "bq"),
+                     "block_n", "bq", "margin"),
 )
 def _hybrid_impact_impl(
     q: jax.Array,  # [B, D] L2-normalized fp32 queries
@@ -306,6 +306,11 @@ def _hybrid_impact_impl(
     w_l: jax.Array,
     bias: Optional[jax.Array],  # [N] 0/-inf alive mask or None
     n_alive: jax.Array,  # scalar int32
+    hot_starts: Optional[jax.Array],  # [B, Hm] full-CSR starts (or None)
+    hot_lens: Optional[jax.Array],  # [B, Hm]
+    hot_cols: Optional[jax.Array],  # [B, T] bool truncated columns
+    full_doc_ids: Optional[jax.Array],  # full doc-sorted CSR arrays
+    full_weights: Optional[jax.Array],
     k: int,
     k_dense: int,
     c_per_term: int,
@@ -313,6 +318,7 @@ def _hybrid_impact_impl(
     norm: str,
     block_n: int,
     bq: int,
+    margin: int,
 ) -> HybridTopK:
     from hybridsearch_tpu.ops.impact import onehot_rescore, slice_impact_runs
 
@@ -407,9 +413,52 @@ def _hybrid_impact_impl(
     )
     fused_sorted = jnp.where(dup, NEG_INF, fused_sorted)
     k_eff = min(k, cand_all.shape[1])
-    vals_f, pos = jax.lax.top_k(fused_sorted, k_eff)
-    idxs_f = jnp.take_along_axis(ids_sorted, pos, axis=1)
-    idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
+
+    if hot_starts is not None:
+        # margin correction: pruning drops the tails of stopword-grade
+        # runs, perturbing candidate scores by at most
+        # w_l * sum(slack) / lex_max (small: eager weights carry IDF).
+        # Take a top-`margin` cushion by pruned fused score, make those
+        # candidates' lexical scores EXACT (bisect the full doc-sorted
+        # runs, minus the pruned prefix already counted), and re-fuse.
+        c2 = min(margin, ids_sorted.shape[1])
+        sem_sorted = jnp.take_along_axis(sem_all, order, axis=1)
+        lex_sorted = jnp.take_along_axis(
+            jnp.where(alive_all, lex_all, 0.0), order, axis=1)
+        mvals, mpos = jax.lax.top_k(fused_sorted, c2)
+        mids = jnp.take_along_axis(ids_sorted, mpos, axis=1)
+        msem = jnp.take_along_axis(sem_sorted, mpos, axis=1)
+        mlex = jnp.take_along_axis(lex_sorted, mpos, axis=1)
+        malive = jnp.isfinite(mvals)
+        safe_m = jnp.where(malive, mids, N + 2)
+        full_hot = cand_scores_bisect(full_doc_ids, full_weights,
+                                      hot_starts, hot_lens, safe_m)
+        ws_hot = (ws_r * hot_cols[:, :, None]).reshape(B, T * p_depth)
+        prefix_hot = onehot_rescore(safe_m, ids_flat, ws_hot, bq=bq)
+        mlex_corr = jnp.maximum(mlex - prefix_hot + full_hot, 0.0)
+        lex_max2 = jnp.maximum(
+            lex_max, jnp.max(jnp.where(malive, mlex_corr, 0.0), axis=1))
+        if norm == "minmax":
+            nsem_m = jnp.where(
+                (smax - smin)[:, None] > eps,
+                (msem - smin[:, None]) / jnp.maximum(
+                    (smax - smin)[:, None], eps),
+                jnp.ones_like(msem),
+            )
+        else:
+            nsem_m = jnp.where(smax[:, None] > eps,
+                               msem / jnp.maximum(smax[:, None], eps), msem)
+        nlex_m = jnp.where(lex_max2[:, None] > eps,
+                           mlex_corr / jnp.maximum(lex_max2[:, None], eps),
+                           jnp.ones_like(mlex_corr))
+        fused_corr = jnp.where(malive, w_s * nsem_m + w_l * nlex_m, NEG_INF)
+        vals_f, pos2 = jax.lax.top_k(fused_corr, min(k_eff, c2))
+        idxs_f = jnp.take_along_axis(mids, pos2, axis=1)
+        idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
+    else:
+        vals_f, pos = jax.lax.top_k(fused_sorted, k_eff)
+        idxs_f = jnp.take_along_axis(ids_sorted, pos, axis=1)
+        idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
 
     # -- exactness certificate --------------------------------------------
     # Sound only when every query term's FULL posting run is covered
@@ -419,7 +468,7 @@ def _hybrid_impact_impl(
     sem_kth = vals_d[:, -1]
     tau = (w_s * nsem(sem_kth[:, None])[:, 0]
            + w_l * nlex(tau_lex[:, None])[:, 0])
-    kth = vals_f[:, k_eff - 1]
+    kth = vals_f[:, -1]
     # slicing shallower than the encoded runs drops tail entries from the
     # candidate rescore — never exact then
     sliced_full = jnp.all(lengths <= p_depth, axis=1)
@@ -446,22 +495,34 @@ def hybrid_impact_topk(
     block_n: int = 262144,
     n_alive: Optional[int] = None,
     bq: int = 32,
+    full_postings: Optional[Tuple[jax.Array, jax.Array]] = None,
+    margin: int = 128,
 ) -> HybridTopK:
     """Hybrid top-k at scale via the impact-pruned lexical arm
     (ops/impact.py). Same fused semantics as the reference's hybrid
     (reference core.py:199-271) over the pruned posting set; the per-query
     `exact` flag is True only when the result provably equals full-corpus
     fusion. q must be L2-normalized; docs pre-normalized with
-    docs.shape[0] % 128 == 0."""
+    docs.shape[0] % 128 == 0.
+
+    full_postings = (doc_ids, weights) of the FULL doc-sorted CSR enables
+    the hot-term margin correction when enc carries hot descriptors: the
+    top-`margin` fused candidates get exact lexical scores (bisection over
+    the full runs) before the final top-k."""
     N = docs.shape[0]
     p = min(p_depth, imp.p_max)
+    hs = hl = hc = fdi = fwi = None
+    if enc.hot_starts is not None and full_postings is not None:
+        hs, hl, hc = enc.hot_starts, enc.hot_lens, enc.hot_cols
+        fdi, fwi = full_postings
     return _hybrid_impact_impl(
         q, docs, imp.doc_ids, imp.weights,
         enc.starts, enc.lengths, enc.slack, jnp.asarray(enc.complete),
         jnp.float32(w_s), jnp.float32(w_l), bias,
         jnp.int32(N if n_alive is None else n_alive),
+        hs, hl, hc, fdi, fwi,
         k=k, k_dense=k_dense, c_per_term=c_per_term, p_depth=p,
-        norm=norm, block_n=block_n, bq=bq,
+        norm=norm, block_n=block_n, bq=bq, margin=margin,
     )
 
 

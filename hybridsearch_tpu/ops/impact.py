@@ -113,6 +113,9 @@ def build_impact_postings(
     )
 
 
+_HOT_H_LADDER = (1, 2, 4)
+
+
 class ImpactQueryEnc(NamedTuple):
     """Encoded query batch against an ImpactPostings tier."""
 
@@ -122,18 +125,31 @@ class ImpactQueryEnc(NamedTuple):
     complete: np.ndarray  # [B] bool — every query term's full run covered
     certifiable_deeper: np.ndarray  # [B] bool — complete achievable at p_max
     t_pad: int  # static
+    # hot-term margin correction (None unless full postings were provided
+    # at encode): FULL doc-sorted run descriptors of query terms truncated
+    # at the encode depth, plus which pruned column each occupies
+    hot_starts: Optional[jax.Array] = None  # [B, Hm] int32 into full CSR
+    hot_lens: Optional[jax.Array] = None  # [B, Hm] int32 (0 = pad)
+    hot_cols: Optional[jax.Array] = None  # [B, T] bool — truncated columns
 
 
 def encode_impact_queries(
     imp: ImpactPostings,
     query_term_ids: Sequence[Sequence[int]],
     p_depth: Optional[int] = None,
+    full_starts: Optional[np.ndarray] = None,
+    full_lengths: Optional[np.ndarray] = None,
 ) -> ImpactQueryEnc:
     """Host-side encode: term-id lists -> padded [B, T] run descriptors.
 
     p_depth (<= p_max, from IMPACT_P_LADDER) limits the slice depth; the
     per-term slack is then the weight at position p_depth-1 (still a
-    valid tail bound for everything below the slice)."""
+    valid tail bound for everything below the slice).
+
+    When full_starts/full_lengths (the FULL doc-sorted CSR's host run
+    table) are given, terms truncated at the encode depth additionally get
+    hot descriptors for the margin correction (ops/hybrid.py: exact
+    bisection rescore of the top fused candidates)."""
     p = imp.p_max if p_depth is None else min(p_depth, imp.p_max)
     B = len(query_term_ids)
     longest = max((len(ids) for ids in query_term_ids), default=1)
@@ -145,6 +161,9 @@ def encode_impact_queries(
     sl = np.zeros((B, t_pad), dtype=np.float32)
     complete = np.ones(B, dtype=bool)
     certifiable = np.ones(B, dtype=bool)
+    with_hot = full_starts is not None and full_lengths is not None
+    hot_cols = np.zeros((B, t_pad), dtype=bool)
+    hot_rows: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
     for b, ids in enumerate(query_term_ids):
         for j, tid in enumerate(ids[:t_pad]):
             full_len = int(imp.df_host[tid])
@@ -156,12 +175,28 @@ def encode_impact_queries(
                 # tail bound at this depth: p-th kept weight (impact order)
                 sl[b, j] = float(imp.weights_host[s0 + min(p, kept) - 1])
                 complete[b] = False
+                if with_hot:
+                    hot_cols[b, j] = True
+                    hot_rows[b].append((int(full_starts[tid]),
+                                        int(full_lengths[tid])))
             if full_len > imp.p_max:
                 certifiable[b] = False
         if len(ids) > t_pad:
             complete[b] = False
             if len(ids) > IMPACT_T_LADDER[-1]:
                 certifiable[b] = False
+    hs = hl = hc = None
+    longest_hot = max((len(r) for r in hot_rows), default=0)
+    if with_hot and longest_hot:
+        hm = next((h for h in _HOT_H_LADDER if h >= longest_hot),
+                  _HOT_H_LADDER[-1])
+        hs_np = np.zeros((B, hm), dtype=np.int32)
+        hl_np = np.zeros((B, hm), dtype=np.int32)
+        for b, rows in enumerate(hot_rows):
+            for j, (s0, l0) in enumerate(rows[:hm]):
+                hs_np[b, j], hl_np[b, j] = s0, l0
+        hs, hl = jnp.asarray(hs_np), jnp.asarray(hl_np)
+        hc = jnp.asarray(hot_cols)
     return ImpactQueryEnc(
         starts=jnp.asarray(st),
         lengths=jnp.asarray(ln),
@@ -169,6 +204,9 @@ def encode_impact_queries(
         complete=complete,
         certifiable_deeper=certifiable,
         t_pad=t_pad,
+        hot_starts=hs,
+        hot_lens=hl,
+        hot_cols=hc,
     )
 
 

@@ -265,11 +265,13 @@ class HybridBM25Pipeline(BasePipeline):
             for kd, cp, pd in ((512, 64, 256), (1024, 128, 4096)):
                 imp, enc = ix.bm25.encode_queries_impact([query],
                                                          p_depth=pd)
+                po = bm25_state.postings
                 res = hybrid_impact_topk(
                     q, snap.docs, imp, enc,
                     min(top_k, n), self.semantic_weight, self.bm25_weight,
                     bias=snap.bias, k_dense=kd, c_per_term=cp, p_depth=pd,
                     norm="max", n_alive=n_alive,
+                    full_postings=(po.doc_ids, po.weights),
                 )
                 exact = bool(np.asarray(res.exact)[0])
                 if exact or not enc.certifiable_deeper[0]:

@@ -235,6 +235,37 @@ def test_values_sorted_ids_valid_no_dups(corpus):
         assert len(set(row.tolist())) == len(row)
 
 
+def test_margin_correction_matches_oracle(rng):
+    """Hot-term margin correction: with full postings supplied, the
+    top-k VALUES must equal full-fusion oracle values even though the
+    impact tier truncates the stopword-grade run hard."""
+    n, d, b, k = 2048, 64, 4, 10
+    toks = rng.choice(VOCAB, size=(n, 10))
+    # 'common' appears in every doc -> df = n >> p_max below
+    texts = [" ".join(r) + " common" for r in toks]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    queries = ["common " + " ".join(rng.choice(VOCAB, size=3))
+               for _ in range(b)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((b, d)).astype(np.float32)))
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256, p_max=256)
+    assert enc.hot_starts is not None
+    po = bm25._state.postings
+    res = hybrid_impact_topk(q, docs, imp, enc, k, 0.5, 0.5, k_dense=512,
+                             c_per_term=64, p_depth=256, block_n=1024,
+                             full_postings=(po.doc_ids, po.weights))
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    ovals, _ = _fuse_and_topk(sem, lex, jnp.float32(0.5), jnp.float32(0.5),
+                              jnp.zeros((n,), jnp.float32), k)
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-4)
+    # truncated-term queries are never CLAIMED exact (conservative cert)
+    assert not np.asarray(res.exact).any()
+
+
 def test_pruned_quality_jaccard(rng):
     """Hard pruning on a corpus with correlated arms (the realistic case)
     must stay near-exact even where certificates fail: top-10 Jaccard vs
