@@ -153,9 +153,15 @@ def correlated_queries(
 
 
 def build_correlated_corpus(n_docs: int, topic_of: np.ndarray,
-                            n_topics: int = 1024, seed: int = 0):
+                            n_topics: int = 1024, seed: int = 0,
+                            sigma: float = 0.08):
     """[n_docs, D] bf16 normalized doc vectors clustered by topic,
-    generated on device chunk by chunk, plus the [n_topics, D] centroids."""
+    generated on device chunk by chunk, plus the [n_topics, D] centroids.
+
+    sigma is per-dimension noise; cos(doc, centroid) ~= 1/sqrt(1+sigma^2*D)
+    — the default (sigma^2*D ~= 1) gives in-topic pair cosines ~0.5, the
+    regime real sentence embeddings live in; defaults put queries near
+    topic boundaries so approximate methods have a real recall curve."""
     import jax
     import jax.numpy as jnp
 
@@ -168,8 +174,8 @@ def build_correlated_corpus(n_docs: int, topic_of: np.ndarray,
 
     @jax.jit
     def _block(k, z):
-        x = cent[z] + 1.0 * jax.random.normal(k, (z.shape[0], D),
-                                              dtype=jnp.float32)
+        x = cent[z] + sigma * jax.random.normal(k, (z.shape[0], D),
+                                                dtype=jnp.float32)
         x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
                             1e-12)
         return x.astype(jnp.bfloat16)
@@ -185,14 +191,15 @@ def build_correlated_corpus(n_docs: int, topic_of: np.ndarray,
     return buf, cent
 
 
-def query_vectors(q_topics: np.ndarray, cent, seed: int = 7):
+def query_vectors(q_topics: np.ndarray, cent, seed: int = 7,
+                  sigma: float = 0.09):
     import jax
     import jax.numpy as jnp
 
     k = jax.random.PRNGKey(seed)
     z = jnp.asarray(q_topics.astype(np.int32))
-    q = cent[z] + 0.6 * jax.random.normal(k, (len(q_topics), D),
-                                          dtype=jnp.float32)
+    q = cent[z] + sigma * jax.random.normal(k, (len(q_topics), D),
+                                            dtype=jnp.float32)
     return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
 
 

@@ -31,24 +31,47 @@ import numpy as np
 from hybridsearch_tpu.ops.dense import l2_normalize
 
 
-@functools.partial(jax.jit, static_argnames=("n_clusters", "iters"))
+@functools.partial(jax.jit, static_argnames=("n_clusters", "iters", "block"))
 def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
-               iters: int = 10) -> jax.Array:
+               iters: int = 10, block: int = 16384) -> jax.Array:
     """Spherical k-means on device: random init from data points, Lloyd
     iterations as matmuls (assignment = argmax cosine), empty clusters
-    re-seeded from the data."""
+    re-seeded from the data.
+
+    BLOCKED over doc rows (lax.scan): peak memory is O(block * C), never
+    the [N, C] similarity matrix — 10M x 3162 would be 126 GB."""
     n, d = vectors.shape
     v = l2_normalize(vectors.astype(jnp.float32))
     key = jax.random.PRNGKey(seed)
     idx = jax.random.choice(key, n, (n_clusters,), replace=False)
     centroids = v[idx]
+    nb = -(-n // block)
+    pad = nb * block - n
+    v_pad = jnp.pad(v, ((0, pad), (0, 0)))
+    v_blocks = v_pad.reshape(nb, block, d)
+    row0 = jnp.arange(nb, dtype=jnp.int32) * block
+    iota = jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
 
     def step(c, key):
-        sims = jnp.dot(v, c.T, preferred_element_type=jnp.float32)  # [n, C]
-        assign = jnp.argmax(sims, axis=1)
-        one_hot = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
-        sums = jnp.dot(one_hot.T, v, preferred_element_type=jnp.float32)
-        counts = jnp.sum(one_hot, axis=0)[:, None]
+        def blk(carry, inp):
+            sums, counts = carry
+            r0, vb = inp
+            sims = jnp.dot(vb, c.T, preferred_element_type=jnp.float32)
+            assign = jnp.argmax(sims, axis=1)
+            oh = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
+            oh = oh * ((r0 + iota) < n)[:, None]  # mask pad rows
+            sums = sums + jnp.dot(oh.T, vb,
+                                  preferred_element_type=jnp.float32)
+            counts = counts + jnp.sum(oh, axis=0)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            blk,
+            (jnp.zeros((n_clusters, d), jnp.float32),
+             jnp.zeros((n_clusters,), jnp.float32)),
+            (row0, v_blocks),
+        )
+        counts = counts[:, None]
         new_c = sums / jnp.maximum(counts, 1.0)
         # re-seed empties from random data points
         rnd = v[jax.random.randint(key, (n_clusters,), 0, n)]
@@ -59,6 +82,23 @@ def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
     keys = jax.random.split(key, iters)
     centroids, _ = jax.lax.scan(step, centroids, keys)
     return centroids
+
+
+@functools.partial(jax.jit, static_argnames=("block",))
+def kmeans_assign(vectors: jax.Array, centroids: jax.Array,
+                  block: int = 16384) -> jax.Array:
+    """[n] argmax-cosine cluster assignment, blocked like kmeans_fit."""
+    n, d = vectors.shape
+    v = l2_normalize(vectors.astype(jnp.float32))
+    nb = -(-n // block)
+    v_pad = jnp.pad(v, ((0, nb * block - n), (0, 0)))
+
+    def blk(_, vb):
+        sims = jnp.dot(vb, centroids.T, preferred_element_type=jnp.float32)
+        return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
+
+    _, assign = jax.lax.scan(blk, None, v_pad.reshape(nb, block, d))
+    return assign.reshape(-1)[:n]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "nprobe", "chunk_cap"))
@@ -106,8 +146,77 @@ def _ivf_search(
     return jax.vmap(per_query)(q, probe)
 
 
+def _sharded_ivf_search(
+    mesh,
+    queries: jax.Array,
+    centroids_s: jax.Array,  # [S, chunks_pad, D]
+    docs_perm_s: jax.Array,  # [S, rows_pad, D]
+    chunk_starts_s: jax.Array,  # [S, chunks_pad] local row offsets
+    chunk_lens_s: jax.Array,  # [S, chunks_pad] (0 = pad chunk)
+    perm_to_orig_s: jax.Array,  # [S, rows_pad] GLOBAL doc ids (-1 pad)
+    k: int,
+    nprobe_local: int,
+    chunk_cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """Mesh IVF: each shard probes its own top-nprobe_local chunks, takes a
+    local top-k, and the per-shard candidates merge via all_gather — the
+    'distributed FAISS IVF' the reference only roadmapped
+    (reference README.md:396), as XLA collectives over ICI."""
+    from jax.sharding import PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+    B = queries.shape[0]
+    q = l2_normalize(queries.astype(jnp.float32))
+
+    def local(qr, cent, docs_l, starts, lens, orig):
+        cent, docs_l = cent[0], docs_l[0]
+        starts, lens, orig = starts[0], lens[0], orig[0]
+        c_scores = jnp.dot(qr, cent.T, preferred_element_type=jnp.float32)
+        c_scores = jnp.where((lens > 0)[None, :], c_scores, -jnp.inf)
+        _, probe = jax.lax.top_k(c_scores, min(nprobe_local, cent.shape[0]))
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, chunk_cap), 1)[0]
+
+        def per_query(qv, probes):
+            def score_chunk(_, chunk_id):
+                start = starts[chunk_id]
+                length = lens[chunk_id]
+                rows = jax.lax.dynamic_slice(
+                    docs_l, (start, 0), (chunk_cap, docs_l.shape[1]))
+                s = jnp.dot(rows.astype(jnp.float32), qv,
+                            preferred_element_type=jnp.float32)
+                s = jnp.where(iota < length, s, -jnp.inf)
+                return None, (s, start + iota)
+
+            _, (scores, ridx) = jax.lax.scan(score_chunk, None, probes)
+            vals, sel = jax.lax.top_k(scores.reshape(-1), k)
+            rows = ridx.reshape(-1)[sel]
+            ids = jnp.where(jnp.isfinite(vals), orig[rows], -1)
+            return vals, ids
+
+        vals, ids = jax.vmap(per_query)(qr, probe)  # [B, k] local
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        all_ids = jax.lax.all_gather(ids, DATA_AXIS, axis=1, tiled=True)
+        mv, sel = jax.lax.top_k(all_vals, k)
+        return mv, jnp.take_along_axis(all_ids, sel, axis=1)
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
+                  P(DATA_AXIS, None), P(DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(fn)(q, centroids_s, docs_perm_s, chunk_starts_s,
+                       chunk_lens_s, perm_to_orig_s)
+
+
 class IVFIndex:
-    """Approximate inner-product index over L2-normalized embeddings."""
+    """Approximate inner-product index over L2-normalized embeddings.
+
+    mesh=None: single-device. mesh given: chunks are balanced across the
+    data axis at build and every search runs the collective program."""
 
     def __init__(
         self,
@@ -116,14 +225,34 @@ class IVFIndex:
         nprobe: int = 8,
         chunk_cap: int = 0,  # 0 = 4 * N / n_clusters
         seed: int = 0,
+        mesh=None,
+        storage_dtype=jnp.float32,  # bf16 halves HBM at scale
     ) -> None:
         self.dim = dim
         self.n_clusters = n_clusters
         self.nprobe = nprobe
         self.chunk_cap = chunk_cap
         self.seed = seed
+        self.mesh = mesh
+        self.storage_dtype = storage_dtype
         self.n_docs = 0
         self._built = False
+
+    def _chunkify(self, sorted_assign: np.ndarray, cap: int):
+        """(starts, lens, centroid_id) chunk table from a cluster-sorted
+        assignment — vectorized boundary detection, no Python-per-row."""
+        n = len(sorted_assign)
+        bounds = np.flatnonzero(np.diff(sorted_assign)) + 1
+        cl_starts = np.concatenate([[0], bounds])
+        cl_ends = np.concatenate([bounds, [n]])
+        starts, lens, cids = [], [], []
+        for s, e in zip(cl_starts, cl_ends):
+            for p in range(s, e, cap):
+                starts.append(p)
+                lens.append(min(cap, e - p))
+                cids.append(sorted_assign[s])
+        return (np.asarray(starts, np.int64), np.asarray(lens, np.int64),
+                np.asarray(cids, np.int64))
 
     def build(self, vectors: np.ndarray, kmeans_iters: int = 10) -> "IVFIndex":
         v = np.asarray(vectors, dtype=np.float32)
@@ -135,48 +264,94 @@ class IVFIndex:
         v_dev = jnp.asarray(v)
         centroids = kmeans_fit(v_dev, C, seed=self.seed, iters=kmeans_iters)
         v_norm = np.asarray(l2_normalize(v_dev.astype(jnp.float32)))
-        assign = np.asarray(
-            jnp.argmax(jnp.dot(jnp.asarray(v_norm), centroids.T), axis=1)
-        )
+        assign = np.asarray(kmeans_assign(v_dev, centroids))
+        del v_dev
         # permute docs into cluster order; split big clusters into chunks
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
-        chunk_starts, chunk_lens, chunk_centroid = [], [], []
         centroids_np = np.asarray(centroids)
-        pos = 0
-        while pos < n:
-            c = sorted_assign[pos]
-            end = pos
-            while end < n and sorted_assign[end] == c and end - pos < cap:
-                end += 1
-            chunk_starts.append(pos)
-            chunk_lens.append(end - pos)
-            chunk_centroid.append(centroids_np[c])
-            pos = end
-        pad = cap  # so the last chunk's slice never reads out of bounds
-        docs_perm = np.zeros((n + pad, v.shape[1]), dtype=np.float32)
-        docs_perm[:n] = v_norm[order]
-        perm_to_orig = np.full(n + pad, -1, dtype=np.int32)
-        perm_to_orig[:n] = order
-        self._centroids = jnp.asarray(np.stack(chunk_centroid))
-        self._docs_perm = jnp.asarray(docs_perm)
-        self._chunk_starts = jnp.asarray(np.asarray(chunk_starts, np.int32))
-        self._chunk_lens = jnp.asarray(np.asarray(chunk_lens, np.int32))
-        self._perm_to_orig = jnp.asarray(perm_to_orig)
+        starts, lens, cids = self._chunkify(sorted_assign, cap)
         self._cap = cap
+        if self.mesh is not None:
+            self._build_sharded(v_norm, order, starts, lens,
+                                centroids_np[cids])
+        else:
+            pad = cap  # so the last chunk's slice never reads out of bounds
+            docs_perm = np.zeros((n + pad, v.shape[1]), dtype=np.float32)
+            docs_perm[:n] = v_norm[order]
+            perm_to_orig = np.full(n + pad, -1, dtype=np.int32)
+            perm_to_orig[:n] = order
+            self._centroids = jnp.asarray(centroids_np[cids])
+            self._docs_perm = jnp.asarray(docs_perm, dtype=self.storage_dtype)
+            self._chunk_starts = jnp.asarray(starts.astype(np.int32))
+            self._chunk_lens = jnp.asarray(lens.astype(np.int32))
+            self._perm_to_orig = jnp.asarray(perm_to_orig)
         self._built = True
         return self
+
+    def _build_sharded(self, v_norm, order, starts, lens, chunk_cent):
+        """Round-robin chunks over shards (balances rows for equal-size
+        chunks), stack per-shard arrays, place with P(DATA_AXIS)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+        S = self.mesh.shape[DATA_AXIS]
+        n_chunks = len(starts)
+        owner = np.arange(n_chunks) % S
+        chunks_pad = max(1, -(-n_chunks // S))
+        rows_pad = 0
+        for s in range(S):
+            rows_pad = max(rows_pad, int(lens[owner == s].sum()))
+        rows_pad += self._cap  # slice overhang
+        D = v_norm.shape[1]
+        docs_s = np.zeros((S, rows_pad, D), dtype=np.float32)
+        cent_s = np.zeros((S, chunks_pad, D), dtype=np.float32)
+        st_s = np.zeros((S, chunks_pad), dtype=np.int32)
+        ln_s = np.zeros((S, chunks_pad), dtype=np.int32)
+        orig_s = np.full((S, rows_pad), -1, dtype=np.int32)
+        for s in range(S):
+            mine = np.flatnonzero(owner == s)
+            pos = 0
+            for j, ci in enumerate(mine):
+                st, ll = int(starts[ci]), int(lens[ci])
+                docs_s[s, pos:pos + ll] = v_norm[order[st:st + ll]]
+                orig_s[s, pos:pos + ll] = order[st:st + ll]
+                cent_s[s, j] = chunk_cent[ci]
+                st_s[s, j], ln_s[s, j] = pos, ll
+                pos += ll
+        sh2 = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        sh3 = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        self._centroids = jax.device_put(jnp.asarray(cent_s), sh3)
+        self._docs_perm = jax.device_put(
+            jnp.asarray(docs_s, dtype=self.storage_dtype), sh3)
+        self._chunk_starts = jax.device_put(jnp.asarray(st_s), sh2)
+        self._chunk_lens = jax.device_put(jnp.asarray(ln_s), sh2)
+        self._perm_to_orig = jax.device_put(jnp.asarray(orig_s), sh2)
 
     def search(self, queries: np.ndarray, k: int,
                nprobe: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
         if not self._built:
             raise RuntimeError("IVFIndex.search before build()")
-        npr = min(nprobe or self.nprobe, self._centroids.shape[0])
         k_eff = min(k, self.n_docs)
-        vals, idxs = _ivf_search(
-            jnp.asarray(np.asarray(queries, np.float32)),
-            self._centroids, self._docs_perm, self._chunk_starts,
-            self._chunk_lens, self._perm_to_orig,
-            k_eff, npr, self._cap,
-        )
+        q = jnp.asarray(np.asarray(queries, np.float32))
+        if self.mesh is not None:
+            from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+            S = self.mesh.shape[DATA_AXIS]
+            npr = nprobe or self.nprobe
+            # per-shard probe depth keeps TOTAL probed chunks ~= nprobe
+            npr_local = max(1, -(-npr // S))
+            vals, idxs = _sharded_ivf_search(
+                self.mesh, q, self._centroids, self._docs_perm,
+                self._chunk_starts, self._chunk_lens, self._perm_to_orig,
+                k_eff, npr_local, self._cap,
+            )
+        else:
+            npr = min(nprobe or self.nprobe, self._centroids.shape[0])
+            vals, idxs = _ivf_search(
+                q, self._centroids, self._docs_perm, self._chunk_starts,
+                self._chunk_lens, self._perm_to_orig,
+                k_eff, npr, self._cap,
+            )
         return np.asarray(vals), np.asarray(idxs)

@@ -76,3 +76,37 @@ def test_ivf_mode_through_engine(rng, demo_docs):
     results = s.search("machine learning artificial intelligence", top_k=4,
                        log=False)
     assert {r[2] for r in results} & {1, 3, 6, 8, 10}
+
+
+def test_ivf_sharded_matches_single_device(rng):
+    """Mesh IVF: the collective program's results agree with the
+    single-device index (same clustering seed, full probe = exact)."""
+    from hybridsearch_tpu.parallel.mesh import build_mesh
+
+    docs = clustered_data(rng, n_clusters=12, per=64)
+    mesh = build_mesh()
+    single = IVFIndex(dim=64, n_clusters=16, nprobe=6).build(docs)
+    sharded = IVFIndex(dim=64, n_clusters=16, nprobe=6, mesh=mesh).build(docs)
+    qs = docs[rng.integers(0, len(docs), 8)] + \
+        0.05 * rng.standard_normal((8, 64)).astype(np.float32)
+    # full probe on both -> both exact -> identical id sets
+    _, got_s = sharded.search(qs, 10, nprobe=10**9)
+    _, want = oracle.dense_topk(qs, docs, 10)
+    for b in range(len(qs)):
+        assert set(got_s[b].tolist()) == set(want[b].tolist())
+    # default probe: sharded recall close to single-device recall
+    _, g1 = single.search(qs, 10)
+    _, g2 = sharded.search(qs, 10)
+    r1 = np.mean([len(set(g1[b]) & set(want[b])) / 10 for b in range(len(qs))])
+    r2 = np.mean([len(set(g2[b]) & set(want[b])) / 10 for b in range(len(qs))])
+    assert r2 >= r1 - 0.15, (r1, r2)
+
+
+def test_kmeans_blocked_matches_small_block(rng):
+    """Blocked Lloyd iterations are block-size invariant."""
+    import jax.numpy as jnp
+
+    docs = clustered_data(rng, n_clusters=6, per=50)
+    c1 = np.asarray(kmeans_fit(jnp.asarray(docs), 8, iters=4, block=64))
+    c2 = np.asarray(kmeans_fit(jnp.asarray(docs), 8, iters=4, block=4096))
+    np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)

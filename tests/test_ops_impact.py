@@ -266,10 +266,12 @@ def test_margin_correction_matches_oracle(rng):
     assert not np.asarray(res.exact).any()
 
 
-def test_pruned_quality_jaccard(rng):
+def test_pruned_quality_jaccard():
     """Hard pruning on a corpus with correlated arms (the realistic case)
     must stay near-exact even where certificates fail: top-10 Jaccard vs
     full fusion >= 0.9."""
+    rng = np.random.default_rng(1234)  # own seed: the shared session rng's
+    # position depends on test order, and this is a statistical threshold
     n, d = 2048, 64
     topics = rng.standard_normal((8, d)).astype(np.float32)
     assign = rng.integers(0, 8, size=n)
