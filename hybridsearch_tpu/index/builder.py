@@ -61,7 +61,6 @@ class Indexer:
         self.ivf = None  # built on demand when config.index.ann == "ivf"
         self.contents: List[str] = []
         self.doc_ids: List[int] = []
-        self._token_cache: List[List[str]] = []
 
     # -- lifecycle -------------------------------------------------------------
 
@@ -122,7 +121,6 @@ class Indexer:
         self.bm25.fit_tokens(token_lists)
         self.contents = list(docs)
         self.doc_ids = ids
-        self._token_cache = token_lists
         return {"indexed": len(docs), "dim": self.config.index.dim}
 
     def add_documents(
@@ -132,9 +130,9 @@ class Indexer:
     ) -> List[int]:
         """Incremental add keeping dense AND sparse indexes live (fixes
         reference indexer.py:317-360's stale-FAISS inconsistency). BM25
-        global stats (df, avg_len) change on add, so postings are refit from
-        the cached token lists — O(corpus tokens) host work, amortizable via
-        the job queue for bulk adds."""
+        global stats (df, avg_len) change on add, so all eager weights are
+        recomputed — vectorized over the cached COO (BM25.add_tokens),
+        with only the NEW documents tokenized."""
         docs = [preprocess_text(d) for d in documents]
         token_lists = [extract_tokens(d) for d in docs]
         ids = self.store.add_documents(docs, paths, [len(t) for t in token_lists])
@@ -142,11 +140,19 @@ class Indexer:
         self.dense.add(vectors)
         self.contents.extend(docs)
         self.doc_ids.extend(ids)
-        if len(self._token_cache) != len(self.contents) - len(docs):
-            self._token_cache = [extract_tokens(c) for c in self.contents[: -len(docs)]]
-        self._token_cache.extend(token_lists)
         self._align_bm25_shards()
-        self.bm25.fit_tokens(self._token_cache)
+        if (self.bm25._state.tf_cache is not None
+                and self.bm25.n_docs == len(self.contents) - len(docs)):
+            # O(new tokens) incremental path: extend the COO cache,
+            # recompute eager weights vectorized
+            self.bm25.add_tokens(token_lists)
+        else:
+            # no cache (state restored from disk) or counts diverged:
+            # refit from the full corpus
+            self.bm25.fit_tokens(
+                [extract_tokens(c) for c in self.contents[: -len(docs)]]
+                + token_lists
+            )
         return ids
 
     def delete_documents(self, doc_ids: Sequence[int]) -> int:

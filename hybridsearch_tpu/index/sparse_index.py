@@ -35,6 +35,11 @@ class _BM25State(NamedTuple):
     # host copy of per-term posting-run lengths (max local run when sharded)
     # used to bucket query terms by slice width (ops/bm25.py LENGTH_BUCKETS)
     term_runs: Optional[np.ndarray] = None
+    # host COO tf cache (term_ids, doc_ids, counts, doc_lens) enabling
+    # incremental add_tokens: new docs extend the triples and ALL eager
+    # weights recompute vectorized (BM25 global stats — df, avg_len —
+    # change on every add), with no re-tokenization of the old corpus
+    tf_cache: Optional[tuple] = None
 
 
 class BM25:
@@ -127,32 +132,39 @@ class BM25:
         tokenized = [extract_tokens(t) for t in corpus]
         return self.fit_tokens(tokenized)
 
-    def fit_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":
-        vocab = Vocabulary()
-        n_docs = len(tokenized)
+    @staticmethod
+    def _encode_coo(tokenized, vocab, doc_base: int):
+        """Vectorized (term, doc, count) COO for a batch of token lists.
+
+        vocab ids need one dict op per token (new-token discovery is
+        inherently sequential), but the per-doc tf aggregation is ONE
+        vectorized unique over (doc, term) keys instead of per-doc dicts —
+        measured ~2x on the 10M-doc bulk-index host path."""
+        n_new = len(tokenized)
         doc_lens = np.array([len(t) for t in tokenized], dtype=np.float64)
-        # vocab ids need one dict op per token (new-token discovery is
-        # inherently sequential), but the per-doc tf aggregation is ONE
-        # vectorized unique over (doc, term) keys instead of 20k dicts —
-        # measured ~2x on the 10M-doc bulk-index host path
         add = vocab.add
         flat_ids = np.fromiter(
             (add(t) for toks in tokenized for t in toks),
             dtype=np.int64,
             count=int(doc_lens.sum()),
         )
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
-                           doc_lens.astype(np.int64))
+        doc_of = np.repeat(
+            np.arange(doc_base, doc_base + n_new, dtype=np.int64),
+            doc_lens.astype(np.int64),
+        )
         V = max(len(vocab), 1)
-        key = doc_of * V + flat_ids
-        uniq, c_arr = np.unique(key, return_counts=True)
-        t_arr = uniq % V
-        d_arr = uniq // V
-        c_arr = c_arr.astype(np.float64)
+        uniq, c_arr = np.unique(doc_of * V + flat_ids, return_counts=True)
+        return uniq % V, uniq // V, c_arr.astype(np.float64), doc_lens
+
+    def _publish_from_coo(self, vocab, t_arr, d_arr, c_arr, doc_lens):
+        """Recompute eager weights over the full COO and atomically publish
+        a new state (single-device or sharded)."""
+        n_docs = len(doc_lens)
         weights = bm25_ops.compute_eager_weights(
             t_arr, d_arr, c_arr, doc_lens, n_docs, len(vocab),
             k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
         )
+        tf_cache = (t_arr, d_arr, c_arr, doc_lens)
         if self.mesh is not None and n_docs:
             from hybridsearch_tpu.parallel.mesh import DATA_AXIS
 
@@ -170,15 +182,49 @@ class BM25:
                 local = np.bincount(t_arr[shard_of == sidx],
                                     minlength=len(vocab) + 1)
                 np.maximum(runs, local, out=runs)
-            new_state = _BM25State(vocab, None, sharded, n_docs, runs)
+            new_state = _BM25State(vocab, None, sharded, n_docs, runs,
+                                   tf_cache=tf_cache)
         else:
             postings = bm25_ops.build_postings_arrays(
                 t_arr, d_arr.astype(np.int32), weights, n_docs, len(vocab),
             )
             runs = np.bincount(t_arr, minlength=len(vocab) + 1)
-            new_state = _BM25State(vocab, postings, None, n_docs, runs)
+            new_state = _BM25State(vocab, postings, None, n_docs, runs,
+                                   tf_cache=tf_cache)
         self._state = new_state  # atomic publish
+
+    def fit_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":
+        vocab = Vocabulary()
+        t_arr, d_arr, c_arr, doc_lens = self._encode_coo(tokenized, vocab, 0)
+        self._publish_from_coo(vocab, t_arr, d_arr, c_arr, doc_lens)
         self._tombstones = set()  # a refit defines a fresh corpus
+        return self
+
+    def add_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":
+        """Incremental add: O(new tokens) host work plus one vectorized
+        weight recompute over the cached COO — the old corpus is never
+        re-tokenized (the reference's add_documents leaves its FAISS index
+        stale, reference indexer.py:317-360; here BOTH indexes stay live,
+        and eager weights are refreshed because df/avg_len change on every
+        add). Requires a fitted state with a tf cache; raises otherwise."""
+        state = self._state
+        if state.tf_cache is None:
+            raise ValueError(
+                "add_tokens needs the COO cache from fit_tokens "
+                "(states restored via load() must refit to add)"
+            )
+        # copy-on-write vocab: concurrent readers of the OLD snapshot must
+        # never see term ids beyond their postings' vocab_size
+        vocab = state.vocab.copy()
+        t0, d0, c0, l0 = state.tf_cache
+        t1, d1, c1, l1 = self._encode_coo(tokenized, vocab, state.n_docs)
+        self._publish_from_coo(
+            vocab,
+            np.concatenate([t0, t1]),
+            np.concatenate([d0, d1]),
+            np.concatenate([c0, c1]),
+            np.concatenate([l0, l1]),
+        )
         return self
 
     # -- deletion ------------------------------------------------------------

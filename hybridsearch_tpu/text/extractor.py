@@ -140,6 +140,15 @@ class Vocabulary:
     def get(self, token: str, default: int = -1) -> int:
         return self.token_to_id.get(token, default)
 
+    def copy(self) -> "Vocabulary":
+        """Copy-on-write support for incremental index adds: the new state
+        extends a COPY so readers of the old snapshot never see term ids
+        beyond their postings' vocab_size."""
+        v = Vocabulary()
+        v.token_to_id = dict(self.token_to_id)
+        v.id_to_token = list(self.id_to_token)
+        return v
+
     def encode(self, tokens: Iterable[str], add: bool = False) -> List[int]:
         if add:
             return [self.add(t) for t in tokens]

@@ -167,3 +167,35 @@ def test_candidate_scores_runs_match_full(demo_docs):
     got2 = bm.candidate_scores(q, cand)
     np.testing.assert_allclose(got2[:4], full[[0, 3, 11, 5]], rtol=1e-4,
                                atol=1e-5)
+
+
+def test_add_tokens_matches_full_refit(rng):
+    """Incremental add must publish postings identical to a full refit of
+    the concatenated corpus (weights included — global stats change)."""
+    from hybridsearch_tpu.index.sparse_index import BM25
+
+    vocab = [f"tok{i}" for i in range(200)]
+    first = [list(rng.choice(vocab, size=12)) for _ in range(300)]
+    more = [list(rng.choice(vocab, size=9)) for _ in range(50)]
+    inc = BM25().fit_tokens(first)
+    old_state = inc._state
+    inc.add_tokens(more)
+    full = BM25().fit_tokens(first + more)
+    a, b = inc._state.postings, full._state.postings
+    assert a.n_docs == b.n_docs == 350
+    np.testing.assert_array_equal(np.asarray(a.indptr), np.asarray(b.indptr))
+    np.testing.assert_array_equal(np.asarray(a.doc_ids),
+                                  np.asarray(b.doc_ids))
+    np.testing.assert_allclose(np.asarray(a.weights), np.asarray(b.weights),
+                               rtol=1e-6)
+    # snapshot safety: the old state's vocab did not grow
+    assert len(old_state.vocab) <= a.vocab_size
+    assert old_state.postings.vocab_size == len(old_state.vocab)
+
+
+def test_add_tokens_requires_cache(rng):
+    from hybridsearch_tpu.index.sparse_index import BM25
+
+    b = BM25()
+    with pytest.raises(ValueError):
+        b.add_tokens([["a", "b"]])
