@@ -210,6 +210,13 @@ def encode_impact_queries(
     )
 
 
+def _use_pallas() -> bool:
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("HST_PALLAS_IMPACT", "1") == "1")
+
+
 @functools.partial(jax.jit, static_argnames=("p_depth",))
 def slice_impact_runs(
     doc_ids: jax.Array,
@@ -220,14 +227,25 @@ def slice_impact_runs(
     n_docs: int,
 ) -> Tuple[jax.Array, jax.Array]:
     """([B, T, p] ids, [B, T, p] weights) — contiguous top-p prefixes of
-    each query term's impact run; invalid tails masked to (n_docs, 0)."""
+    each query term's impact run; invalid tails masked to (n_docs, 0).
+
+    TPU fast path: one async DMA per (b, t) block with the start
+    prefetched to SMEM (ops/pallas_impact.py) — the XLA vmapped
+    dynamic_slice lowering goes through the scalar gather pipeline."""
+    B, T = starts.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p_depth), 2)
+    if _use_pallas():
+        from hybridsearch_tpu.ops.pallas_impact import pallas_slice_runs
 
-    def one(s):
-        return (jax.lax.dynamic_slice(doc_ids, (s,), (p_depth,)),
-                jax.lax.dynamic_slice(weights, (s,), (p_depth,)))
+        ids_f, ws_f = pallas_slice_runs(doc_ids, weights, starts, p=p_depth)
+        ids_r = ids_f.reshape(B, T, p_depth)
+        ws_r = ws_f.reshape(B, T, p_depth)
+    else:
+        def one(s):
+            return (jax.lax.dynamic_slice(doc_ids, (s,), (p_depth,)),
+                    jax.lax.dynamic_slice(weights, (s,), (p_depth,)))
 
-    ids_r, ws_r = jax.vmap(jax.vmap(one))(starts)
+        ids_r, ws_r = jax.vmap(jax.vmap(one))(starts)
     valid = iota < lengths[:, :, None]
     return (jnp.where(valid, ids_r, jnp.int32(n_docs)),
             jnp.where(valid, ws_r, 0.0))
@@ -251,6 +269,13 @@ def onehot_rescore(
     """
     B, C = cand.shape
     W = ids_flat.shape[1]
+    if _use_pallas() and W % 1024 == 0:
+        from hybridsearch_tpu.ops.pallas_impact import pallas_onehot_rescore
+
+        cp = (-(-C // 128)) * 128
+        if cp != C:
+            cand = jnp.pad(cand, ((0, 0), (0, cp - C)), constant_values=-1)
+        return pallas_onehot_rescore(cand, ids_flat, ws_flat)[:, :C]
     nb = -(-B // bq)
     if nb * bq != B:
         pad = nb * bq - B

@@ -301,3 +301,36 @@ def test_pruned_quality_jaccard():
         a, g = set(oi[b].tolist()), set(x for x in ri[b].tolist() if x >= 0)
         jac.append(len(a & g) / len(a | g))
     assert np.mean(jac) >= 0.9, jac
+
+
+# -- Pallas kernels (interpret mode on CPU; compiled on TPU) ---------------------------
+
+
+def test_pallas_slice_runs_interpret(rng):
+    from hybridsearch_tpu.ops.pallas_impact import pallas_slice_runs
+
+    nnz, b, t, p = 5000, 4, 8, 64
+    ids = jnp.asarray(rng.integers(0, 1000, nnz + p).astype(np.int32))
+    ws = jnp.asarray(rng.random(nnz + p).astype(np.float32))
+    starts = jnp.asarray(rng.integers(0, nnz, (b, t)).astype(np.int32))
+    oi, ow = pallas_slice_runs(ids, ws, starts, p=p, interpret=True)
+    ids_np, ws_np = np.asarray(ids), np.asarray(ws)
+    for g, s in enumerate(np.asarray(starts).reshape(-1)):
+        np.testing.assert_array_equal(np.asarray(oi)[g], ids_np[s:s + p])
+        np.testing.assert_allclose(np.asarray(ow)[g], ws_np[s:s + p])
+
+
+def test_pallas_onehot_rescore_interpret(rng):
+    from hybridsearch_tpu.ops.pallas_impact import pallas_onehot_rescore
+
+    b, c, w = 4, 256, 2048
+    cand = jnp.asarray(rng.integers(0, 500, (b, c)).astype(np.int32))
+    idsf = jnp.asarray(rng.integers(0, 500, (b, w)).astype(np.int32))
+    wsf = jnp.asarray(rng.random((b, w)).astype(np.float32))
+    got = np.asarray(pallas_onehot_rescore(cand, idsf, wsf, w_blk=512,
+                                           interpret=True))
+    for bi in range(b):
+        ids_b = np.asarray(idsf[bi])
+        for ci in range(0, c, 37):  # sampled columns keep the oracle fast
+            want = float(np.asarray(wsf[bi])[ids_b == int(cand[bi, ci])].sum())
+            assert abs(got[bi, ci] - want) < 1e-5
