@@ -93,6 +93,9 @@ def run_once(n_docs: int, iters: int) -> float:
 
 
 def main() -> None:
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin wins over the env var; force via config
+        jax.config.update("jax_platforms", "cpu")
     n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
     backend = jax.default_backend()
     if backend == "cpu":
@@ -129,12 +132,35 @@ def main() -> None:
             print(f"# corpus {attempt_n} failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
+    # hybrid serving number (impact path) on the same chip, under its own
+    # wall-clock budget so a wedged tunnel can't lose the dense result
+    hybrid: dict = {}
+    if os.environ.get("HST_BENCH_SKIP_HYBRID") != "1":
+        try:
+            signal.alarm(420)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from benchmarks.bench_hybrid import run as run_hybrid
+
+            hn = used_n or n_docs
+            hres = run_hybrid(hn, batch=256, iters=4)
+            signal.alarm(0)
+            hybrid = {
+                "hybrid_qps": hres["value"],
+                "hybrid_docs": hn,
+                "hybrid_exact_pct": hres.get("exact_pct"),
+            }
+        except BaseException as e:
+            signal.alarm(0)
+            print(f"# hybrid bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": f"dense_topk_qps@{used_n}docs_{D}d_k{TOP_K}_b{QUERY_BATCH}"
         + ("_int8" if DTYPE == "int8" else ""),
         "value": round(qps, 2),
         "unit": "qps/chip",
         "vs_baseline": round(qps / TARGET_QPS, 4),
+        **hybrid,
     }))
 
 
