@@ -137,7 +137,7 @@ def main() -> None:
     hybrid: dict = {}
     if os.environ.get("HST_BENCH_SKIP_HYBRID") != "1":
         try:
-            signal.alarm(420)
+            signal.alarm(540)
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from benchmarks.bench_hybrid import run as run_hybrid
 

@@ -211,10 +211,15 @@ def encode_impact_queries(
 
 
 def _use_pallas() -> bool:
+    # Opt-in (HST_PALLAS_IMPACT=1): this environment's TPU compile helper
+    # wedges the device tunnel for hours when compiling these kernels
+    # (observed twice); the XLA fallbacks are the safe default until the
+    # kernels are validated on direct-attached hardware. Their values are
+    # pinned by interpret-mode tests either way.
     import os
 
     return (jax.default_backend() == "tpu"
-            and os.environ.get("HST_PALLAS_IMPACT", "1") == "1")
+            and os.environ.get("HST_PALLAS_IMPACT", "0") == "1")
 
 
 @functools.partial(jax.jit, static_argnames=("p_depth",))
@@ -275,7 +280,13 @@ def onehot_rescore(
         cp = (-(-C // 128)) * 128
         if cp != C:
             cand = jnp.pad(cand, ((0, 0), (0, cp - C)), constant_values=-1)
-        return pallas_onehot_rescore(cand, ids_flat, ws_flat)[:, :C]
+        bp = (-(-B // 8)) * 8
+        if bp != B:
+            cand = jnp.pad(cand, ((0, bp - B), (0, 0)), constant_values=-1)
+            ids_flat = jnp.pad(ids_flat, ((0, bp - B), (0, 0)),
+                               constant_values=-2)
+            ws_flat = jnp.pad(ws_flat, ((0, bp - B), (0, 0)))
+        return pallas_onehot_rescore(cand, ids_flat, ws_flat)[:B, :C]
     nb = -(-B // bq)
     if nb * bq != B:
         pad = nb * bq - B

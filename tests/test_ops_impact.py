@@ -323,7 +323,7 @@ def test_pallas_slice_runs_interpret(rng):
 def test_pallas_onehot_rescore_interpret(rng):
     from hybridsearch_tpu.ops.pallas_impact import pallas_onehot_rescore
 
-    b, c, w = 4, 256, 2048
+    b, c, w = 8, 256, 2048
     cand = jnp.asarray(rng.integers(0, 500, (b, c)).astype(np.int32))
     idsf = jnp.asarray(rng.integers(0, 500, (b, w)).astype(np.int32))
     wsf = jnp.asarray(rng.random((b, w)).astype(np.float32))
