@@ -117,7 +117,11 @@ class EngineState:
         a retry resumes after the last committed batch instead of re-adding
         every batch (which would duplicate docs up to max_retries+1 times)."""
         docs = payload.get("documents", [])
-        batch = 32
+        # each add_documents commit rebuilds device postings and recomputes
+        # all eager weights (global BM25 stats change); scale the batch so a
+        # job pays at most ~20 rebuild rounds while keeping progress/cancel
+        # granularity for small jobs
+        batch = max(32, -(-len(docs) // 20))
         added: List[int] = payload.setdefault("_added_ids", [])
         start = int(payload.get("_committed", 0))
         for i in range(start, len(docs), batch):
