@@ -236,7 +236,10 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
 
     # the host-side synth + impact build at 10M costs minutes; cache to
     # /tmp so repeated runs (and bench.py's alarm-bounded rider) are fast
-    cache = f"/tmp/hst_hybridbench_{n_docs}.npz"
+    from hybridsearch_tpu.ops.impact import _use_pallas
+
+    align = 1024 if _use_pallas() else 1
+    cache = f"/tmp/hst_hybridbench_{n_docs}_a{align}.npz"
     t0 = time.time()
     if os.path.exists(cache):
         z = np.load(cache)
@@ -255,7 +258,7 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     else:
         topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
         imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
-                                    p_max=P_MAX)
+                                    p_max=P_MAX, align=align)
         np.savez(cache, topic_of=topic_of, t=t_ids, d=d_ids, w=w, df=df,
                  vocab=vocab, imp_ids=np.asarray(imp.doc_ids),
                  imp_ws=np.asarray(imp.weights),

@@ -273,7 +273,10 @@ class BM25:
         cached = getattr(self, "_impact_cache", None)
         if cached is not None and cached[0] is state and cached[1] >= p_max:
             return cached[2]
-        from hybridsearch_tpu.ops.impact import build_impact_postings
+        from hybridsearch_tpu.ops.impact import (
+            _use_pallas,
+            build_impact_postings,
+        )
 
         po = state.postings
         nnz = int(po.indptr[-1]) if po.indptr.shape[0] else 0
@@ -287,7 +290,7 @@ class BM25:
         )
         imp = build_impact_postings(
             term_ids, doc_ids, weights, po.n_docs, po.vocab_size,
-            p_max=p_max,
+            p_max=p_max, align=1024 if _use_pallas() else 1,
         )
         self._impact_cache = (state, p_max, imp)  # atomic publish
         return imp

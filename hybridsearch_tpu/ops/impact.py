@@ -73,11 +73,17 @@ def build_impact_postings(
     n_docs: int,
     vocab_size: int,
     p_max: int = IMPACT_P_LADDER[-1],
+    align: int = 1,
 ) -> ImpactPostings:
     """Host-side build from COO (term, doc, weight) triples.
 
     One lexsort (term asc, weight desc) + one vectorized prefix mask —
     no per-term Python loops, so 100M+ posting corpora build in seconds.
+
+    align > 1 pads every run start to that boundary (sentinel entries):
+    required by the Pallas slice kernel, whose HBM DMAs must start on a
+    Mosaic tiling boundary (ops/pallas_impact.py). Costs ~align/2 extra
+    entries per term.
     """
     t = np.asarray(term_ids, dtype=np.int64)
     d = np.asarray(doc_ids, dtype=np.int64)
@@ -92,7 +98,22 @@ def build_impact_postings(
     imp_d = d[keep].astype(np.int32)
     imp_w = w[keep].astype(np.float32)
     keep_len = np.minimum(df, p_max)
-    imp_starts = np.concatenate([[0], np.cumsum(keep_len)])[:-1]
+    if align > 1:
+        # scatter kept entries into align-padded run slots (vectorized)
+        alloc = -(-keep_len // align) * align
+        imp_starts = np.concatenate([[0], np.cumsum(alloc)])[:-1]
+        nnz_p = int(alloc.sum())
+        dst = (np.repeat(imp_starts, keep_len)
+               + (np.arange(len(imp_d), dtype=np.int64)
+                  - np.repeat(np.concatenate([[0], np.cumsum(keep_len)])[:-1],
+                              keep_len)))
+        d_al = np.full(nnz_p, n_docs, np.int32)
+        w_al = np.zeros(nnz_p, np.float32)
+        d_al[dst] = imp_d
+        w_al[dst] = imp_w
+        imp_d, imp_w = d_al, w_al
+    else:
+        imp_starts = np.concatenate([[0], np.cumsum(keep_len)])[:-1]
     # slack: weight at position p_max-1 of each truncated run
     slack = np.zeros(vocab_size, dtype=np.float32)
     trunc = df > p_max
@@ -239,10 +260,13 @@ def slice_impact_runs(
     dynamic_slice lowering goes through the scalar gather pipeline."""
     B, T = starts.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p_depth), 2)
-    if _use_pallas():
+    if _use_pallas() and p_depth % 1024 == 0:
+        # requires align=1024 builds (impact_postings aligns whenever the
+        # pallas gate is on, so build and slice agree)
         from hybridsearch_tpu.ops.pallas_impact import pallas_slice_runs
 
-        ids_f, ws_f = pallas_slice_runs(doc_ids, weights, starts, p=p_depth)
+        ids_f, ws_f = pallas_slice_runs(doc_ids, weights, starts, p=p_depth,
+                                        align=1024)
         ids_r = ids_f.reshape(B, T, p_depth)
         ws_r = ws_f.reshape(B, T, p_depth)
     else:

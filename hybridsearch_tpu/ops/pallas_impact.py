@@ -35,20 +35,26 @@ from jax.experimental.pallas import tpu as pltpu
 _ROWS = 8  # Mosaic: output block rows must be divisible by 8
 
 
-@functools.partial(jax.jit, static_argnames=("p", "interpret"))
+@functools.partial(jax.jit, static_argnames=("p", "align", "interpret"))
 def pallas_slice_runs(
     doc_ids: jax.Array,  # [nnz_pad] int32 (pad tail >= p)
     weights: jax.Array,  # [nnz_pad] float32
-    starts: jax.Array,  # [B, T] int32 run starts
+    starts: jax.Array,  # [B, T] int32 run starts (align-multiples)
     p: int,
+    align: int = 1024,
     interpret: bool = False,
 ):
     """([B*T, p] ids, [B*T, p] weights) — raw prefix copies; the caller
     masks invalid tails (ops/impact.py slice_impact_runs). B*T must be a
-    multiple of 8 (the T ladder guarantees T >= 8)."""
+    multiple of 8 (the T ladder guarantees T >= 8).
+
+    Run starts must be `align`-multiples (build_impact_postings align=):
+    Mosaic must PROVE the HBM DMA start divisible by the memref tiling,
+    so the kernel receives starts in units of align and multiplies by the
+    constant inside."""
     BT = starts.shape[0] * starts.shape[1]
-    assert BT % _ROWS == 0
-    flat_starts = starts.reshape(BT)
+    assert BT % _ROWS == 0 and p % align == 0
+    flat_starts = starts.reshape(BT) // align
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(BT // _ROWS,),
@@ -70,7 +76,7 @@ def pallas_slice_runs(
         g = pl.program_id(0)
         copies = []
         for r in range(_ROWS):
-            st = starts_ref[g * _ROWS + r]
+            st = starts_ref[g * _ROWS + r] * align  # provably aligned
             ci = pltpu.make_async_copy(
                 ids_hbm.at[pl.ds(st, p)], out_ids.at[r], sem_i.at[r])
             cw = pltpu.make_async_copy(

@@ -313,7 +313,8 @@ def test_pallas_slice_runs_interpret(rng):
     ids = jnp.asarray(rng.integers(0, 1000, nnz + p).astype(np.int32))
     ws = jnp.asarray(rng.random(nnz + p).astype(np.float32))
     starts = jnp.asarray(rng.integers(0, nnz, (b, t)).astype(np.int32))
-    oi, ow = pallas_slice_runs(ids, ws, starts, p=p, interpret=True)
+    oi, ow = pallas_slice_runs(ids, ws, starts, p=p, align=1,
+                               interpret=True)
     ids_np, ws_np = np.asarray(ids), np.asarray(ws)
     for g, s in enumerate(np.asarray(starts).reshape(-1)):
         np.testing.assert_array_equal(np.asarray(oi)[g], ids_np[s:s + p])
@@ -334,3 +335,29 @@ def test_pallas_onehot_rescore_interpret(rng):
         for ci in range(0, c, 37):  # sampled columns keep the oracle fast
             want = float(np.asarray(wsf[bi])[ids_b == int(cand[bi, ci])].sum())
             assert abs(got[bi, ci] - want) < 1e-5
+
+
+def test_aligned_build_and_sliced_parity(rng):
+    """align=1024 builds pad run starts to the boundary; scores and
+    slack are unchanged vs the unaligned build."""
+    V, nd = 30, 400
+    t = np.repeat(np.arange(V), 30).astype(np.int64)
+    d = np.concatenate([rng.choice(nd, 30, replace=False) for _ in range(V)])
+    w = (rng.random(V * 30) + 0.01).astype(np.float32)
+    plain = build_impact_postings(t, d, w, nd, V, p_max=16)
+    aligned = build_impact_postings(t, d, w, nd, V, p_max=16, align=1024)
+    assert (aligned.starts_host % 1024 == 0).all()
+    np.testing.assert_array_equal(plain.lengths_host, aligned.lengths_host)
+    np.testing.assert_allclose(plain.slack_host, aligned.slack_host)
+    for tid in range(V):
+        s_p, s_a = int(plain.starts_host[tid]), int(aligned.starts_host[tid])
+        ln = int(plain.lengths_host[tid])
+        np.testing.assert_array_equal(
+            np.asarray(plain.doc_ids[s_p:s_p + ln]),
+            np.asarray(aligned.doc_ids[s_a:s_a + ln]))
+        np.testing.assert_allclose(
+            np.asarray(plain.weights[s_p:s_p + ln]),
+            np.asarray(aligned.weights[s_a:s_a + ln]))
+        np.testing.assert_allclose(
+            aligned.weights_host[s_a:s_a + ln],
+            np.asarray(aligned.weights[s_a:s_a + ln]))
