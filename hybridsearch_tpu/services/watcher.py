@@ -4,11 +4,14 @@ Parity with the reference watcher (reference watcher.py:18-186): watch a
 directory for supported-extension changes, debounce 2 s per path, dispatch
 created/modified/deleted events to a callback that reindexes.
 
-The reference requires the `watchdog` package (inotify); this environment
-doesn't have it, so the primary implementation is a first-party polling
-watcher (mtime snapshots on a background thread — portable, no deps);
-watchdog is used transparently when importable, preserving the optional-
-dependency convention (reference watcher.py:9-15)."""
+The reference requires the `watchdog` package for inotify fidelity
+(reference watcher.py:9-15). Backends here, best first:
+  1. watchdog, transparently when importable (optional-dep convention);
+  2. FIRST-PARTY inotify via ctypes on Linux — kernel-event latency with
+     zero dependencies (recursive watches, new subdirectories picked up
+     from IN_CREATE|IN_ISDIR events);
+  3. portable polling fallback (mtime snapshots on a background thread).
+"""
 
 from __future__ import annotations
 
@@ -28,6 +31,41 @@ except ImportError:
 from hybridsearch_tpu.text.extractor import SUPPORTED_EXTENSIONS
 
 DEBOUNCE_SECONDS = 2.0  # reference watcher.py:37
+
+# -- first-party inotify (Linux) ----------------------------------------------------
+
+_IN_MODIFY = 0x002
+_IN_CLOSE_WRITE = 0x008
+_IN_MOVED_FROM = 0x040
+_IN_MOVED_TO = 0x080
+_IN_CREATE = 0x100
+_IN_DELETE = 0x200
+_IN_ISDIR = 0x40000000
+_WATCH_MASK = (_IN_MODIFY | _IN_CLOSE_WRITE | _IN_MOVED_FROM | _IN_MOVED_TO
+               | _IN_CREATE | _IN_DELETE)
+
+
+def _inotify_syscalls():
+    """(inotify_init1, inotify_add_watch) from libc, or None off-Linux."""
+    import ctypes
+    import sys
+
+    if not sys.platform.startswith("linux"):
+        return None
+    try:
+        libc = ctypes.CDLL(None, use_errno=True)
+        init1 = libc.inotify_init1
+        init1.argtypes = [ctypes.c_int]
+        init1.restype = ctypes.c_int
+        add = libc.inotify_add_watch
+        add.argtypes = [ctypes.c_int, ctypes.c_char_p, ctypes.c_uint32]
+        add.restype = ctypes.c_int
+        return init1, add
+    except (OSError, AttributeError):
+        return None
+
+
+INOTIFY_AVAILABLE = _inotify_syscalls() is not None
 
 
 class FileWatcher:
@@ -63,6 +101,8 @@ class FileWatcher:
         self._stop.clear()
         if WATCHDOG_AVAILABLE:
             self._start_watchdog()
+        elif INOTIFY_AVAILABLE and self._start_inotify():
+            pass
         else:
             self._thread = threading.Thread(target=self._poll_loop, daemon=True)
             self._thread.start()
@@ -125,6 +165,77 @@ class FileWatcher:
                 if path not in cur:
                     self._fire("deleted", path)
             prev = cur
+
+    # -- first-party inotify backend ---------------------------------------------------
+
+    def _start_inotify(self) -> bool:
+        """Kernel-event watching via ctypes inotify; returns False (caller
+        falls back to polling) if the fd or root watch cannot be set up."""
+        import ctypes
+        import struct
+
+        calls = _inotify_syscalls()
+        if calls is None:
+            return False
+        init1, add_watch = calls
+        fd = init1(0)  # blocking fd; select() provides the timeout
+        if fd < 0:
+            return False
+        wd_to_dir: Dict[int, str] = {}
+
+        def watch_tree(root: str) -> None:
+            for dirpath, dirnames, _files in os.walk(root):
+                wd = add_watch(fd, dirpath.encode(), _WATCH_MASK)
+                if wd >= 0:
+                    wd_to_dir[wd] = dirpath
+
+        watch_tree(self.directory)
+        if not wd_to_dir:
+            os.close(fd)
+            return False
+
+        def loop() -> None:
+            import select
+
+            hdr = struct.Struct("iIII")
+            try:
+                while not self._stop.is_set():
+                    r, _w, _x = select.select([fd], [], [], 0.25)
+                    if not r:
+                        continue
+                    data = os.read(fd, 65536)
+                    off = 0
+                    while off + hdr.size <= len(data):
+                        wd, mask, _cookie, nlen = hdr.unpack_from(data, off)
+                        name = data[off + hdr.size: off + hdr.size + nlen]
+                        off += hdr.size + nlen
+                        name = name.split(b"\0", 1)[0].decode(
+                            "utf-8", "replace")
+                        base = wd_to_dir.get(wd)
+                        if base is None or not name:
+                            continue
+                        path = os.path.join(base, name)
+                        if mask & _IN_ISDIR:
+                            if mask & (_IN_CREATE | _IN_MOVED_TO):
+                                watch_tree(path)  # new subtree
+                            continue
+                        if not self._wanted(path):
+                            continue
+                        if mask & (_IN_CREATE | _IN_MOVED_TO):
+                            self._fire("created", path)
+                        elif mask & (_IN_CLOSE_WRITE | _IN_MODIFY):
+                            self._fire("modified", path)
+                        elif mask & (_IN_DELETE | _IN_MOVED_FROM):
+                            self._fire("deleted", path)
+            finally:
+                try:
+                    os.close(fd)
+                except OSError:
+                    pass
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+        return True
 
     # -- watchdog backend ------------------------------------------------------------------
 

@@ -550,3 +550,46 @@ def test_language_breadth_latin_profiles():
     for text, want in cases.items():
         got = d.detect(text).language
         assert got == want, (text, got, want)
+
+
+def test_inotify_backend_detects_changes(tmp_path):
+    """First-party ctypes inotify backend: created/modified/deleted fire
+    with kernel-event latency (no polling interval), new subdirectories
+    are picked up, and unwanted extensions are filtered."""
+    import sys
+    import time as _time
+
+    from hybridsearch_tpu.services import watcher as watcher_mod
+
+    if not sys.platform.startswith("linux"):
+        pytest.skip("inotify is Linux-only")
+    assert watcher_mod.INOTIFY_AVAILABLE
+    events = []
+    w = FileWatcher(str(tmp_path),
+                    lambda ev, p: events.append((ev, os.path.basename(p))),
+                    poll_interval=99.0, debounce=0.0)  # poll would be too slow
+    w.start()
+    try:
+        assert not watcher_mod.WATCHDOG_AVAILABLE  # env has no watchdog
+        _time.sleep(0.3)
+        (tmp_path / "a.txt").write_text("hello")
+        (tmp_path / "skip.bin").write_text("binary")
+        sub = tmp_path / "sub"
+        sub.mkdir()
+        _time.sleep(0.6)  # let the new-subtree watch register
+        (sub / "b.md").write_text("nested")
+        _time.sleep(0.6)
+        (tmp_path / "a.txt").unlink()
+        deadline = _time.time() + 5
+        while _time.time() < deadline:
+            names = {n for _e, n in events}
+            if {"a.txt", "b.md"} <= names and any(
+                    e == "deleted" and n == "a.txt" for e, n in events):
+                break
+            _time.sleep(0.1)
+    finally:
+        w.stop()
+    names = {n for _e, n in events}
+    assert "a.txt" in names and "b.md" in names
+    assert "skip.bin" not in names
+    assert any(e == "deleted" and n == "a.txt" for e, n in events)
