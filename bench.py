@@ -115,7 +115,7 @@ def main() -> None:
         raise _Timeout()
 
     signal.signal(signal.SIGALRM, _alarm)
-    budgets = {0: 300}
+    budgets = {0: 420}
     for attempt_i, attempt_n in enumerate(
         (n_docs, int(n_docs * 0.8), n_docs // 2, n_docs // 5, n_docs // 10)
     ):
@@ -142,7 +142,7 @@ def main() -> None:
             from benchmarks.bench_hybrid import run as run_hybrid
 
             hn = used_n or n_docs
-            hres = run_hybrid(hn, batch=256, iters=4)
+            hres = run_hybrid(hn, batch=512, iters=4)
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],

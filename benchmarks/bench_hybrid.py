@@ -373,7 +373,7 @@ def main() -> None:
         print(json.dumps(jaccard_vs_oracle(n_docs)))
         return
     n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
-    batch = int(os.environ.get("HST_BENCH_BATCH", "256"))
+    batch = int(os.environ.get("HST_BENCH_BATCH", "512"))
     if jax.default_backend() == "cpu":
         n_docs = min(n_docs, 200_000)
     iters = int(os.environ.get("HST_BENCH_ITERS", "8"))
