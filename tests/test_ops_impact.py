@@ -361,3 +361,32 @@ def test_aligned_build_and_sliced_parity(rng):
         np.testing.assert_allclose(
             aligned.weights_host[s_a:s_a + ln],
             np.asarray(aligned.weights[s_a:s_a + ln]))
+
+
+def test_searcher_uncertified_counter_increments(monkeypatch, rng):
+    """When the exactness certificate cannot close after the ladder, the
+    searcher serves best-effort and bumps the /metrics counter exactly as
+    documented (VERDICT round-1 item 8)."""
+    import warnings
+
+    import hybridsearch_tpu.retrieval.searcher as searcher_mod
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+    from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+    texts = [" ".join(rng.choice(VOCAB, size=10)) for _ in range(1200)]
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False)
+    s.indexer.index_documents(texts)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    # a starved ladder that cannot close coverage certificates on an
+    # uncorrelated corpus (dense/lexical winners disjoint)
+    monkeypatch.setattr(searcher_mod, "_IMPACT_LADDER", ((10, 1, 256),))
+    before = GLOBAL_COUNTERS.get("hybrid_sparse_uncertified")
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = s.search_batch(
+            [" ".join(rng.choice(VOCAB, size=3)) for _ in range(4)],
+            top_k=5, log=False)
+    after = GLOBAL_COUNTERS.get("hybrid_sparse_uncertified")
+    assert after > before
+    assert all(len(r) == 5 for r in res)  # best-effort results still served
