@@ -196,7 +196,11 @@ def encode_impact_queries(
                 # tail bound at this depth: p-th kept weight (impact order)
                 sl[b, j] = float(imp.weights_host[s0 + min(p, kept) - 1])
                 complete[b] = False
-                if with_hot:
+                # mark the column ONLY when it fits the bisect ladder: the
+                # margin correction subtracts every marked column's pruned
+                # prefix, so a marked-but-not-bisected term would make
+                # scores WORSE than uncorrected
+                if with_hot and len(hot_rows[b]) < _HOT_H_LADDER[-1]:
                     hot_cols[b, j] = True
                     hot_rows[b].append((int(full_starts[tid]),
                                         int(full_lengths[tid])))

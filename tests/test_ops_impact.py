@@ -390,3 +390,28 @@ def test_searcher_uncertified_counter_increments(monkeypatch, rng):
     after = GLOBAL_COUNTERS.get("hybrid_sparse_uncertified")
     assert after > before
     assert all(len(r) == 5 for r in res)  # best-effort results still served
+
+
+def test_hot_cols_only_marked_when_bisected(rng):
+    """A query touching more truncated terms than the bisect ladder cap
+    must mark hot_cols ONLY for the terms actually bisected — the margin
+    correction subtracts every marked column's pruned prefix, so a
+    marked-but-unbisected term would corrupt scores below uncorrected."""
+    from hybridsearch_tpu.ops.impact import _HOT_H_LADDER
+
+    V, nd, P = 8, 600, 4
+    # every term is stopword-grade at this p_max (df 80 > 4)
+    t = np.repeat(np.arange(V), 80).astype(np.int64)
+    d = np.concatenate([rng.choice(nd, 80, replace=False)
+                        for _ in range(V)]).astype(np.int64)
+    w = (rng.random(V * 80) + 0.01).astype(np.float32)
+    imp = build_impact_postings(t, d, w, nd, V, p_max=P)
+    df = np.bincount(t, minlength=V)
+    starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
+    enc = encode_impact_queries(imp, [list(range(V))], p_depth=P,
+                                full_starts=starts_full,
+                                full_lengths=df.astype(np.int64))
+    cap = _HOT_H_LADDER[-1]
+    n_marked = int(np.asarray(enc.hot_cols)[0].sum())
+    n_bisected = int((np.asarray(enc.hot_lens)[0] > 0).sum())
+    assert n_marked == n_bisected <= cap
