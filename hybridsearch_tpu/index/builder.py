@@ -133,6 +133,8 @@ class Indexer:
         global stats (df, avg_len) change on add, so all eager weights are
         recomputed — vectorized over the cached COO (BM25.add_tokens),
         with only the NEW documents tokenized."""
+        if not documents:
+            return []
         docs = [preprocess_text(d) for d in documents]
         token_lists = [extract_tokens(d) for d in docs]
         ids = self.store.add_documents(docs, paths, [len(t) for t in token_lists])
