@@ -415,3 +415,58 @@ def test_hot_cols_only_marked_when_bisected(rng):
     n_marked = int(np.asarray(enc.hot_cols)[0].sum())
     n_bisected = int((np.asarray(enc.hot_lens)[0] > 0).sum())
     assert n_marked == n_bisected <= cap
+
+
+def test_certificate_soundness_fuzz():
+    """Property: wherever exact=True, the result equals full fusion — for
+    randomized corpora, weights, budgets, prune depths, and tombstones.
+    The certificate may be conservative (False on exact results) but must
+    NEVER claim exactness falsely."""
+    rng = np.random.default_rng(77)
+    from hybridsearch_tpu.ops.impact import IMPACT_P_LADDER
+
+    for trial in range(8):
+        n = int(rng.choice([512, 1024, 2048]))
+        d = 32
+        n_vocab = int(rng.choice([50, 200, 800]))
+        vocab = [f"t{i}" for i in range(n_vocab)]
+        texts = [" ".join(rng.choice(vocab, size=int(rng.integers(4, 14))))
+                 for _ in range(n)]
+        bm25 = BM25().fit(texts)
+        docs = l2_normalize(jnp.asarray(
+            rng.standard_normal((n, d)).astype(np.float32)))
+        nq = 3
+        queries = [" ".join(rng.choice(vocab,
+                                       size=int(rng.integers(1, 5))))
+                   for _ in range(nq)]
+        q = l2_normalize(jnp.asarray(
+            rng.standard_normal((nq, d)).astype(np.float32)))
+        w_s = float(rng.choice([0.3, 0.5, 0.7, 1.0]))
+        w_l = 1.0 - w_s
+        kd = int(rng.choice([8, 64, 512]))
+        cp = int(rng.choice([4, 16, 64]))
+        pd = int(rng.choice(IMPACT_P_LADDER[:2]))
+        p_max = int(rng.choice([16, 256, 4096]))
+        bias_np = np.zeros(n, np.float32)
+        if rng.random() < 0.5:
+            bias_np[rng.choice(n, size=n // 10, replace=False)] = -np.inf
+        bias = jnp.asarray(bias_np)
+        use_full = rng.random() < 0.5
+        imp, enc = bm25.encode_queries_impact(queries, p_depth=pd,
+                                              p_max=p_max)
+        po = bm25._state.postings
+        res = hybrid_impact_topk(
+            q, docs, imp, enc, 5, w_s, w_l, bias=bias, k_dense=kd,
+            c_per_term=cp, p_depth=pd, block_n=512,
+            full_postings=(po.doc_ids, po.weights) if use_full else None,
+        )
+        ovals, _ = _oracle(bm25, docs, queries, q, w_s, w_l, bias, 5)
+        ex = np.asarray(res.exact)
+        rv, ov = np.asarray(res.values), np.asarray(ovals)
+        for b in range(nq):
+            if ex[b]:
+                np.testing.assert_allclose(
+                    rv[b], ov[b], rtol=1e-4, atol=1e-4,
+                    err_msg=f"trial {trial} query {b}: claimed exact, "
+                            f"kd={kd} cp={cp} pd={pd} p_max={p_max} "
+                            f"w=({w_s},{w_l}) full={use_full}")
