@@ -140,3 +140,33 @@ def test_tiled_topk_int8_mode(rng):
         got_vals = sq[b][np.asarray(i)[b]]
         np.testing.assert_allclose(np.sort(got_vals), np.sort(want_vals),
                                    atol=1e-6)
+
+
+def test_tiled_topk_with_stats_exact_minmax(rng):
+    """with_stats=True returns the EXACT per-query min/max of scores over
+    ALIVE docs — the normalization statistics every hybrid certificate
+    rests on — including with tombstone/filter bias."""
+    from hybridsearch_tpu.ops.dense import tiled_dense_topk
+
+    n, d, k = 8192, 64, 7
+    docs = oracle.l2_normalize(rng.standard_normal((n, d))).astype(np.float32)
+    qs = oracle.l2_normalize(rng.standard_normal((5, d))).astype(np.float32)
+    bias_np = np.zeros(n, np.float32)
+    dead = rng.choice(n, size=500, replace=False)
+    bias_np[dead] = -np.inf
+    vals, idxs, smin, smax = tiled_dense_topk(
+        jnp.asarray(qs), jnp.asarray(docs), k, block_n=1024,
+        bias=jnp.asarray(bias_np), with_stats=True,
+    )
+    scores = qs @ docs.T  # [5, n] fp32 oracle
+    alive = bias_np >= 0
+    np.testing.assert_allclose(np.asarray(smin), scores[:, alive].min(1),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(smax), scores[:, alive].max(1),
+                               rtol=1e-5, atol=1e-5)
+    # selection with stats matches selection without
+    v2, i2 = tiled_dense_topk(jnp.asarray(qs), jnp.asarray(docs), k,
+                              block_n=1024, bias=jnp.asarray(bias_np))
+    np.testing.assert_allclose(np.asarray(vals), np.asarray(v2),
+                               rtol=1e-6, atol=1e-6)
+    assert not np.isin(np.asarray(idxs), dead).any()
