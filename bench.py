@@ -142,7 +142,7 @@ def main() -> None:
             from benchmarks.bench_hybrid import run as run_hybrid
 
             hn = used_n or n_docs
-            hres = run_hybrid(hn, batch=512, iters=4)
+            hres = run_hybrid(hn, batch=256, iters=6)
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],

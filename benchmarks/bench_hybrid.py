@@ -284,6 +284,19 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
             full_postings=full,
         )
 
+    # Throwaway FIRST compile: the first hybrid executable compiled in a
+    # process persistently runs ~3x slower on this environment's tunnel
+    # (observed across processes: first-compiled config ~440 ms/batch
+    # forever, later-compiled configs 125-205 ms at identical settings —
+    # allocation-order effect). Compile-and-run a k+1 variant first so the
+    # measured executable is not the first.
+    warm = hybrid_impact_topk(
+        q, docs, imp, enc, TOP_K + 1, 0.7, 0.3,
+        k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
+        full_postings=full,
+    )
+    jax.block_until_ready(warm.values)
+
     res = serve_once(q)  # warmup/compile
     jax.block_until_ready(res.values)
     # throughput: pipeline the batches (block once at the end), but rotate
@@ -373,7 +386,7 @@ def main() -> None:
         print(json.dumps(jaccard_vs_oracle(n_docs)))
         return
     n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
-    batch = int(os.environ.get("HST_BENCH_BATCH", "512"))
+    batch = int(os.environ.get("HST_BENCH_BATCH", "256"))
     if jax.default_backend() == "cpu":
         n_docs = min(n_docs, 200_000)
     iters = int(os.environ.get("HST_BENCH_ITERS", "8"))

@@ -494,7 +494,7 @@ def hybrid_impact_topk(
     norm: str = "minmax",
     block_n: int = 262144,
     n_alive: Optional[int] = None,
-    bq: int = 32,
+    bq: int = 8,
     full_postings: Optional[Tuple[jax.Array, jax.Array]] = None,
     margin: int = 128,
 ) -> HybridTopK:

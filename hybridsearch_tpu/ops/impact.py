@@ -289,7 +289,7 @@ def onehot_rescore(
     cand: jax.Array,  # [B, C] candidate doc ids (sentinels never match)
     ids_flat: jax.Array,  # [B, W] pruned posting doc ids (pad = n_docs)
     ws_flat: jax.Array,  # [B, W] pruned posting weights (pad = 0)
-    bq: int = 32,
+    bq: int = 8,
 ) -> jax.Array:
     """[B, C] exact sums of pruned posting weights at each candidate, via
     a one-hot comparison matmul on the MXU.
