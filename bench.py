@@ -115,6 +115,31 @@ def main() -> None:
         raise _Timeout()
 
     signal.signal(signal.SIGALRM, _alarm)
+
+    # hybrid serving number (impact path) FIRST: device allocation order
+    # matters on this tunnel — executables compiled after the dense
+    # phase's 7.7 GB corpus churn run ~3x slower (BENCH_CONFIGS.md);
+    # the dense streaming kernel is insensitive to ordering. Own
+    # wall-clock budget so a wedged tunnel can't hang the benchmark.
+    hybrid: dict = {}
+    if os.environ.get("HST_BENCH_SKIP_HYBRID") != "1":
+        try:
+            signal.alarm(540)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from benchmarks.bench_hybrid import run as run_hybrid
+
+            hres = run_hybrid(n_docs, batch=256, iters=6)
+            signal.alarm(0)
+            hybrid = {
+                "hybrid_qps": hres["value"],
+                "hybrid_docs": n_docs,
+                "hybrid_exact_pct": hres.get("exact_pct"),
+            }
+        except BaseException as e:
+            signal.alarm(0)
+            print(f"# hybrid bench failed: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
     budgets = {0: 420}
     for attempt_i, attempt_n in enumerate(
         (n_docs, int(n_docs * 0.8), n_docs // 2, n_docs // 5, n_docs // 10)
@@ -130,28 +155,6 @@ def main() -> None:
         except BaseException as e:  # OOM / timeout -> smaller corpus
             signal.alarm(0)
             print(f"# corpus {attempt_n} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
-
-    # hybrid serving number (impact path) on the same chip, under its own
-    # wall-clock budget so a wedged tunnel can't lose the dense result
-    hybrid: dict = {}
-    if os.environ.get("HST_BENCH_SKIP_HYBRID") != "1":
-        try:
-            signal.alarm(540)
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-            from benchmarks.bench_hybrid import run as run_hybrid
-
-            hn = used_n or n_docs
-            hres = run_hybrid(hn, batch=256, iters=6)
-            signal.alarm(0)
-            hybrid = {
-                "hybrid_qps": hres["value"],
-                "hybrid_docs": hn,
-                "hybrid_exact_pct": hres.get("exact_pct"),
-            }
-        except BaseException as e:
-            signal.alarm(0)
-            print(f"# hybrid bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
 
     line = {
