@@ -128,7 +128,8 @@ def main() -> None:
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
             from benchmarks.bench_hybrid import run as run_hybrid
 
-            hres = run_hybrid(n_docs, batch=256, iters=6)
+            run_hybrid(n_docs, batch=256, iters=6)  # placement warm-up
+            hres = run_hybrid(n_docs, batch=256, iters=6)  # steady state
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],

@@ -301,7 +301,11 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     jax.block_until_ready(res.values)
     # throughput: pipeline the batches (block once at the end), but rotate
     # queries each iteration — the device tunnel caches identical
-    # dispatches, which would otherwise report fantasy QPS
+    # dispatches, which would otherwise report fantasy QPS. NOTE: a full
+    # second run() in the same process measures ~2x faster (575 -> 1286
+    # qps at 10M) — steady-state placement the first pass through all
+    # buffers does not reach; bench.py therefore calls run() twice and
+    # records the second.
     t0 = time.perf_counter()
     for i in range(iters):
         res = serve_once(jnp.roll(q, i + 1, axis=0))
