@@ -70,7 +70,11 @@ def create_app(state: Optional[EngineState] = None, **state_kwargs) -> FastAPI:
                 status, payload, headers = router.dispatch(
                     method,
                     request.url.path,
-                    body=body.model_dump(exclude_none=True),
+                    # exclude_unset (not exclude_none): an explicit null in
+                    # the request body must reach the handler just like it
+                    # does through the plain httpd router; only truly
+                    # absent fields fall back to handler defaults
+                    body=body.model_dump(exclude_unset=True),
                     query=dict(request.query_params),
                     api_key=api_key,
                     client_ip=ip,

@@ -263,11 +263,14 @@ class BM25:
 
     # -- impact-pruned tier (ops/impact.py) --------------------------------
 
-    def impact_postings(self, p_max: int = 4096):
+    def impact_postings(self, p_max: int = 4096, state=None):
         """Lazily build (and cache per fitted state) the impact-ordered
         pruned tier used by the at-scale hybrid (ops/hybrid.py
-        hybrid_impact_topk). Rebuilt automatically after a refit."""
-        state = self._state
+        hybrid_impact_topk). Rebuilt automatically after a refit.
+
+        Pass `state` to build against an already-captured snapshot (the
+        copy-on-write discipline: one snapshot per operation)."""
+        state = state if state is not None else self._state
         if state.postings is None:
             return None
         cached = getattr(self, "_impact_cache", None)
@@ -299,20 +302,28 @@ class BM25:
                               p_max: int = 4096):
         """(ImpactPostings, ImpactQueryEnc) for hybrid_impact_topk. The
         enc carries hot descriptors into the FULL postings so the margin
-        correction can make truncated-term candidate scores exact."""
+        correction can make truncated-term candidate scores exact.
+
+        Everything — vocab, impact tier, hot descriptors, and the
+        enc.full_postings arrays the hot descriptors index into — derives
+        from ONE state snapshot captured at entry, so a concurrent
+        add_tokens/refit can never pair a new vocab with old postings
+        (term-id overflow) or new hot starts with old CSR arrays (wrong
+        bisection scores)."""
         from hybridsearch_tpu.ops.impact import encode_impact_queries
 
-        imp = self.impact_postings(p_max=p_max)
+        state = self._state
+        imp = self.impact_postings(p_max=p_max, state=state)
         if imp is None:
             return None, None
-        state = self._state
         po = state.postings
         term_id_lists = [state.vocab.encode(extract_tokens(q))
                          for q in queries]
-        return imp, encode_impact_queries(
+        enc = encode_impact_queries(
             imp, term_id_lists, p_depth=p_depth,
             full_starts=po.starts_host, full_lengths=po.lengths_host,
         )
+        return imp, enc._replace(full_postings=(po.doc_ids, po.weights))
 
     def encode_queries_sparse(
         self, queries: Sequence[str], state: Optional[_BM25State] = None

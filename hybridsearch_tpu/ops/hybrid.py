@@ -291,7 +291,7 @@ def _hybrid_sparse_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_dense", "c_per_term", "p_depth", "norm",
-                     "block_n", "bq", "margin"),
+                     "block_n", "bq", "margin", "imp_align"),
 )
 def _hybrid_impact_impl(
     q: jax.Array,  # [B, D] L2-normalized fp32 queries
@@ -319,6 +319,7 @@ def _hybrid_impact_impl(
     block_n: int,
     bq: int,
     margin: int,
+    imp_align: int = 1,
 ) -> HybridTopK:
     from hybridsearch_tpu.ops.impact import onehot_rescore, slice_impact_runs
 
@@ -337,7 +338,7 @@ def _hybrid_impact_impl(
     # -- lexical arm: impact-run prefixes --------------------------------
     ids_r, ws_r = slice_impact_runs(
         imp_doc_ids, imp_weights, starts, lengths, p_depth=p_depth,
-        n_docs=N,
+        n_docs=N, align=imp_align,
     )  # [B, T, p]
     ids_flat = ids_r.reshape(B, T * p_depth)
     ws_flat = ws_r.reshape(B, T * p_depth)
@@ -421,7 +422,9 @@ def _hybrid_impact_impl(
         # Take a top-`margin` cushion by pruned fused score, make those
         # candidates' lexical scores EXACT (bisect the full doc-sorted
         # runs, minus the pruned prefix already counted), and re-fuse.
-        c2 = min(margin, ids_sorted.shape[1])
+        # The cushion is never narrower than the requested k: a caller
+        # asking for k > margin must still get k result columns.
+        c2 = min(max(margin, k_eff), ids_sorted.shape[1])
         sem_sorted = jnp.take_along_axis(sem_all, order, axis=1)
         lex_sorted = jnp.take_along_axis(
             jnp.where(alive_all, lex_all, 0.0), order, axis=1)
@@ -512,6 +515,8 @@ def hybrid_impact_topk(
     N = docs.shape[0]
     p = min(p_depth, imp.p_max)
     hs = hl = hc = fdi = fwi = None
+    if full_postings is None:
+        full_postings = getattr(enc, "full_postings", None)
     if enc.hot_starts is not None and full_postings is not None:
         hs, hl, hc = enc.hot_starts, enc.hot_lens, enc.hot_cols
         fdi, fwi = full_postings
@@ -523,6 +528,7 @@ def hybrid_impact_topk(
         hs, hl, hc, fdi, fwi,
         k=k, k_dense=k_dense, c_per_term=c_per_term, p_depth=p,
         norm=norm, block_n=block_n, bq=bq, margin=margin,
+        imp_align=getattr(imp, "align", 1),
     )
 
 

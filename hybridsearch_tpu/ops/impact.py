@@ -64,6 +64,10 @@ class ImpactPostings(NamedTuple):
     slack_host: np.ndarray  # [V] f32 — P-th weight when df > P else 0
     weights_host: np.ndarray  # [nnz_pruned] f32 — for depth-d slack lookups
     df_host: np.ndarray  # [V] int64 full document frequencies
+    # build-time run-start alignment; the aligned slice fast paths
+    # (row-gather / Pallas DMA) are gated on THIS value, never on the env
+    # at slice time — an index built unaligned must take the general path
+    align: int = 1
 
 
 def build_impact_postings(
@@ -131,6 +135,7 @@ def build_impact_postings(
         slack_host=slack,
         weights_host=imp_w,
         df_host=df,
+        align=align,
     )
 
 
@@ -152,6 +157,12 @@ class ImpactQueryEnc(NamedTuple):
     hot_starts: Optional[jax.Array] = None  # [B, Hm] int32 into full CSR
     hot_lens: Optional[jax.Array] = None  # [B, Hm] int32 (0 = pad)
     hot_cols: Optional[jax.Array] = None  # [B, T] bool — truncated columns
+    # (doc_ids, weights) of the FULL doc-sorted CSR the hot descriptors
+    # index into — attached by BM25.encode_queries_impact from the SAME
+    # state snapshot, so callers can never pair this enc with postings
+    # from a different index generation (ADVICE r2: snapshot skew between
+    # the impact tier, the enc, and full_postings caused wrong bisection)
+    full_postings: Optional[Tuple[jax.Array, jax.Array]] = None
 
 
 def encode_impact_queries(
@@ -247,7 +258,7 @@ def _use_pallas() -> bool:
             and os.environ.get("HST_PALLAS_IMPACT", "0") == "1")
 
 
-@functools.partial(jax.jit, static_argnames=("p_depth",))
+@functools.partial(jax.jit, static_argnames=("p_depth", "align"))
 def slice_impact_runs(
     doc_ids: jax.Array,
     weights: jax.Array,
@@ -255,24 +266,45 @@ def slice_impact_runs(
     lengths: jax.Array,  # [B, T]
     p_depth: int,
     n_docs: int,
+    align: int = 1,
 ) -> Tuple[jax.Array, jax.Array]:
     """([B, T, p] ids, [B, T, p] weights) — contiguous top-p prefixes of
     each query term's impact run; invalid tails masked to (n_docs, 0).
 
-    TPU fast path: one async DMA per (b, t) block with the start
-    prefetched to SMEM (ops/pallas_impact.py) — the XLA vmapped
-    dynamic_slice lowering goes through the scalar gather pipeline."""
+    `align` MUST be the postings' build-time run-start alignment
+    (ImpactPostings.align) — the fast paths below are sound only when every
+    start is an align-multiple, so the gate is the recorded build value,
+    never the env at slice time.
+
+    Fast paths for aligned builds:
+      - row-gather (pure XLA): reshape the postings to [M, R] rows with
+        R | gcd(align, p_depth); each slice is then p/R whole-row gathers,
+        which XLA lowers to blockwise DMA instead of the scalar gather
+        pipeline the vmapped dynamic_slice takes.
+      - Pallas (HST_PALLAS_IMPACT=1): explicit async DMA per (b, t) block
+        with the starts prefetched to SMEM (ops/pallas_impact.py)."""
+    import math
+
     B, T = starts.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p_depth), 2)
-    if _use_pallas() and p_depth % 1024 == 0:
-        # requires align=1024 builds (impact_postings aligns whenever the
-        # pallas gate is on, so build and slice agree)
+    R = math.gcd(align, p_depth)
+    if _use_pallas() and p_depth % 1024 == 0 and align % 1024 == 0:
         from hybridsearch_tpu.ops.pallas_impact import pallas_slice_runs
 
         ids_f, ws_f = pallas_slice_runs(doc_ids, weights, starts, p=p_depth,
                                         align=1024)
         ids_r = ids_f.reshape(B, T, p_depth)
         ws_r = ws_f.reshape(B, T, p_depth)
+    elif R >= 256:
+        rows = doc_ids.shape[0] // R
+        ids2 = doc_ids[: rows * R].reshape(rows, R)
+        ws2 = weights[: rows * R].reshape(rows, R)
+        m = p_depth // R
+        base = ((starts // R)[:, :, None]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, m), 2))
+        base = jnp.minimum(base, rows - 1)
+        ids_r = jnp.take(ids2, base, axis=0).reshape(B, T, p_depth)
+        ws_r = jnp.take(ws2, base, axis=0).reshape(B, T, p_depth)
     else:
         def one(s):
             return (jax.lax.dynamic_slice(doc_ids, (s,), (p_depth,)),

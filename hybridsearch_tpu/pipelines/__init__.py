@@ -262,28 +262,33 @@ class HybridBM25Pipeline(BasePipeline):
 
             q = l2_normalize(jnp.asarray(np.asarray(q_vec, np.float32)))
             n_alive = n - ix.dense.deleted_count
+            res = None
             for kd, cp, pd in ((512, 64, 256), (1024, 128, 4096)):
                 imp, enc = ix.bm25.encode_queries_impact([query],
                                                          p_depth=pd)
-                po = bm25_state.postings
+                if imp is None:
+                    # no impact tier (e.g. sharded/mesh state): fall back
+                    # to the full-fusion path below (searcher guard parity)
+                    break
                 res = hybrid_impact_topk(
                     q, snap.docs, imp, enc,
                     min(top_k, n), self.semantic_weight, self.bm25_weight,
                     bias=snap.bias, k_dense=kd, c_per_term=cp, p_depth=pd,
                     norm="max", n_alive=n_alive,
-                    full_postings=(po.doc_ids, po.weights),
                 )
                 exact = bool(np.asarray(res.exact)[0])
                 if exact or not enc.certifiable_deeper[0]:
                     break
-            vals, idx = np.asarray(res.values)[0], np.asarray(res.indices)[0]
-            results = [
-                (float(v), ix.contents[int(i)], int(i))
-                for v, i in zip(vals, idx)
-                if 0 <= i < len(ix.contents) and np.isfinite(v)
-            ]
-            return self._finish(results, query,
-                                {"pipeline": self.name, "exact": exact})
+            if res is not None:
+                vals = np.asarray(res.values)[0]
+                idx = np.asarray(res.indices)[0]
+                results = [
+                    (float(v), ix.contents[int(i)], int(i))
+                    for v, i in zip(vals, idx)
+                    if 0 <= i < len(ix.contents) and np.isfinite(v)
+                ]
+                return self._finish(results, query,
+                                    {"pipeline": self.name, "exact": exact})
         sem = self.searcher._semantic_scores(q_vec, n, snap)  # full scores
         lex = jnp.asarray(ix.bm25.batch_scores([query]))
         # reference normalizes by max only, over ALL docs (top_k=len(docs));

@@ -398,11 +398,12 @@ class Searcher:
             imp, enc = bm25.encode_queries_impact(list(queries), p_depth=pd)
             if imp is None:
                 break
-            po = bm25_state.postings
+            # enc.full_postings comes from the SAME snapshot as imp/enc
+            # (never bm25_state, which was captured earlier and may be a
+            # different generation — ADVICE r2)
             res = hybrid_impact_topk(
                 q, snap.docs, imp, enc, k, sw, lw, bias=snap.bias,
                 k_dense=kd, c_per_term=cp, p_depth=pd, n_alive=n_alive,
-                full_postings=(po.doc_ids, po.weights),
             )
             exact = np.asarray(jax.device_get(res.exact))
             if exact.all():

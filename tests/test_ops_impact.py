@@ -470,3 +470,59 @@ def test_certificate_soundness_fuzz():
                     err_msg=f"trial {trial} query {b}: claimed exact, "
                             f"kd={kd} cp={cp} pd={pd} p_max={p_max} "
                             f"w=({w_s},{w_l}) full={use_full}")
+
+
+def test_row_gather_slice_parity_with_general_path(rng):
+    """align=1024 builds take the row-gather fast path in
+    slice_impact_runs; its output must equal the general dynamic-slice
+    path bit-for-bit, for every ladder depth."""
+    V, nd = 24, 800
+    t = np.repeat(np.arange(V), 40).astype(np.int64)
+    d = np.concatenate([rng.choice(nd, 40, replace=False)
+                        for _ in range(V)]).astype(np.int64)
+    w = (rng.random(V * 40) + 0.01).astype(np.float32)
+    imp = build_impact_postings(t, d, w, nd, V, p_max=32, align=1024)
+    assert imp.align == 1024
+    enc = encode_impact_queries(
+        imp, [rng.choice(V, 4, replace=False).tolist() for _ in range(4)])
+    for p in (256, 1024):
+        fast = slice_impact_runs(imp.doc_ids, imp.weights, enc.starts,
+                                 enc.lengths, p_depth=p, n_docs=nd,
+                                 align=imp.align)
+        slow = slice_impact_runs(imp.doc_ids, imp.weights, enc.starts,
+                                 enc.lengths, p_depth=p, n_docs=nd,
+                                 align=1)
+        np.testing.assert_array_equal(np.asarray(fast[0]),
+                                      np.asarray(slow[0]))
+        np.testing.assert_array_equal(np.asarray(fast[1]),
+                                      np.asarray(slow[1]))
+
+
+def test_margin_cushion_covers_requested_k(rng):
+    """ADVICE r2 (medium): k > margin must still return k result columns
+    — the cushion widens to the requested k instead of silently
+    truncating to margin."""
+    n, d, b = 2048, 64, 2
+    toks = rng.choice(VOCAB, size=(n, 10))
+    texts = [" ".join(r) + " common" for r in toks]  # hot term everywhere
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    queries = ["common " + " ".join(rng.choice(VOCAB, size=3))
+               for _ in range(b)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((b, d)).astype(np.float32)))
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256, p_max=256)
+    assert enc.hot_starts is not None and enc.full_postings is not None
+    k = 40
+    res = hybrid_impact_topk(q, docs, imp, enc, k, 0.5, 0.5, k_dense=512,
+                             c_per_term=64, p_depth=256, block_n=1024,
+                             margin=16)  # margin < k
+    assert res.values.shape[1] == k
+    assert (np.asarray(res.indices) >= 0).all()
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    ovals, _ = _fuse_and_topk(sem, lex, jnp.float32(0.5), jnp.float32(0.5),
+                              jnp.zeros((n,), jnp.float32), k)
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-4)
