@@ -23,6 +23,13 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compile cache: the big hybrid/dense programs compile once per
+# (shape, backend) across ALL processes — the driver's bench run reuses
+# executables compiled during development instead of paying 30-60 s of
+# compile inside its wall-clock budget.
+jax.config.update("jax_compilation_cache_dir", "/tmp/hst_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 D = 384
 TOP_K = 10
 QUERY_BATCH = int(os.environ.get("HST_BENCH_BATCH", "512"))

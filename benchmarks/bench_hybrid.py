@@ -235,16 +235,19 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     )
 
     # the host-side synth + impact build at 10M costs minutes; cache to
-    # /tmp so repeated runs (and bench.py's alarm-bounded rider) are fast
+    # /tmp so repeated runs (and bench.py's alarm-bounded rider) are fast.
+    # v2 format: term ids are NOT stored (starts_full = cumsum(df) suffices
+    # for the doc-sorted CSR), doc ids are int32, topic_of is int16 —
+    # roughly half the bytes of v1, which on this 1-core host halves the
+    # dominant setup cost (np.load of the COO arrays).
     from hybridsearch_tpu.ops.impact import _use_pallas
 
     align = 1024 if _use_pallas() else 1
-    cache = f"/tmp/hst_hybridbench_{n_docs}_a{align}.npz"
+    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}.npz"
     t0 = time.time()
     if os.path.exists(cache):
         z = np.load(cache)
-        topic_of, t_ids, d_ids, w, df = (z["topic_of"], z["t"], z["d"],
-                                         z["w"], z["df"])
+        topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
         vocab = int(z["vocab"])
         from hybridsearch_tpu.ops.impact import ImpactPostings
 
@@ -254,12 +257,15 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
             n_docs=n_docs, p_max=P_MAX, starts_host=z["imp_starts"],
             lengths_host=z["imp_lens"], slack_host=z["imp_slack"],
             weights_host=z["imp_wh"], df_host=z["df"].astype(np.int64),
+            align=align,
         )
     else:
         topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
         imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                     p_max=P_MAX, align=align)
-        np.savez(cache, topic_of=topic_of, t=t_ids, d=d_ids, w=w, df=df,
+        d_ids = d_ids.astype(np.int32)
+        topic_of = topic_of.astype(np.int16)
+        np.savez(cache, topic_of=topic_of, d=d_ids, w=w, df=df,
                  vocab=vocab, imp_ids=np.asarray(imp.doc_ids),
                  imp_ws=np.asarray(imp.weights),
                  imp_starts=imp.starts_host, imp_lens=imp.lengths_host,

@@ -88,12 +88,17 @@ def main():
     from hybridsearch_tpu.ops.bm25 import cand_scores_bisect
 
     t0 = time.time()
+
+    def _mark(label):
+        print(f"# {label} +{time.time()-t0:.0f}s", flush=True)
+
     cache = f"/tmp/hst_hybridbench_{n_docs}_a1.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         topic_of, t_ids, d_ids, w, df = (z["topic_of"], z["t"], z["d"],
                                          z["w"], z["df"])
         vocab = int(z["vocab"])
+        _mark("npz host arrays")
         imp = ImpactPostings(
             doc_ids=jnp.asarray(z["imp_ids"]),
             weights=jnp.asarray(z["imp_ws"]),
@@ -101,12 +106,17 @@ def main():
             lengths_host=z["imp_lens"], slack_host=z["imp_slack"],
             weights_host=z["imp_wh"], df_host=z["df"].astype(np.int64),
         )
+        jax.block_until_ready(imp.weights)
+        _mark("imp on device")
     else:
         topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
+        _mark("synth")
         imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                     p_max=P_MAX)
-    docs, cent = build_corpus_host = build_correlated_corpus(n_docs, topic_of)
-    jax.block_until_ready(imp.weights)
+        jax.block_until_ready(imp.weights)
+        _mark("imp built")
+    docs, cent = build_correlated_corpus(n_docs, topic_of)
+    _mark("corpus on device")
     print(f"# setup {time.time()-t0:.0f}s  backend={jax.default_backend()}",
           flush=True)
 

@@ -278,6 +278,38 @@ def h_search_batch(state, params, body, query):
     }
 
 
+def h_search_funnel(state, params, body, query):
+    """POST /search/funnel — the batched multi-stage retrieval funnel
+    (dense stage1_k -> candidate BM25 stage2_k -> cross-encoder top_k,
+    reference pipelines.py:470-511 semantics) over a whole query batch:
+    one device pass per stage and a single length-bucketed cross-encoder
+    pass for all B*stage2_k pairs. The reference exposes no funnel route
+    at all (its /search/batch is a per-query Python loop, api.py:420-447)."""
+    queries = body.get("queries") or ([body["query"]] if body.get("query")
+                                      else [])
+    if not queries:
+        return 400, {"detail": "queries is required"}
+    from hybridsearch_tpu.pipelines import run_funnel_batch
+
+    if getattr(state, "_funnel_reranker", None) is None:
+        from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
+
+        state._funnel_reranker = CrossEncoderReranker()
+    rows, meta = run_funnel_batch(
+        state.indexer, state._funnel_reranker, queries,
+        stage1_k=int(body.get("stage1_k", 100)),
+        stage2_k=int(body.get("stage2_k", 20)),
+        final_k=int(body.get("top_k", 5)),
+    )
+    return 200, {
+        **meta,
+        "results": [
+            {"query": q, "results": _result_rows(r)}
+            for q, r in zip(queries, rows)
+        ],
+    }
+
+
 def h_search_highlighted(state, params, body, query):
     """POST /search/highlighted (reference api.py:449-489)."""
     q = body.get("query", "")
@@ -631,6 +663,7 @@ def build_router(state: EngineState) -> Router:
     r.add("GET", "/health", h_health)
     r.add("POST", "/search", h_search)
     r.add("POST", "/search/batch", h_search_batch)
+    r.add("POST", "/search/funnel", h_search_funnel)
     r.add("POST", "/search/highlighted", h_search_highlighted)
     r.add("POST", "/search/filtered", h_search_filtered)
     r.add("POST", "/ask", h_ask)

@@ -97,6 +97,21 @@ ROUTE_SPECS: Dict[Tuple[str, str], JSON] = {
         },
         "responses": {200: {"results": "array"}, 400: "detail"},
     },
+    ("POST", "/search/funnel"): {
+        "summary": "Batched multi-stage funnel "
+                   "(dense -> candidate BM25 -> cross-encoder)",
+        "request": {
+            "queries": f("array", required=True, items=STR_ARRAY,
+                         description="Search queries"),
+            "stage1_k": f("integer", default=100, ge=1, le=4096,
+                          description="Dense candidates per query"),
+            "stage2_k": f("integer", default=20, ge=1, le=512,
+                          description="BM25-kept candidates per query"),
+            "top_k": _SEARCH_FIELDS["top_k"],
+        },
+        "responses": {200: {"stage1_k": "integer", "stage2_k": "integer",
+                            "results": "array"}, 400: "detail"},
+    },
     ("POST", "/search/highlighted"): {
         "summary": "Search with highlighted snippets",
         "request": {

@@ -227,12 +227,26 @@ class MiniLMCrossEncoder:
         self._fwd = jax.jit(self.model.apply)
 
     def predict(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 32) -> np.ndarray:
-        """Relevance logits for (query, doc) pairs."""
+        """Relevance logits for (query, doc) pairs.
+
+        Pairs are length-sorted before chunking so each chunk pads to ITS
+        OWN sequence bucket (batch_encode_pairs rounds the chunk's longest
+        pair up to a power-of-two bucket): a funnel batch mixing short and
+        long documents runs the short chunks at short sequence lengths
+        instead of padding everything to the global max. Both axes stay
+        bucketed, so a mixed-length query stream never recompiles beyond
+        the fixed bucket grid."""
         if not len(pairs):
             return np.zeros((0,), np.float32)
-        out = []
-        for i in range(0, len(pairs), batch_size):
-            chunk = list(pairs[i : i + batch_size])
+        # cheap length proxy: whitespace tokens over both sides (the exact
+        # wordpiece count would re-tokenize; ordering only needs ranks)
+        order = sorted(range(len(pairs)),
+                       key=lambda i: len(pairs[i][0].split())
+                       + len(pairs[i][1].split()))
+        out = np.zeros(len(pairs), np.float32)
+        for i in range(0, len(order), batch_size):
+            sel = order[i : i + batch_size]
+            chunk = [pairs[j] for j in sel]
             ids, types, mask = self.tokenizer.batch_encode_pairs(
                 chunk, self.max_seq_len
             )
@@ -246,8 +260,8 @@ class MiniLMCrossEncoder:
             logits = self._fwd(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)
             )
-            out.append(np.asarray(jax.device_get(logits))[: len(chunk)])
-        return np.concatenate(out, axis=0).astype(np.float32)
+            out[sel] = np.asarray(jax.device_get(logits))[: len(chunk)]
+        return out
 
 
 def _bucket_batch(n: int) -> int:

@@ -311,6 +311,8 @@ def _hybrid_impact_impl(
     hot_cols: Optional[jax.Array],  # [B, T] bool truncated columns
     full_doc_ids: Optional[jax.Array],  # full doc-sorted CSR arrays
     full_weights: Optional[jax.Array],
+    corrected_complete: Optional[jax.Array],  # [B] bool (margin cert gate)
+    full_touched: Optional[jax.Array],  # [B] int64 sum of FULL dfs
     k: int,
     k_dense: int,
     c_per_term: int,
@@ -415,6 +417,7 @@ def _hybrid_impact_impl(
     fused_sorted = jnp.where(dup, NEG_INF, fused_sorted)
     k_eff = min(k, cand_all.shape[1])
 
+    margin_exact = None
     if hot_starts is not None:
         # margin correction: pruning drops the tails of stopword-grade
         # runs, perturbing candidate scores by at most
@@ -458,6 +461,56 @@ def _hybrid_impact_impl(
         vals_f, pos2 = jax.lax.top_k(fused_corr, min(k_eff, c2))
         idxs_f = jnp.take_along_axis(mids, pos2, axis=1)
         idxs_f = jnp.where(jnp.isfinite(vals_f), idxs_f, -1)
+
+        # -- margin-path certificate (sound WITHOUT `complete`) -----------
+        # When every truncated term was bisected (corrected_complete), the
+        # cushion's lexical scores are exact, so lex_max2 is certified as
+        # the TRUE global lexical max if no doc outside the cushion can
+        # exceed it:
+        #   outside the union:        true lex <= tau_lex
+        #   in the union, not in M:   true lex <= pruned + S
+        # (S = total tail slack; a doc misses at most slack_t mass per
+        # truncated term t). With the normalizer exact and M's scores
+        # exact, the global top-k is inside M when both outside bounds
+        # fall below the k-th corrected fused value:
+        #   outside union:  f <= w_s*nsem(sem_kd) + w_l*tau_lex/lex_max2
+        #   union \ M:      f <= f~_c2 + w_l*S/lex_max2   (f~ = pruned
+        #                   fused; pruned lex under-estimates shrink
+        #                   further under the larger normalizer lex_max2)
+        if corrected_complete is not None:
+            S = jnp.sum(slack, axis=1)  # [B]
+            sel_mask = jnp.zeros(fused_sorted.shape, bool).at[
+                jnp.arange(B)[:, None], mpos].set(True)
+            pruned_out_max = jnp.max(
+                jnp.where(sel_mask, 0.0, jnp.maximum(lex_sorted, 0.0)),
+                axis=1)
+            cert_norm = ((lex_max2 >= tau_lex)
+                         & (lex_max2 >= pruned_out_max + S))
+            l2s = jnp.maximum(lex_max2, eps)
+            sem_kth_m = vals_d[:, -1]
+            if norm == "minmax":
+                nsem_kth = jnp.where(
+                    (smax - smin) > eps,
+                    (sem_kth_m - smin) / jnp.maximum(smax - smin, eps),
+                    jnp.ones_like(sem_kth_m))
+            else:
+                nsem_kth = jnp.where(
+                    smax > eps, sem_kth_m / jnp.maximum(smax, eps),
+                    sem_kth_m)
+            tau_out = w_s * nsem_kth + w_l * tau_lex / l2s
+            c2_vals = mvals[:, -1]
+            tau_mid = jnp.where(jnp.isfinite(c2_vals),
+                                c2_vals + w_l * S / l2s, NEG_INF)
+            kth_m = vals_f[:, -1]
+            margin_exact = (corrected_complete & cert_norm
+                            & (kth_m >= tau_out) & (kth_m >= tau_mid))
+            if norm == "minmax":
+                # true-lexical-min-is-zero needs FULL dfs (the pruned
+                # touched count under-counts docs holding query terms)
+                if full_touched is not None:
+                    margin_exact = margin_exact & (full_touched < n_alive)
+                else:
+                    margin_exact = None
     else:
         vals_f, pos = jax.lax.top_k(fused_sorted, k_eff)
         idxs_f = jnp.take_along_axis(ids_sorted, pos, axis=1)
@@ -479,6 +532,10 @@ def _hybrid_impact_impl(
     if norm == "minmax":
         cert = cert & lex_min_zero
     exact = ((kth >= tau) | ~jnp.isfinite(kth)) & cert
+    if margin_exact is not None:
+        # the margin-path certificate covers queries with truncated terms
+        # the `complete` gate above can never certify
+        exact = exact | (margin_exact & sliced_full)
     return HybridTopK(values=vals_f, indices=idxs_f, exact=exact)
 
 
@@ -517,15 +574,20 @@ def hybrid_impact_topk(
     hs = hl = hc = fdi = fwi = None
     if full_postings is None:
         full_postings = getattr(enc, "full_postings", None)
+    cc = ft = None
     if enc.hot_starts is not None and full_postings is not None:
         hs, hl, hc = enc.hot_starts, enc.hot_lens, enc.hot_cols
         fdi, fwi = full_postings
+        if getattr(enc, "corrected_complete", None) is not None:
+            cc = jnp.asarray(enc.corrected_complete)
+        if getattr(enc, "full_touched", None) is not None:
+            ft = jnp.asarray(enc.full_touched)
     return _hybrid_impact_impl(
         q, docs, imp.doc_ids, imp.weights,
         enc.starts, enc.lengths, enc.slack, jnp.asarray(enc.complete),
         jnp.float32(w_s), jnp.float32(w_l), bias,
         jnp.int32(N if n_alive is None else n_alive),
-        hs, hl, hc, fdi, fwi,
+        hs, hl, hc, fdi, fwi, cc, ft,
         k=k, k_dense=k_dense, c_per_term=c_per_term, p_depth=p,
         norm=norm, block_n=block_n, bq=bq, margin=margin,
         imp_align=getattr(imp, "align", 1),

@@ -151,6 +151,15 @@ class ImpactQueryEnc(NamedTuple):
     complete: np.ndarray  # [B] bool — every query term's full run covered
     certifiable_deeper: np.ndarray  # [B] bool — complete achievable at p_max
     t_pad: int  # static
+    # [B] bool — every truncated term carries a hot (bisect) descriptor and
+    # no term was dropped: the margin correction then produces EXACT
+    # lexical scores for the cushion, enabling the margin-path certificate
+    # (ops/hybrid.py) even when `complete` is False
+    corrected_complete: Optional[np.ndarray] = None
+    # [B] int64 — sum of FULL dfs of the query's terms; full_touched <
+    # n_alive certifies the true lexical min is 0 (some alive doc contains
+    # no query term), which the pruned `touched` sum cannot certify
+    full_touched: Optional[np.ndarray] = None
     # hot-term margin correction (None unless full postings were provided
     # at encode): FULL doc-sorted run descriptors of query terms truncated
     # at the encode depth, plus which pruned column each occupies
@@ -193,12 +202,15 @@ def encode_impact_queries(
     sl = np.zeros((B, t_pad), dtype=np.float32)
     complete = np.ones(B, dtype=bool)
     certifiable = np.ones(B, dtype=bool)
+    corrected = np.ones(B, dtype=bool)
+    full_touched = np.zeros(B, dtype=np.int64)
     with_hot = full_starts is not None and full_lengths is not None
     hot_cols = np.zeros((B, t_pad), dtype=bool)
     hot_rows: List[List[Tuple[int, int]]] = [[] for _ in range(B)]
     for b, ids in enumerate(query_term_ids):
         for j, tid in enumerate(ids[:t_pad]):
             full_len = int(imp.df_host[tid])
+            full_touched[b] += full_len
             kept = int(imp.lengths_host[tid])
             s0 = int(imp.starts_host[tid])
             st[b, j] = s0
@@ -215,10 +227,19 @@ def encode_impact_queries(
                     hot_cols[b, j] = True
                     hot_rows[b].append((int(full_starts[tid]),
                                         int(full_lengths[tid])))
+                else:
+                    # an uncorrected truncated term: margin scores are not
+                    # exact, the margin certificate must not fire
+                    corrected[b] = False
             if full_len > imp.p_max:
                 certifiable[b] = False
         if len(ids) > t_pad:
+            # dropped terms are absent from BOTH the pruned rescore and
+            # the correction — nothing can certify
             complete[b] = False
+            corrected[b] = False
+            for tid in ids[t_pad:]:
+                full_touched[b] += int(imp.df_host[tid])
             if len(ids) > IMPACT_T_LADDER[-1]:
                 certifiable[b] = False
     hs = hl = hc = None
@@ -240,6 +261,8 @@ def encode_impact_queries(
         complete=complete,
         certifiable_deeper=certifiable,
         t_pad=t_pad,
+        corrected_complete=corrected,
+        full_touched=full_touched,
         hot_starts=hs,
         hot_lens=hl,
         hot_cols=hc,

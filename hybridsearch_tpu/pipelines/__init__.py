@@ -387,58 +387,79 @@ class MultiStagePipeline(BasePipeline):
                      top_k: Optional[int] = None) -> List[PipelineResult]:
         """Batched funnel: every stage runs once for the whole query batch —
         one dense top-k kernel, one batched candidate-BM25 call, ONE
-        cross-encoder forward over all (query, doc) pairs. (The reference
+        cross-encoder pass over all (query, doc) pairs. (The reference
         has no batched pipeline path at all; its /search/batch is a Python
         loop, api.py:420-447.)"""
-        ix = self.indexer
         final_k = top_k or self.final_k
-        n = ix.dense.n_docs
-        if n == 0 or not queries:
-            return [self._finish([], q, {"pipeline": self.name})
-                    for q in queries]
-        B = len(queries)
-        q_vecs = ix.encoder.encode(list(queries))
-        k1 = min(self.stage1_k, n)
-        vals1, idxs = ix.dense.search(q_vecs, k1)  # [B, k1]
-        # mark padding (-1) and tombstoned (-inf) hits invalid so the
-        # stage-3 id guard drops them
-        idxs = np.where((idxs >= 0) & np.isfinite(vals1), idxs, -1)
-        # Stage 2: batched candidate BM25
-        bm25_state = ix.bm25._state
-        groups = ix.bm25.encode_queries_bucketed(list(queries), bm25_state)
-        if bm25_state.postings is not None and groups:
-            from hybridsearch_tpu.ops.bm25 import bm25_candidate_scores_runs
+        rows, meta = run_funnel_batch(
+            self.indexer, self.reranker, queries,
+            stage1_k=self.stage1_k, stage2_k=self.stage2_k, final_k=final_k,
+        )
+        return [
+            self._finish(r, q, {"pipeline": self.name, **meta,
+                                "batched": True})
+            for q, r in zip(queries, rows)
+        ]
 
-            cand_scores = np.asarray(bm25_candidate_scores_runs(
-                bm25_state.postings, groups, jnp.asarray(idxs)
-            ))  # [B, k1]
-        else:
-            cand_scores = np.stack([
-                ix.bm25.candidate_scores(q, idxs[b])
-                for b, q in enumerate(queries)
-            ]) if bm25_state.n_docs else np.zeros((B, k1), np.float32)
-        k2 = min(self.stage2_k, k1)
-        order = np.argsort(-cand_scores, axis=1, kind="stable")[:, :k2]
-        stage2_ids = np.take_along_axis(idxs, order, axis=1)  # [B, k2]
-        # Stage 3: one CE forward over all B*k2 pairs
-        pairs, owners = [], []
-        for b, q in enumerate(queries):
-            for j in range(k2):
-                did = int(stage2_ids[b, j])
-                if 0 <= did < len(ix.contents):
-                    pairs.append((q, ix.contents[did]))
-                    owners.append((b, did))
-        ce = self.reranker.model.predict(pairs) if pairs else np.zeros(0)
-        per_query: List[List[Tuple[float, str, int]]] = [[] for _ in queries]
-        for (b, did), score in zip(owners, ce):
-            per_query[b].append((float(score), ix.contents[did], did))
-        out = []
-        for b, q in enumerate(queries):
-            rows = sorted(per_query[b], key=lambda r: -r[0])[:final_k]
-            out.append(self._finish(
-                rows, q, {"pipeline": self.name, "stage1_k": k1,
-                          "stage2_k": k2, "batched": True}))
-        return out
+
+def run_funnel_batch(
+    indexer: Indexer,
+    reranker,
+    queries: Sequence[str],
+    stage1_k: int = 100,
+    stage2_k: int = 20,
+    final_k: int = 5,
+) -> Tuple[List[List[SearchResult]], Dict[str, Any]]:
+    """The batched 100->20->5 funnel core (reference pipelines.py:470-511
+    semantics, one device pass per stage): dense top-k over the whole query
+    batch, candidate-only BM25 in one kernel, then a single cross-encoder
+    pass over all B*k2 pairs (length-sorted and bucket-padded inside the
+    model wrapper so mixed-length streams never recompile).
+
+    Shared by MultiStagePipeline.search_batch and the API's batched funnel
+    route, so the HTTP path and the library path are the same code."""
+    ix = indexer
+    n = ix.dense.n_docs
+    if n == 0 or not queries:
+        return [[] for _ in queries], {"stage1_k": 0, "stage2_k": 0}
+    B = len(queries)
+    q_vecs = ix.encoder.encode(list(queries))
+    k1 = min(stage1_k, n)
+    vals1, idxs = ix.dense.search(q_vecs, k1)  # [B, k1]
+    # mark padding (-1) and tombstoned (-inf) hits invalid so the
+    # stage-3 id guard drops them
+    idxs = np.where((idxs >= 0) & np.isfinite(vals1), idxs, -1)
+    # Stage 2: batched candidate BM25
+    bm25_state = ix.bm25._state
+    groups = ix.bm25.encode_queries_bucketed(list(queries), bm25_state)
+    if bm25_state.postings is not None and groups:
+        from hybridsearch_tpu.ops.bm25 import bm25_candidate_scores_runs
+
+        cand_scores = np.asarray(bm25_candidate_scores_runs(
+            bm25_state.postings, groups, jnp.asarray(idxs)
+        ))  # [B, k1]
+    else:
+        cand_scores = np.stack([
+            ix.bm25.candidate_scores(q, idxs[b])
+            for b, q in enumerate(queries)
+        ]) if bm25_state.n_docs else np.zeros((B, k1), np.float32)
+    k2 = min(stage2_k, k1)
+    order = np.argsort(-cand_scores, axis=1, kind="stable")[:, :k2]
+    stage2_ids = np.take_along_axis(idxs, order, axis=1)  # [B, k2]
+    # Stage 3: one CE pass over all B*k2 pairs
+    pairs, owners = [], []
+    for b, q in enumerate(queries):
+        for j in range(k2):
+            did = int(stage2_ids[b, j])
+            if 0 <= did < len(ix.contents):
+                pairs.append((q, ix.contents[did]))
+                owners.append((b, did))
+    ce = reranker.model.predict(pairs) if pairs else np.zeros(0)
+    per_query: List[List[SearchResult]] = [[] for _ in queries]
+    for (b, did), score in zip(owners, ce):
+        per_query[b].append((float(score), ix.contents[did], did))
+    rows = [sorted(r, key=lambda t: -t[0])[:final_k] for r in per_query]
+    return rows, {"stage1_k": k1, "stage2_k": k2}
 
 
 class DiversityPipeline(BasePipeline):

@@ -408,9 +408,14 @@ class Searcher:
             exact = np.asarray(jax.device_get(res.exact))
             if exact.all():
                 return res.values, res.indices
-            # escalation helps only queries whose terms CAN be fully
-            # covered at a deeper prune depth; stop early otherwise
-            if not np.logical_and(~exact, enc.certifiable_deeper).any():
+            # escalation helps queries whose terms CAN be fully covered at
+            # a deeper prune depth, and margin-certifiable queries (every
+            # truncated term bisected): deeper rungs shrink the tail
+            # slack, tightening the margin certificate's bounds
+            can_improve = enc.certifiable_deeper
+            if enc.corrected_complete is not None:
+                can_improve = can_improve | enc.corrected_complete
+            if not np.logical_and(~exact, can_improve).any():
                 break
         from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 

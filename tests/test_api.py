@@ -72,6 +72,26 @@ def test_search_batch(router):
     assert code == 200 and len(payload["results"]) == 2
 
 
+def test_search_funnel_batched(router):
+    """POST /search/funnel runs the batched multi-stage funnel: per-query
+    result lists, funnel depths echoed, CE-ordered scores."""
+    code, payload, _ = call(router, "POST", "/search/funnel",
+                            {"queries": ["machine learning", "cooking pasta"],
+                             "stage1_k": 8, "stage2_k": 4, "top_k": 3})
+    assert code == 200
+    assert payload["stage1_k"] == 8 and payload["stage2_k"] == 4
+    assert len(payload["results"]) == 2
+    for row in payload["results"]:
+        scores = [r["score"] for r in row["results"]]
+        assert scores == sorted(scores, reverse=True)
+        assert len(row["results"]) <= 3
+
+
+def test_search_funnel_requires_queries(router):
+    code, _, _ = call(router, "POST", "/search/funnel", {})
+    assert code == 400
+
+
 def test_search_highlighted(router):
     code, payload, _ = call(router, "POST", "/search/highlighted",
                             {"query": "machine learning", "style": "html"})

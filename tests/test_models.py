@@ -76,6 +76,26 @@ def test_cross_encoder_scores(bi):
     np.testing.assert_allclose(scores, s2, atol=1e-5)
 
 
+def test_cross_encoder_length_sorted_order_preserved(bi):
+    """predict() length-sorts pairs into chunks internally; scores must
+    come back in the CALLER's order, identical to scoring each pair in a
+    same-length batch by itself."""
+    from hybridsearch_tpu.models.bert import BertConfig
+
+    cfg = BertConfig(vocab_size=1000, hidden_dim=64, num_layers=2,
+                     num_heads=4, mlp_dim=128)
+    ce = MiniLMCrossEncoder(cfg=cfg, dim=64, max_seq_len=64)
+    pairs = [
+        ("q", "short doc"),
+        ("q", "a considerably longer document " * 6),
+        ("q", "mid length document text here"),
+        ("q", "x"),
+    ]
+    mixed = ce.predict(pairs, batch_size=2)  # forces multiple chunks
+    singles = np.array([ce.predict([p])[0] for p in pairs])
+    np.testing.assert_allclose(mixed, singles, atol=1e-3)
+
+
 def test_hf_conversion_shapes():
     """torch->flax mapping produces params accepted by the flax module."""
     import jax

@@ -526,3 +526,60 @@ def test_margin_cushion_covers_requested_k(rng):
                               jnp.zeros((n,), jnp.float32), k)
     np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_margin_certificate_closes_on_hot_term_queries(rng):
+    """The margin-path certificate: queries touching truncated
+    (stopword-grade) terms CAN certify exactness when every truncated term
+    is bisected and the bounds close — the `complete` gate alone never
+    fires for them (VERDICT r2 item 3). Where it claims exact, the result
+    must equal full fusion; and on this easy corpus (one hot term, ample
+    budgets) it must actually close for most queries."""
+    n, d, b, k = 2048, 64, 6, 10
+    toks = rng.choice(VOCAB, size=(n, 10))
+    # hot term in 80% of docs: df >> p_max (truncated) while the true
+    # lexical min stays 0 (some alive doc holds no query term), which the
+    # min-max certificate requires
+    texts = [" ".join(r) + (" common" if rng.random() < 0.8 else "")
+             for r in toks]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    queries = ["common " + " ".join(rng.choice(VOCAB, size=3))
+               for _ in range(b)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((b, d)).astype(np.float32)))
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256, p_max=256)
+    assert not enc.complete.any()  # the old gate can never certify these
+    assert enc.corrected_complete.all()
+    assert (enc.full_touched < n).all()
+    res = hybrid_impact_topk(q, docs, imp, enc, k, 0.5, 0.5, k_dense=1024,
+                             c_per_term=64, p_depth=256, block_n=1024,
+                             margin=256)
+    ex = np.asarray(res.exact)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.5, 0.5,
+                          jnp.zeros((n,), jnp.float32), k)
+    rv, ov = np.asarray(res.values), np.asarray(ovals)
+    for bi in range(b):
+        if ex[bi]:
+            np.testing.assert_allclose(rv[bi], ov[bi], rtol=1e-4, atol=1e-4)
+    assert ex.mean() >= 0.5, (
+        f"margin certificate closed on only {ex.mean():.0%} of easy "
+        f"hot-term queries")
+
+
+def test_margin_certificate_never_false_claims_uncorrected(rng):
+    """Queries with MORE truncated terms than the bisect ladder cap are
+    not fully corrected; the margin certificate must refuse them."""
+    V, nd, P = 8, 600, 4
+    t = np.repeat(np.arange(V), 80).astype(np.int64)
+    d = np.concatenate([rng.choice(nd, 80, replace=False)
+                        for _ in range(V)]).astype(np.int64)
+    w = (rng.random(V * 80) + 0.01).astype(np.float32)
+    imp = build_impact_postings(t, d, w, nd, V, p_max=P)
+    df = np.bincount(t, minlength=V)
+    starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
+    enc = encode_impact_queries(imp, [list(range(V))], p_depth=P,
+                                full_starts=starts_full,
+                                full_lengths=df.astype(np.int64))
+    assert not enc.corrected_complete[0]  # 8 truncated terms > cap of 4
