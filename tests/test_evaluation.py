@@ -186,3 +186,38 @@ def test_beir_loader_and_evaluate(tmp_path):
     agg = evaluate_beir(s, str(root), k=2)
     assert agg["docs"] == 3 and agg["queries"] == 2
     assert agg["recall"] == 1.0  # tiny corpus: both relevants retrieved
+
+
+def test_synth_beir_chain_matches_pinned_metrics(tmp_path):
+    """The full quality path — synthetic-BEIR generator -> disk -> BEIR
+    loader -> Indexer -> hybrid Searcher -> SearchEvaluator — must
+    reproduce the pinned metrics (benchmarks/expected_synth_beir.json).
+    This is the tested stand-in for BASELINE configs 2-4 until real
+    SciFact/NFCorpus/MS MARCO corpora are on disk (zero egress); real
+    datasets run through the identical chain via evaluate_beir(root)."""
+    import json as _json
+    import os
+
+    from hybridsearch_tpu.evaluation.beir import evaluate_beir
+    from hybridsearch_tpu.evaluation.synth_beir import generate_synth_beir
+
+    pins = _json.load(open(
+        os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                     "expected_synth_beir.json")))
+    root = generate_synth_beir(str(tmp_path / "beir"))
+    # generator determinism: same seed -> byte-identical corpus file
+    import hashlib
+
+    h1 = hashlib.sha256(
+        open(os.path.join(root, "corpus.jsonl"), "rb").read()).hexdigest()
+    root2 = generate_synth_beir(str(tmp_path / "beir2"))
+    h2 = hashlib.sha256(
+        open(os.path.join(root2, "corpus.jsonl"), "rb").read()).hexdigest()
+    assert h1 == h2
+
+    s = Searcher(encoder=HashingEncoder(dim=128), use_query_memory=False)
+    agg = evaluate_beir(s, root, k=pins["config"]["k"])
+    for name, want in pins["metrics"].items():
+        got = float(agg[name])
+        assert abs(got - want) <= pins["tol"], (
+            f"{name}: got {got:.4f}, pinned {want} +/- {pins['tol']}")
