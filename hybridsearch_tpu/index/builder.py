@@ -103,10 +103,21 @@ class Indexer:
     ) -> Dict[str, int]:
         """Destructive full reindex (reference indexer.py:245-315)."""
         docs = [preprocess_text(d) for d in documents]
-        token_lists = [extract_tokens(d) for d in docs]
-        ids = self.store.replace_documents(
-            docs, paths, [len(t) for t in token_lists]
-        )
+        # bulk BM25 tokenization: one native C call for the whole corpus
+        # (token hashes, no Python token strings — the <=100 us/doc path);
+        # falls back to Python extract_tokens without the library
+        hash_data = token_lists = None
+        try:
+            from hybridsearch_tpu.text.extractor import STOP_HASHES
+            from hybridsearch_tpu.text.native import token_hashes_docs
+
+            hashes, counts = token_hashes_docs(docs, STOP_HASHES)
+            hash_data = (hashes, counts)
+            tok_counts = [int(c) for c in counts]
+        except ImportError:
+            token_lists = [extract_tokens(d) for d in docs]
+            tok_counts = [len(t) for t in token_lists]
+        ids = self.store.replace_documents(docs, paths, tok_counts)
         vectors = self.embed(docs)
         self.dense.build(vectors)
         if self.config.index.ann == "ivf" and len(vectors):
@@ -118,7 +129,10 @@ class Indexer:
                 nprobe=self.config.index.ivf_nprobe,
             ).build(vectors)
         self._align_bm25_shards()
-        self.bm25.fit_tokens(token_lists)
+        if hash_data is not None:
+            self.bm25.fit_coo_from_hashes(*hash_data)
+        else:
+            self.bm25.fit_tokens(token_lists)
         self.contents = list(docs)
         self.doc_ids = ids
         return {"indexed": len(docs), "dim": self.config.index.dim}

@@ -55,6 +55,14 @@ class BM25:
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".",
                     exist_ok=True)
         po = state.postings
+        from hybridsearch_tpu.text.extractor import HashVocabulary
+
+        if isinstance(state.vocab, HashVocabulary):
+            vocab_field = {"vocab_hashes": np.asarray(state.vocab.id_to_hash,
+                                                      dtype=np.uint64)}
+        else:
+            vocab_field = {"vocab": np.asarray(state.vocab.id_to_token,
+                                               dtype=object)}
         np.savez_compressed(
             path,
             indptr=np.asarray(po.indptr),
@@ -62,16 +70,21 @@ class BM25:
             weights=np.asarray(po.weights),
             n_docs=po.n_docs,
             max_postings=po.max_postings,
-            vocab=np.asarray(state.vocab.id_to_token, dtype=object),
             params=np.asarray([self.k1, self.b, self.delta]),
             variant=self.variant,
+            **vocab_field,
         )
 
     def load(self, path: str) -> "BM25":
         data = np.load(path, allow_pickle=True)
-        vocab = Vocabulary()
-        for tok in data["vocab"].tolist():
-            vocab.add(str(tok))
+        if "vocab_hashes" in data:
+            from hybridsearch_tpu.text.extractor import HashVocabulary
+
+            vocab = HashVocabulary.from_hashes(data["vocab_hashes"].tolist())
+        else:
+            vocab = Vocabulary()
+            for tok in data["vocab"].tolist():
+                vocab.add(str(tok))
         import jax.numpy as jnp
 
         indptr = data["indptr"].astype(np.int64)
@@ -198,6 +211,38 @@ class BM25:
         t_arr, d_arr, c_arr, doc_lens = self._encode_coo(tokenized, vocab, 0)
         self._publish_from_coo(vocab, t_arr, d_arr, c_arr, doc_lens)
         self._tombstones = set()  # a refit defines a fresh corpus
+        return self
+
+    def fit_hashes(self, texts: Sequence[str]) -> "BM25":
+        """Bulk fit via the native batch tokenizer+hasher: one C call per
+        corpus, term identity = stable 64-bit token hash, tf aggregation
+        one vectorized unique — no per-token Python, no token strings
+        (the <=100 us/doc bulk-index path). Queries keep working through
+        HashVocabulary's string-facing encode. Raises ImportError when the
+        native library is unavailable (callers fall back to fit)."""
+        from hybridsearch_tpu.text.extractor import STOP_HASHES
+        from hybridsearch_tpu.text.native import token_hashes_docs
+
+        hashes, counts = token_hashes_docs(list(texts), STOP_HASHES)
+        return self.fit_coo_from_hashes(hashes, counts)
+
+    def fit_coo_from_hashes(self, hashes: np.ndarray,
+                            counts: np.ndarray) -> "BM25":
+        """Publish a fitted state from pre-computed per-doc token hashes
+        (contiguous `hashes`, per-doc `counts`)."""
+        from hybridsearch_tpu.text.extractor import HashVocabulary
+
+        doc_lens = counts.astype(np.float64)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64),
+                           counts.astype(np.int64))
+        uniq_hashes, term_of = np.unique(hashes, return_inverse=True)
+        vocab = HashVocabulary.from_hashes(uniq_hashes)
+        V = max(len(vocab), 1)
+        key = doc_of * V + term_of
+        uniq, c_arr = np.unique(key, return_counts=True)
+        self._publish_from_coo(vocab, uniq % V, uniq // V,
+                               c_arr.astype(np.float64), doc_lens)
+        self._tombstones = set()
         return self
 
     def add_tokens(self, tokenized: Sequence[Sequence[str]]) -> "BM25":

@@ -153,3 +153,74 @@ class Vocabulary:
         if add:
             return [self.add(t) for t in tokens]
         return [tid for t in tokens if (tid := self.token_to_id.get(t)) is not None]
+
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+_MASK64 = 0xFFFFFFFFFFFFFFFF
+
+
+def stable_token_hash(token: str) -> int:
+    """Deterministic 64-bit FNV-1a over the UTF-8 token bytes — identical
+    to the native hst_token_hashes contract (native/textops.cc), so hash
+    vocabularies built by the C bulk path and Python queries agree."""
+    h = _FNV_OFFSET
+    for b in token.encode("utf-8"):
+        h = ((h ^ b) * _FNV_PRIME) & _MASK64
+    return h
+
+
+STOP_HASHES = tuple(sorted(stable_token_hash(w) for w in STOPWORDS))
+
+
+class HashVocabulary:
+    """Drop-in Vocabulary keyed on stable 64-bit token hashes.
+
+    Built by the native bulk-index path (BM25.fit_hashes): term identity is
+    the FNV-1a hash of the lowercase token, so fitting never materializes
+    token strings. The string-facing API (add/get/encode over tokens) hashes
+    on the way in, which keeps query encoding, incremental add_tokens, and
+    every sparse-index consumer working unchanged. 64-bit FNV collisions
+    over real vocabularies (<10^7 terms) are ~10^-5-probability events and
+    at worst merge two terms' postings."""
+
+    def __init__(self) -> None:
+        self.hash_to_id: Dict[int, int] = {}
+        self.id_to_hash: List[int] = []
+
+    @classmethod
+    def from_hashes(cls, unique_hashes) -> "HashVocabulary":
+        v = cls()
+        v.id_to_hash = [int(h) for h in unique_hashes]
+        v.hash_to_id = {h: i for i, h in enumerate(v.id_to_hash)}
+        return v
+
+    def __len__(self) -> int:
+        return len(self.id_to_hash)
+
+    def add(self, token: str) -> int:
+        h = stable_token_hash(token)
+        tid = self.hash_to_id.get(h)
+        if tid is None:
+            tid = len(self.id_to_hash)
+            self.hash_to_id[h] = tid
+            self.id_to_hash.append(h)
+        return tid
+
+    def get(self, token: str, default: int = -1) -> int:
+        return self.hash_to_id.get(stable_token_hash(token), default)
+
+    def copy(self) -> "HashVocabulary":
+        v = HashVocabulary()
+        v.hash_to_id = dict(self.hash_to_id)
+        v.id_to_hash = list(self.id_to_hash)
+        return v
+
+    def encode(self, tokens: Iterable[str], add: bool = False) -> List[int]:
+        if add:
+            return [self.add(t) for t in tokens]
+        out = []
+        for t in tokens:
+            tid = self.hash_to_id.get(stable_token_hash(t))
+            if tid is not None:
+                out.append(tid)
+        return out

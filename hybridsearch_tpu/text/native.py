@@ -76,6 +76,15 @@ def _lib() -> Optional[ctypes.CDLL]:
                     ctypes.POINTER(ctypes.c_uint64),
                     ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
                 ]
+                if hasattr(lib, "hst_token_hashes_docs"):
+                    lib.hst_token_hashes_docs.restype = ctypes.c_int64
+                    lib.hst_token_hashes_docs.argtypes = [
+                        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+                        ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+                        ctypes.POINTER(ctypes.c_int64),
+                    ]
                 _LIB = lib
             except OSError:
                 _LIB = None
@@ -130,6 +139,42 @@ def token_hashes(text: str, stop_hashes: "tuple") -> "tuple":
         bi.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap,
     )
     return uni[:n], bi[: max(0, n - 1)]
+
+
+def token_hashes_docs(texts, stop_hashes: "tuple"):
+    """(hashes uint64 [total], counts int64 [n_docs]) — lowercase word-token
+    FNV-1a hashes with stopwords removed for a WHOLE document batch in one
+    C call (the bulk-index fast path: no per-doc Python, no token strings).
+    Hash-identical to stable_hash over extract_tokens output. Raises
+    ImportError when the library (or the batch symbol) is unavailable."""
+    import numpy as np
+
+    lib = _lib()
+    if lib is None or not hasattr(lib, "hst_token_hashes_docs"):
+        raise ImportError("libtextops.so with hst_token_hashes_docs needed")
+    key = id(stop_hashes)
+    arr = _STOP_HASH_CACHE.get(key)
+    if arr is None:
+        arr = np.sort(np.asarray(stop_hashes, dtype=np.uint64))
+        _STOP_HASH_CACHE[key] = arr
+    blobs = [t.encode("utf-8", errors="replace") for t in texts]
+    offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    data = b"".join(blobs)
+    counts = np.zeros(len(blobs), dtype=np.int64)
+    cap = max(16, len(data) // 2 + 1)
+    while True:
+        out = np.empty(cap, dtype=np.uint64)
+        n = lib.hst_token_hashes_docs(
+            data, offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            len(blobs),
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), len(arr),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)), cap,
+            counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        if n >= 0:
+            return out[:n], counts
+        cap *= 2  # capacity overflow: retry with a larger buffer
 
 
 def levenshtein(a: str, b: str) -> int:

@@ -173,6 +173,53 @@ int64_t hst_token_hashes(const char* data, int64_t len,
   return n;
 }
 
+// Batch token hashing for bulk indexing: one call covers `n_docs`
+// documents laid out contiguously in `data` with `offsets[n_docs + 1]`
+// byte boundaries. For each doc, lowercased word-token FNV-1a hashes
+// (stopword hashes dropped, same contract as hst_token_hashes) are
+// written contiguously into `out`; counts[i] = kept tokens of doc i.
+// Returns the total number of hashes written, or -1 if `cap` would be
+// exceeded (caller re-allocates and retries).
+int64_t hst_token_hashes_docs(const char* data, const int64_t* offsets,
+                              int64_t n_docs, const uint64_t* stop_hashes,
+                              int64_t n_stop, uint64_t* out, int64_t cap,
+                              int64_t* counts) {
+  const uint64_t kOffset = 0xCBF29CE484222325ULL;
+  char buf[256];
+  int64_t total = 0;
+  for (int64_t d = 0; d < n_docs; ++d) {
+    const char* doc = data + offsets[d];
+    const int64_t len = offsets[d + 1] - offsets[d];
+    int64_t kept = 0;
+    int64_t i = 0;
+    while (i < len) {
+      unsigned char c = static_cast<unsigned char>(doc[i]);
+      bool word = (c == '_' || (c >= '0' && c <= '9') ||
+                   (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z'));
+      if (!word) { ++i; continue; }
+      int64_t blen = 0;
+      while (i < len) {
+        unsigned char e = static_cast<unsigned char>(doc[i]);
+        bool w = (e == '_' || (e >= '0' && e <= '9') ||
+                  (e >= 'A' && e <= 'Z') || (e >= 'a' && e <= 'z'));
+        if (!w) break;
+        if (blen < 255) {
+          buf[blen++] = (e >= 'A' && e <= 'Z') ? static_cast<char>(e + 32)
+                                               : static_cast<char>(e);
+        }
+        ++i;
+      }
+      uint64_t h = fnv1a_update(kOffset, buf, blen);
+      if (in_sorted(stop_hashes, n_stop, h)) continue;
+      if (total >= cap) return -1;
+      out[total++] = h;
+      ++kept;
+    }
+    counts[d] = kept;
+  }
+  return total;
+}
+
 // 64-bit FNV-1a hashes over character shingles of length `k`.
 int64_t hst_minhash_shingles(const char* data, int64_t len, int64_t k,
                              uint64_t* out, int64_t cap) {

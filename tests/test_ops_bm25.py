@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import pytest
 
 from hybridsearch_tpu.evaluation.oracle import BM25Oracle
+from hybridsearch_tpu.index.sparse_index import BM25
 from hybridsearch_tpu.ops import bm25 as bm25_ops
 from hybridsearch_tpu.text.extractor import Vocabulary, extract_tokens
 
@@ -199,3 +200,52 @@ def test_add_tokens_requires_cache(rng):
     b = BM25()
     with pytest.raises(ValueError):
         b.add_tokens([["a", "b"]])
+
+
+def test_fit_hashes_matches_fit_scores(rng):
+    """The native bulk hash-fit path must produce IDENTICAL BM25 scores to
+    the string-token fit (term identity is a bijection corpus-side, query
+    encode goes through the same hashes)."""
+    pytest.importorskip("ctypes")
+    from hybridsearch_tpu.text.native import native_available
+
+    if not native_available():
+        pytest.skip("libtextops not built")
+    vocab = [f"word{i}" for i in range(300)] + ["the", "and", "of"]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(5, 20))))
+             for _ in range(200)]
+    a = BM25().fit(texts)
+    b = BM25().fit_hashes(texts)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(8)]
+    sa = a.batch_scores(queries)
+    sb = b.batch_scores(queries)
+    np.testing.assert_allclose(sa, sb, rtol=1e-6, atol=1e-7)
+
+
+def test_fit_hashes_incremental_add_and_roundtrip(rng, tmp_path):
+    """add_tokens on a hash-fit state (string tokens hashed on the way in)
+    equals a fresh hash fit of the full corpus; save/load roundtrips the
+    hash vocabulary."""
+    from hybridsearch_tpu.text.native import native_available
+
+    if not native_available():
+        pytest.skip("libtextops not built")
+    vocab = [f"word{i}" for i in range(100)]
+    texts = [" ".join(rng.choice(vocab, size=10)) for _ in range(80)]
+    extra = [" ".join(rng.choice(vocab, size=10)) for _ in range(20)]
+    from hybridsearch_tpu.text.extractor import extract_tokens
+
+    inc = BM25().fit_hashes(texts)
+    inc.add_tokens([extract_tokens(t) for t in extra])
+    full = BM25().fit_hashes(texts + extra)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(5)]
+    np.testing.assert_allclose(inc.batch_scores(queries),
+                               full.batch_scores(queries),
+                               rtol=1e-6, atol=1e-7)
+
+    path = str(tmp_path / "bm25_hash.npz")
+    full.save(path)
+    loaded = BM25().load(path)
+    np.testing.assert_allclose(loaded.batch_scores(queries),
+                               full.batch_scores(queries),
+                               rtol=1e-6, atol=1e-7)
