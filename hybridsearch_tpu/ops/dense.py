@@ -325,16 +325,27 @@ def tiled_dense_topk(
     # quantized values as pass 1 in int8 mode). Chunked over tiles so the
     # gathered [B, chunk, tile, D] buffer stays bounded (~256 MB) for any
     # k — an unchunked gather at k_dense=1024, B=128 was a 12 GB HBM temp.
+    # bf16 docs stay bf16 through the gather AND the dot (f32 accumulate):
+    # converting first doubled the gather's HBM traffic — at k_dense=512,
+    # B=256, 10M docs that gather is the dense arm's dominant cost.
     d_tiles = d[: Np].reshape(n_tiles, tile, Dm)
-    q3 = q_mm.astype(jnp.float32) if int8_mode else q
-    per_tile_bytes = max(1, B * tile * Dm * 4)
+    if int8_mode:
+        q3 = q_mm.astype(jnp.float32)
+    elif d.dtype == jnp.bfloat16:
+        q3 = q.astype(jnp.bfloat16)
+    else:
+        q3 = q
+    el_bytes = 4 if (int8_mode or d.dtype != jnp.bfloat16) else 2
+    per_tile_bytes = max(1, B * tile * Dm * el_bytes)
     chunk = max(1, min(k_tiles, 268_435_456 // per_tile_bytes))
     s3_parts = []
     for c0 in range(0, k_tiles, chunk):
         tt = top_tiles[:, c0 : c0 + chunk]  # [B, c]
         sel = jnp.take(d_tiles, tt, axis=0)  # [B, c, tile, D]
+        if int8_mode:
+            sel = sel.astype(jnp.float32)
         s3_parts.append(jnp.einsum(
-            "bktd,bd->bkt", sel.astype(jnp.float32), q3,
+            "bktd,bd->bkt", sel, q3,
             preferred_element_type=jnp.float32,
         ).reshape(B, tt.shape[1] * tile))
     s3 = jnp.concatenate(s3_parts, axis=1) if len(s3_parts) > 1 else s3_parts[0]
