@@ -322,8 +322,8 @@ class BM25:
         if cached is not None and cached[0] is state and cached[1] >= p_max:
             return cached[2]
         from hybridsearch_tpu.ops.impact import (
-            _use_pallas,
             build_impact_postings,
+            default_align,
         )
 
         po = state.postings
@@ -338,7 +338,7 @@ class BM25:
         )
         imp = build_impact_postings(
             term_ids, doc_ids, weights, po.n_docs, po.vocab_size,
-            p_max=p_max, align=1024 if _use_pallas() else 1,
+            p_max=p_max, align=default_align(),
         )
         self._impact_cache = (state, p_max, imp)  # atomic publish
         return imp

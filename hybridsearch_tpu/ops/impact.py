@@ -269,16 +269,39 @@ def encode_impact_queries(
     )
 
 
-def _use_pallas() -> bool:
-    # Opt-in (HST_PALLAS_IMPACT=1): this environment's TPU compile helper
-    # wedges the device tunnel for hours when compiling these kernels
-    # (observed twice); the XLA fallbacks are the safe default until the
-    # kernels are validated on direct-attached hardware. Their values are
-    # pinned by interpret-mode tests either way.
+def _use_pallas_rescore() -> bool:
+    """Pallas one-hot rescore on TPU — DEFAULT ON (validated on hardware
+    round 3: compiles clean, values match the oracle; the XLA fallback
+    materializes the [bq, C, W] comparison in HBM at ~430 ms/batch at 10M,
+    the kernel builds it blockwise in VMEM). HST_PALLAS_IMPACT=0 turns it
+    off."""
     import os
 
     return (jax.default_backend() == "tpu"
-            and os.environ.get("HST_PALLAS_IMPACT", "0") == "1")
+            and os.environ.get("HST_PALLAS_IMPACT", "1") != "0")
+
+
+def _use_pallas_slice() -> bool:
+    """Pallas DMA slice kernel — still OPT-IN (HST_PALLAS_SLICE=1): this
+    environment's remote compile helper has wedged on DMA-heavy kernels
+    before, and the aligned row-gather XLA path already lowers to
+    blockwise DMA. Values pinned by interpret-mode tests either way."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("HST_PALLAS_SLICE", "0") == "1")
+
+
+def _use_pallas() -> bool:
+    # kept for backward compatibility: "is the impact fast path on at all"
+    return _use_pallas_rescore()
+
+
+def default_align() -> int:
+    """Build-time run-start alignment for impact postings: 1024 on TPU
+    (enables the row-gather slice fast path and the Pallas DMA kernel —
+    costs ~align/2 sentinel entries per term), 1 elsewhere."""
+    return 1024 if jax.default_backend() == "tpu" else 1
 
 
 @functools.partial(jax.jit, static_argnames=("p_depth", "align"))
@@ -311,7 +334,7 @@ def slice_impact_runs(
     B, T = starts.shape
     iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, p_depth), 2)
     R = math.gcd(align, p_depth)
-    if _use_pallas() and p_depth % 1024 == 0 and align % 1024 == 0:
+    if _use_pallas_slice() and p_depth % 1024 == 0 and align % 1024 == 0:
         from hybridsearch_tpu.ops.pallas_impact import pallas_slice_runs
 
         ids_f, ws_f = pallas_slice_runs(doc_ids, weights, starts, p=p_depth,
@@ -357,7 +380,7 @@ def onehot_rescore(
     """
     B, C = cand.shape
     W = ids_flat.shape[1]
-    if _use_pallas() and W % 1024 == 0:
+    if _use_pallas_rescore() and W % 1024 == 0:
         from hybridsearch_tpu.ops.pallas_impact import pallas_onehot_rescore
 
         cp = (-(-C // 128)) * 128

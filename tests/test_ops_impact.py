@@ -528,13 +528,16 @@ def test_margin_cushion_covers_requested_k(rng):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_margin_certificate_closes_on_hot_term_queries(rng):
+def test_margin_certificate_closes_on_hot_term_queries():
     """The margin-path certificate: queries touching truncated
     (stopword-grade) terms CAN certify exactness when every truncated term
     is bisected and the bounds close — the `complete` gate alone never
     fires for them (VERDICT r2 item 3). Where it claims exact, the result
     must equal full fusion; and on this easy corpus (one hot term, ample
     budgets) it must actually close for most queries."""
+    rng = np.random.default_rng(424)  # own seed: the close-fraction
+    # threshold is statistical; the shared session rng's position depends
+    # on test order
     n, d, b, k = 2048, 64, 6, 10
     toks = rng.choice(VOCAB, size=(n, 10))
     # hot term in 80% of docs: df >> p_max (truncated) while the true
