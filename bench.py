@@ -55,15 +55,37 @@ def _write(buf, block, start):
     return jax.lax.dynamic_update_slice(buf, block, (start, 0))
 
 
+@functools.partial(jax.jit, static_argnames=("n", "chunk"))
+def _gen_corpus(key, n, chunk):
+    """Whole corpus in ONE compiled program: a fori_loop of
+    generate-normalize-write steps. One dispatch + one allocation — the
+    per-chunk Python loop cost ~11 s of tunnel round trip PER CHUNK in
+    this environment (5+ min of the 10M bench budget)."""
+    out_dtype = jnp.int8 if DTYPE == "int8" else jnp.bfloat16
+    nb = -(-n // chunk)
+
+    def body(i, buf):
+        sub = jax.random.fold_in(key, i)
+        x = jax.random.normal(sub, (chunk, D), dtype=jnp.float32)
+        norm = jnp.sqrt(jnp.sum(x * x, axis=-1, keepdims=True))
+        xn = x / jnp.maximum(norm, 1e-12)
+        if DTYPE == "int8":
+            blk = jnp.clip(jnp.round(xn * 127.0), -127, 127).astype(jnp.int8)
+        else:
+            blk = xn.astype(jnp.bfloat16)
+        return jax.lax.dynamic_update_slice(buf, blk, (i * chunk, 0))
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros((n, D), out_dtype))
+
+
 def build_corpus(n: int, chunk: int = 1_000_000) -> jax.Array:
-    """[n, D] bf16 normalized corpus generated on device, chunk by chunk,
-    with buffer donation (no double allocation)."""
-    buf = jnp.zeros((n, D), dtype=jnp.int8 if DTYPE == "int8" else jnp.bfloat16)
-    key = jax.random.PRNGKey(0)
-    for i in range(0, n, chunk):
-        m = min(chunk, n - i)
-        key, sub = jax.random.split(key)
-        buf = _write(buf, _make_block(sub, m), i)
+    """[n, D] bf16 normalized corpus generated on device in one program.
+    Rows beyond the last full chunk boundary are generated too (n is
+    rounded up internally) and sliced off."""
+    chunk = min(chunk, n)
+    nb = -(-n // chunk)
+    buf = _gen_corpus(jax.random.PRNGKey(0), nb * chunk, chunk)
+    buf = buf[:n] if nb * chunk != n else buf
     buf.block_until_ready()
     return buf
 

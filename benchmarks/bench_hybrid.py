@@ -162,32 +162,43 @@ def build_correlated_corpus(n_docs: int, topic_of: np.ndarray,
     — the default (sigma^2*D ~= 1) gives in-topic pair cosines ~0.5, the
     regime real sentence embeddings live in; defaults put queries near
     topic boundaries so approximate methods have a real recall curve."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from bench import _write
+    @functools.partial(jax.jit, static_argnames=("n", "chunk", "sig"))
+    def _gen(key, z_all, n, chunk, sig):
+        """Whole clustered corpus in ONE compiled program (one dispatch:
+        the per-chunk Python loop paid ~11 s of tunnel round trip per
+        chunk in this environment)."""
+        ck, body_key = jax.random.split(key)
+        cent = jax.random.normal(ck, (n_topics, D), dtype=jnp.float32)
+        cent = cent / jnp.linalg.norm(cent, axis=-1, keepdims=True)
 
-    key = jax.random.PRNGKey(seed)
-    key, ck = jax.random.split(key)
-    cent = jax.random.normal(ck, (n_topics, D), dtype=jnp.float32)
-    cent = cent / jnp.linalg.norm(cent, axis=-1, keepdims=True)
+        def body(i, buf):
+            sub = jax.random.fold_in(body_key, i)
+            zc = jax.lax.dynamic_slice(z_all, (i * chunk,), (chunk,))
+            x = cent[zc] + sig * jax.random.normal(
+                sub, (chunk, D), dtype=jnp.float32)
+            x = x / jnp.maximum(
+                jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-12)
+            return jax.lax.dynamic_update_slice(
+                buf, x.astype(jnp.bfloat16), (i * chunk, 0))
 
-    @jax.jit
-    def _block(k, z):
-        x = cent[z] + sigma * jax.random.normal(k, (z.shape[0], D),
-                                                dtype=jnp.float32)
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True),
-                            1e-12)
-        return x.astype(jnp.bfloat16)
+        nb = n // chunk
+        return jax.lax.fori_loop(
+            0, nb, body, jnp.zeros((n, D), jnp.bfloat16)), cent
 
-    buf = jnp.zeros((n_docs, D), dtype=jnp.bfloat16)
-    chunk = 1_000_000
-    for i in range(0, n_docs, chunk):
-        m = min(chunk, n_docs - i)
-        key, sub = jax.random.split(key)
-        z = jnp.asarray(topic_of[i:i + m].astype(np.int32))
-        buf = _write(buf, _block(sub, z), i)
-    buf.block_until_ready()
+    chunk = min(1_000_000, n_docs)
+    nb = -(-n_docs // chunk)
+    z_np = np.zeros(nb * chunk, np.int32)
+    z_np[:n_docs] = topic_of.astype(np.int32)
+    buf, cent = _gen(jax.random.PRNGKey(seed), jnp.asarray(z_np),
+                     nb * chunk, chunk, float(sigma))
+    if nb * chunk != n_docs:
+        buf = buf[:n_docs]
+    jax.block_until_ready(buf)
     return buf, cent
 
 
