@@ -96,8 +96,10 @@ class IndexConfig:
     capacity_round: int = 4096  # capacity rounded up to a multiple of this
     dtype: str = "float32"  # embedding storage dtype on device
     max_postings: int = 0  # 0 = derive from corpus (max df)
-    # approximate mode: "flat" (exact) or "ivf" (k-means coarse quantizer,
-    # index/ivf.py). IVF accelerates stage-1 retrieval at very large N.
+    # approximate mode: "flat" (exact), "ivf" (k-means coarse quantizer,
+    # index/ivf.py), or "auto" (flat below the measured exact<->IVF
+    # crossover, IVF above it — Indexer._want_ivf). IVF accelerates
+    # stage-1 retrieval at very large N.
     ann: str = "flat"
     ivf_clusters: int = 0  # 0 = sqrt(N)
     ivf_nprobe: int = 8

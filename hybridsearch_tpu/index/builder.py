@@ -120,7 +120,7 @@ class Indexer:
         ids = self.store.replace_documents(docs, paths, tok_counts)
         vectors = self.embed(docs)
         self.dense.build(vectors)
-        if self.config.index.ann == "ivf" and len(vectors):
+        if self._want_ivf(len(vectors)):
             from hybridsearch_tpu.index.ivf import IVFIndex
 
             self.ivf = IVFIndex(
@@ -181,6 +181,23 @@ class Indexer:
         self.bm25.delete(ids)
         self.store.delete_documents(ids)
         return len(ids)
+
+    def _want_ivf(self, n: int) -> bool:
+        """The exact<->IVF policy. "flat" and "ivf" are explicit; "auto"
+        builds the IVF coarse quantizer only above the measured crossover:
+        the streaming exact kernel beats IVF up through at least 1M docs
+        on one chip (benchmarks/bench_ivf.py round-2 sweep), so IVF earns
+        its recall loss only at multi-million scale. Override the
+        crossover with HST_IVF_AUTO_MIN_DOCS."""
+        import os
+
+        mode = self.config.index.ann
+        if mode == "ivf":
+            return n > 0
+        if mode == "auto":
+            return n >= int(os.environ.get("HST_IVF_AUTO_MIN_DOCS",
+                                           "4000000"))
+        return False
 
     def _align_bm25_shards(self) -> None:
         """Partition BM25 postings by the dense index's rows-per-shard so

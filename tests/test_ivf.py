@@ -110,3 +110,23 @@ def test_kmeans_blocked_matches_small_block(rng):
     c1 = np.asarray(kmeans_fit(jnp.asarray(docs), 8, iters=4, block=64))
     c2 = np.asarray(kmeans_fit(jnp.asarray(docs), 8, iters=4, block=4096))
     np.testing.assert_allclose(c1, c2, rtol=1e-4, atol=1e-5)
+
+
+def test_ann_auto_policy(monkeypatch):
+    """ann="auto" builds IVF only above the crossover (exact wins below
+    it — round-2 sweep); the threshold is env-tunable for re-measurement."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.index.builder import Indexer
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+
+    monkeypatch.setenv("HST_IVF_AUTO_MIN_DOCS", "50")
+    cfg = EngineConfig()
+    cfg.index.dim = 32
+    cfg.index.ann = "auto"
+    ix = Indexer(encoder=HashingEncoder(dim=32), config=cfg)
+    ix.index_documents([f"doc number {i} about topic {i % 5}"
+                        for i in range(30)])
+    assert ix.ivf is None  # below crossover: exact only
+    ix.index_documents([f"doc number {i} about topic {i % 5}"
+                        for i in range(80)])
+    assert ix.ivf is not None  # above crossover: IVF built
