@@ -169,10 +169,19 @@ class BM25:
         uniq, c_arr = np.unique(doc_of * V + flat_ids, return_counts=True)
         return uniq % V, uniq // V, c_arr.astype(np.float64), doc_lens
 
-    def _publish_from_coo(self, vocab, t_arr, d_arr, c_arr, doc_lens):
+    def _publish_from_coo(self, vocab, t_arr, d_arr, c_arr, doc_lens,
+                          presorted: bool = False):
         """Recompute eager weights over the full COO and atomically publish
-        a new state (single-device or sharded)."""
+        a new state (single-device or sharded).
+
+        The COO is brought into (term asc, doc asc) order HERE — once per
+        fit — and the tf cache stores it sorted, so incremental add_tokens
+        can MERGE new triples in O(nnz) instead of re-lexsorting the whole
+        corpus (at 10M docs that lexsort cost ~30 s per add)."""
         n_docs = len(doc_lens)
+        if not presorted and len(t_arr):
+            order = np.lexsort((d_arr, t_arr))
+            t_arr, d_arr, c_arr = t_arr[order], d_arr[order], c_arr[order]
         weights = bm25_ops.compute_eager_weights(
             t_arr, d_arr, c_arr, doc_lens, n_docs, len(vocab),
             k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
@@ -200,6 +209,7 @@ class BM25:
         else:
             postings = bm25_ops.build_postings_arrays(
                 t_arr, d_arr.astype(np.int32), weights, n_docs, len(vocab),
+                presorted=True,
             )
             runs = np.bincount(t_arr, minlength=len(vocab) + 1)
             new_state = _BM25State(vocab, postings, None, n_docs, runs,
@@ -263,12 +273,20 @@ class BM25:
         vocab = state.vocab.copy()
         t0, d0, c0, l0 = state.tf_cache
         t1, d1, c1, l1 = self._encode_coo(tokenized, vocab, state.n_docs)
+        # O(new + nnz) sorted merge: the cached COO is (term, doc)-sorted
+        # (publish invariant) and every new doc id exceeds every old one,
+        # so sorting just the NEW triples and inserting each at its term
+        # run's end preserves the global order — no corpus-wide lexsort
+        order = np.lexsort((d1, t1))
+        t1, d1, c1 = t1[order], d1[order], c1[order]
+        pos = np.searchsorted(t0, t1, side="right")
         self._publish_from_coo(
             vocab,
-            np.concatenate([t0, t1]),
-            np.concatenate([d0, d1]),
-            np.concatenate([c0, c1]),
+            np.insert(t0, pos, t1),
+            np.insert(d0, pos, d1),
+            np.insert(c0, pos, c1),
             np.concatenate([l0, l1]),
+            presorted=True,
         )
         return self
 

@@ -68,18 +68,28 @@ def build_postings_arrays(
     n_docs: int,
     vocab_size: int,
     tile: int = 128,
+    presorted: bool = False,
 ) -> BM25Postings:
     """Host-side CSR build from COO (term, doc, weight) triples.
 
     The arrays are padded by max_postings so a dynamic_slice of static width
     starting at any indptr[t] never reads out of bounds.
+
+    presorted=True asserts the triples are ALREADY (term asc, doc asc)
+    ordered and skips the O(nnz log nnz) lexsort — the incremental-add
+    path maintains that order by merging (index/sparse_index.py).
     """
-    # lexsort: doc ascending WITHIN each term run — candidate scoring does
-    # binary search over runs and requires this invariant
-    order = np.lexsort((doc_ids, term_ids))
-    t = term_ids[order].astype(np.int64)
-    d = doc_ids[order].astype(np.int32)
-    w = weights[order].astype(np.float32)
+    if presorted:
+        t = term_ids.astype(np.int64)
+        d = doc_ids.astype(np.int32)
+        w = weights.astype(np.float32)
+    else:
+        # lexsort: doc ascending WITHIN each term run — candidate scoring
+        # does binary search over runs and requires this invariant
+        order = np.lexsort((doc_ids, term_ids))
+        t = term_ids[order].astype(np.int64)
+        d = doc_ids[order].astype(np.int32)
+        w = weights[order].astype(np.float32)
     indptr = np.zeros(vocab_size + 1, dtype=np.int64)
     np.add.at(indptr, t + 1, 1)
     indptr = np.cumsum(indptr)
