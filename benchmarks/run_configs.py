@@ -108,8 +108,25 @@ def config_2_bm25(n_docs: int) -> Dict:
         rel = sum(1 for _s, _c, i in out.results if topics[i] == t)
         hits.append(rel / max(len(out.results), 1))
     perf = _timed_queries(lambda q: p.search(q, top_k=10), qs)
+    # batched lexical scoring (the serving mode; per-query sync timing is
+    # dispatch-RTT-dominated in this environment). BM25Pipeline is
+    # lexical-only (no dense index), so the batched path is the BM25
+    # kernel itself + host top-k. Distinct queries: caches exist upstream
+    batch_qs = [q for q, _ in queries_for(list(range(len(TOPICS))), 120,
+                                          seed=9)]
+
+    def bm25_batch(queries):
+        scores = p.indexer.bm25.batch_scores(queries)
+        return np.argsort(-scores, axis=1)[:, :10]
+
+    bm25_batch(batch_qs)  # warm/compile
+    t0 = time.perf_counter()
+    out = bm25_batch(batch_qs)
+    assert out.shape[0] == len(batch_qs)
+    batch_qps = len(batch_qs) / (time.perf_counter() - t0)
     return {"config": "2_bm25_pure", "docs": n_docs,
-            "topic_precision@10": round(float(np.mean(hits)), 4), **perf}
+            "topic_precision@10": round(float(np.mean(hits)), 4),
+            "batch_qps": round(batch_qps, 2), **perf}
 
 
 def config_3_hybrid(n_docs: int) -> Dict:
@@ -126,8 +143,17 @@ def config_3_hybrid(n_docs: int) -> Dict:
     perf = _timed_queries(
         lambda q: s.search(q, top_k=10, semantic_weight=0.6,
                            lexical_weight=0.4, log=False), qs)
+    batch_qs = [q for q, _ in queries_for(list(range(len(TOPICS))), 120,
+                                          seed=9)]
+    s.search_batch(batch_qs, top_k=10, semantic_weight=0.6,
+                   lexical_weight=0.4, log=False)  # warm/compile
+    t0 = time.perf_counter()
+    s.search_batch(batch_qs, top_k=10, semantic_weight=0.6,
+                   lexical_weight=0.4, log=False)
+    batch_qps = len(batch_qs) / (time.perf_counter() - t0)
     return {"config": "3_hybrid_bm25_0.6_0.4", "docs": n_docs,
-            "jaccard_vs_oracle": round(parity["mean_jaccard"], 4), **perf}
+            "jaccard_vs_oracle": round(parity["mean_jaccard"], 4),
+            "batch_qps": round(batch_qps, 2), **perf}
 
 
 def config_4_multistage(n_docs: int) -> Dict:
