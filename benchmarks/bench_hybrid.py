@@ -370,6 +370,7 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
                              k_dense=KD, c_per_term=CP, p_depth=PD,
                              n_alive=n_docs, full_postings=full)
     got_ids = np.asarray(jax.device_get(res.indices))
+    exact_flags = np.asarray(jax.device_get(res.exact))
 
     # oracle semantic scores on device (same bf16 matrix, f32 accumulate);
     # a host f64 matmul at 1M docs takes minutes on this 1-core machine
@@ -390,11 +391,16 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
         top = set(np.argsort(-fused)[:TOP_K].tolist())
         got = set(int(x) for x in got_ids[b][:TOP_K] if x >= 0)
         jac.append(len(top & got) / max(len(top | got), 1))
+    # soundness audit: certified rows must be oracle-perfect
+    cert_jac = [j for j, e in zip(jac, exact_flags) if e]
     return {
         "metric": f"hybrid_impact_jaccard@{n_docs}docs",
         "value": round(float(np.mean(jac)), 4),
         "unit": "jaccard@10 vs exact fusion oracle",
         "vs_baseline": round(float(np.mean(jac)) / 0.99, 4),
+        "certified_exact_pct": round(100.0 * float(exact_flags.mean()), 2),
+        "certified_jaccard": round(float(np.mean(cert_jac)), 4)
+        if cert_jac else None,
     }
 
 

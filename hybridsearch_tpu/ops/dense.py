@@ -133,7 +133,8 @@ def scan_dense_topk(
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("k", "block_n", "tile", "with_stats"))
+                   static_argnames=("k", "block_n", "tile", "with_stats",
+                                    "probe_tiles"))
 def tiled_dense_topk(
     queries: jax.Array,
     docs: jax.Array,
@@ -142,6 +143,7 @@ def tiled_dense_topk(
     tile: int = 128,
     bias: jax.Array | None = None,
     with_stats: bool = False,
+    probe_tiles: int | None = None,
 ) -> Tuple[jax.Array, ...]:
     """Exact top-k via tile-max two-phase selection — the fast path at scale.
 
@@ -168,6 +170,15 @@ def tiled_dense_topk(
     0/-inf mask), computed inside the same single sweep — the normalization
     statistics of the sparse-correction hybrid (ops/hybrid.py). Return is
     then (vals, idxs, smin, smax). Not supported in int8 mode.
+
+    probe_tiles < k bounds pass 3's gather to that many tiles per query
+    (the gather is the dominant cost at deep k: k tiles x 128 docs x D per
+    query). The result is then exact ONLY when the per-query `covered`
+    flag — appended as the last return value — is True: covered means the
+    k-th found value is >= the best UNSELECTED tile's max, so no top-k
+    value can live outside the probed tiles. On cluster-ordered layouts
+    the top-k concentrates in few tiles and a small budget covers almost
+    always; callers escalate probe_tiles when it doesn't.
     """
     q = queries.astype(jnp.float32)
     B, Dm = q.shape
@@ -297,7 +308,15 @@ def tiled_dense_topk(
     # top-k value lived outside the selected blocks/tiles, >= k
     # blocks/tiles would each hold a larger value — contradiction. Garbage
     # tiles from grid overhang are -inf (masked in-kernel), never selected.
-    k_tiles = min(k, n_tiles)
+    # probe budget: select ONE extra tile beyond the gather budget so the
+    # best unselected tile's max is known (the coverage certificate)
+    if probe_tiles is not None and probe_tiles < min(k, n_tiles):
+        # never fewer tiles than needed to hold k result slots
+        k_gather = max(1, probe_tiles, -(-min(k, N) // tile))
+        k_tiles = min(k_gather + 1, n_tiles)
+    else:
+        k_tiles = min(k, n_tiles)
+        k_gather = k_tiles
     block_max_t = jnp.max(tiles_b, axis=1).T  # [B, nb]
     k_blocks = min(k_tiles, nb)
     if nb > 8192:  # avoid a wide sort program at extreme corpus sizes
@@ -314,12 +333,20 @@ def tiled_dense_topk(
                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tpb), 2)
                 ).reshape(B, k_blocks * tpb)
     if k_blocks * tpb > 4096:
-        _, sel_pos = tiled_matrix_topk(sel_tm, k_tiles)
+        tmvals, sel_pos = tiled_matrix_topk(sel_tm, k_tiles)
         sel_pos = jnp.maximum(sel_pos, 0)
     else:
-        _, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
+        tmvals, sel_pos = jax.lax.top_k(sel_tm, k_tiles)
     top_tiles = jnp.take_along_axis(tile_ids, sel_pos, axis=1)
     top_tiles = jnp.minimum(top_tiles, n_tiles - 1)
+    if k_gather < k_tiles:
+        # best unselected tile max (tmvals is descending): everything at
+        # rank > k_gather is outside the probed set
+        next_tile_max = tmvals[:, k_gather]
+        top_tiles = top_tiles[:, :k_gather]
+        k_tiles = k_gather
+    else:
+        next_tile_max = None
 
     # pass 3: gather the selected tiles' docs and re-score exactly (same
     # quantized values as pass 1 in int8 mode). Chunked over tiles so the
@@ -366,11 +393,20 @@ def tiled_dense_topk(
         vals, sel3 = jax.lax.top_k(s3, k_eff)
     idxs = jnp.take_along_axis(gidx3, sel3, axis=1)
     idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
+    outs: Tuple[jax.Array, ...] = (vals, idxs)
     if with_stats:
         smax = jnp.max(block_max_t, axis=1)
         smin = jnp.min(tile_mins_b, axis=(0, 1))
-        return vals, idxs, smin, smax
-    return vals, idxs
+        outs = outs + (smin, smax)
+    if next_tile_max is not None:
+        # coverage certificate: no unselected tile can hold a top-k value
+        covered = (vals[:, k_eff - 1] >= next_tile_max) | (
+            ~jnp.isfinite(next_tile_max)
+        )
+        outs = outs + (covered,)
+    elif probe_tiles is not None:
+        outs = outs + (jnp.ones((B,), bool),)
+    return outs if len(outs) > 2 else (vals, idxs)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile"))

@@ -291,7 +291,7 @@ def _hybrid_sparse_impl(
 @functools.partial(
     jax.jit,
     static_argnames=("k", "k_dense", "c_per_term", "p_depth", "norm",
-                     "block_n", "bq", "margin", "imp_align"),
+                     "block_n", "bq", "margin", "imp_align", "kd_tiles"),
 )
 def _hybrid_impact_impl(
     q: jax.Array,  # [B, D] L2-normalized fp32 queries
@@ -322,6 +322,7 @@ def _hybrid_impact_impl(
     bq: int,
     margin: int,
     imp_align: int = 1,
+    kd_tiles: Optional[int] = None,
 ) -> HybridTopK:
     from hybridsearch_tpu.ops.impact import onehot_rescore, slice_impact_runs
 
@@ -331,11 +332,21 @@ def _hybrid_impact_impl(
     T = starts.shape[1]
     cp = min(c_per_term, p_depth)
 
-    # -- dense arm: exact top-K' + exact alive min/max in ONE sweep --------
+    # -- dense arm: exact top-K' + exact alive min/max in ONE sweep.
+    # kd_tiles bounds pass 3's tile gather (the dominant dense cost at
+    # deep k); the per-query coverage flag then gates BOTH certificates —
+    # an uncovered probe may under-estimate the K'-th semantic bound.
     kd = min(k_dense, N)
-    vals_d, idxs_d, smin, smax = tiled_dense_topk(
-        q, docs, kd, block_n=block_n, bias=bias, with_stats=True
-    )
+    if kd_tiles is not None:
+        vals_d, idxs_d, smin, smax, dense_covered = tiled_dense_topk(
+            q, docs, kd, block_n=block_n, bias=bias, with_stats=True,
+            probe_tiles=kd_tiles,
+        )
+    else:
+        vals_d, idxs_d, smin, smax = tiled_dense_topk(
+            q, docs, kd, block_n=block_n, bias=bias, with_stats=True
+        )
+        dense_covered = None
 
     # -- lexical arm: impact-run prefixes --------------------------------
     ids_r, ws_r = slice_impact_runs(
@@ -528,6 +539,8 @@ def _hybrid_impact_impl(
     # slicing shallower than the encoded runs drops tail entries from the
     # candidate rescore — never exact then
     sliced_full = jnp.all(lengths <= p_depth, axis=1)
+    if dense_covered is not None:
+        sliced_full = sliced_full & dense_covered
     cert = complete & sliced_full & cert_lexmax
     if norm == "minmax":
         cert = cert & lex_min_zero
@@ -557,6 +570,7 @@ def hybrid_impact_topk(
     bq: int = 8,
     full_postings: Optional[Tuple[jax.Array, jax.Array]] = None,
     margin: int = 128,
+    kd_tiles: Optional[int] = None,
 ) -> HybridTopK:
     """Hybrid top-k at scale via the impact-pruned lexical arm
     (ops/impact.py). Same fused semantics as the reference's hybrid
@@ -590,7 +604,7 @@ def hybrid_impact_topk(
         hs, hl, hc, fdi, fwi, cc, ft,
         k=k, k_dense=k_dense, c_per_term=c_per_term, p_depth=p,
         norm=norm, block_n=block_n, bq=bq, margin=margin,
-        imp_align=getattr(imp, "align", 1),
+        imp_align=getattr(imp, "align", 1), kd_tiles=kd_tiles,
     )
 
 

@@ -170,3 +170,76 @@ def test_tiled_topk_with_stats_exact_minmax(rng):
     np.testing.assert_allclose(np.asarray(vals), np.asarray(v2),
                                rtol=1e-6, atol=1e-6)
     assert not np.isin(np.asarray(idxs), dead).any()
+
+
+def test_probe_tiles_budget_covered_flag(rng):
+    """probe_tiles bounds pass-3's gather; where covered=True the result
+    must equal the unbudgeted exact top-k, and a clustered layout (ids
+    grouped) must cover with a small budget."""
+    import jax.numpy as jnp
+
+    from hybridsearch_tpu.ops.dense import l2_normalize, tiled_dense_topk
+
+    n, d, b, k = 4096, 64, 4, 32
+    # cluster-ordered layout: docs sorted by topic, queries near topics
+    topics = rng.standard_normal((8, d)).astype(np.float32)
+    assign = np.sort(rng.integers(0, 8, n))
+    vecs = topics[assign] + 0.3 * rng.standard_normal((n, d)).astype(
+        np.float32)
+    docs = l2_normalize(jnp.asarray(vecs))
+    q = l2_normalize(jnp.asarray(
+        topics[:b] + 0.2 * rng.standard_normal((b, d)).astype(np.float32)))
+    vals, idxs = tiled_dense_topk(q, docs, k, block_n=512)
+    pv, pi, cov = tiled_dense_topk(q, docs, k, block_n=512, probe_tiles=8)
+    cov = np.asarray(cov)
+    assert cov.any(), "clustered layout should cover with 8 tiles"
+    np.testing.assert_allclose(np.asarray(pv)[cov], np.asarray(vals)[cov],
+                               rtol=1e-5, atol=1e-6)
+    # scrambled layout: tiny budgets may not cover — flags must say so
+    # honestly; where they claim coverage the values still match
+    perm = rng.permutation(n)
+    docs_s = docs[perm]
+    vals_s, _ = tiled_dense_topk(q, docs_s, k, block_n=512)
+    pv_s, _pi, cov_s = tiled_dense_topk(q, docs_s, k, block_n=512,
+                                        probe_tiles=2)
+    cov_s = np.asarray(cov_s)
+    np.testing.assert_allclose(np.asarray(pv_s)[cov_s],
+                               np.asarray(vals_s)[cov_s],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_probe_tiles_with_stats_and_hybrid_cert(rng):
+    """kd_tiles in the hybrid: uncovered queries must never be claimed
+    exact; covered+certified ones must match full fusion."""
+    import jax.numpy as jnp
+
+    from hybridsearch_tpu.index.sparse_index import BM25
+    from hybridsearch_tpu.ops.dense import l2_normalize
+    from hybridsearch_tpu.ops.hybrid import hybrid_impact_topk
+    from hybridsearch_tpu.retrieval.searcher import (
+        _fuse_and_topk,
+        _semantic_full,
+    )
+
+    vocab = [f"w{i}" for i in range(500)]
+    n, d, b, k = 2048, 64, 4, 10
+    texts = [" ".join(rng.choice(vocab, size=10)) for _ in range(n)]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(b)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((b, d)).astype(np.float32)))
+    imp, enc = bm25.encode_queries_impact(queries, p_depth=256)
+    res = hybrid_impact_topk(q, docs, imp, enc, k, 0.7, 0.3,
+                             k_dense=512, c_per_term=64, p_depth=256,
+                             block_n=1024, kd_tiles=15)
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    ovals, _ = _fuse_and_topk(sem, lex, jnp.float32(0.7), jnp.float32(0.3),
+                              jnp.zeros((n,), jnp.float32), k)
+    ex = np.asarray(res.exact)
+    rv, ov = np.asarray(res.values), np.asarray(ovals)
+    for bi in range(b):
+        if ex[bi]:
+            np.testing.assert_allclose(rv[bi], ov[bi], rtol=1e-4, atol=1e-5)
