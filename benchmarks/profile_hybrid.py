@@ -92,11 +92,13 @@ def main():
     def _mark(label):
         print(f"# {label} +{time.time()-t0:.0f}s", flush=True)
 
-    cache = f"/tmp/hst_hybridbench_{n_docs}_a1.npz"
+    from hybridsearch_tpu.ops.impact import default_align
+
+    align = default_align()
+    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
-        topic_of, t_ids, d_ids, w, df = (z["topic_of"], z["t"], z["d"],
-                                         z["w"], z["df"])
+        topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
         vocab = int(z["vocab"])
         _mark("npz host arrays")
         imp = ImpactPostings(
@@ -105,6 +107,7 @@ def main():
             n_docs=n_docs, p_max=P_MAX, starts_host=z["imp_starts"],
             lengths_host=z["imp_lens"], slack_host=z["imp_slack"],
             weights_host=z["imp_wh"], df_host=z["df"].astype(np.int64),
+            align=align,
         )
         jax.block_until_ready(imp.weights)
         _mark("imp on device")
@@ -112,7 +115,7 @@ def main():
         topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
         _mark("synth")
         imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
-                                    p_max=P_MAX)
+                                    p_max=P_MAX, align=align)
         jax.block_until_ready(imp.weights)
         _mark("imp built")
     docs, cent = build_correlated_corpus(n_docs, topic_of)
@@ -143,11 +146,13 @@ def main():
 
     # lexical slice + rescore
     f_slice = lambda s: slice_impact_runs(imp.doc_ids, imp.weights, s,
-                                          enc.lengths, p_depth=PD, n_docs=N)
+                                          enc.lengths, p_depth=PD, n_docs=N,
+                                          align=imp.align)
     _time("slice", f_slice, enc.starts)
 
     ids_r, ws_r = slice_impact_runs(imp.doc_ids, imp.weights, enc.starts,
-                                    enc.lengths, p_depth=PD, n_docs=N)
+                                    enc.lengths, p_depth=PD, n_docs=N,
+                                    align=imp.align)
     ids_flat = ids_r.reshape(B, T * PD)
     ws_flat = ws_r.reshape(B, T * PD)
     cand_l = ids_r[:, :, :CP].reshape(B, T * CP)

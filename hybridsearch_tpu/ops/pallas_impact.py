@@ -105,7 +105,7 @@ def pallas_onehot_rescore(
     cand: jax.Array,  # [B, C] int32, C % 128 == 0 (sentinels never match)
     ids_flat: jax.Array,  # [B, W] int32 pruned posting doc ids
     ws_flat: jax.Array,  # [B, W] float32 pruned posting weights (pad = 0)
-    w_blk: int = 2048,
+    w_blk: int = 4096,  # 2048 measured ~60x slower on v5e (Mosaic layout)
     interpret: bool = False,
 ) -> jax.Array:
     """[B, C] float32 sums of posting weights at each candidate — the

@@ -586,3 +586,24 @@ def test_margin_certificate_never_false_claims_uncorrected(rng):
                                 full_starts=starts_full,
                                 full_lengths=df.astype(np.int64))
     assert not enc.corrected_complete[0]  # 8 truncated terms > cap of 4
+
+
+def test_sortmerge_rescore_matches_onehot(rng):
+    """The sort-merge rescore must equal the one-hot rescore exactly
+    (same pruned sums, no prefix-cancellation error)."""
+    from hybridsearch_tpu.ops.impact import sortmerge_rescore
+
+    B, C, W, nd = 4, 96, 512, 3000
+    cand = jnp.asarray(rng.integers(0, nd, (B, C)).astype(np.int32))
+    # realistic posting rows: repeated ids within a row allowed
+    ids = jnp.asarray(rng.integers(0, nd, (B, W)).astype(np.int32))
+    ws = jnp.asarray((rng.random((B, W)) + 0.01).astype(np.float32))
+    # plant exact matches so the test isn't vacuous
+    cand = cand.at[:, :32].set(ids[:, :32])
+    got = np.asarray(sortmerge_rescore(cand, ids, ws))
+    want = np.asarray(onehot_rescore(cand, ids, ws, bq=2))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # sentinel candidates (>= n_docs, never in postings) must score 0
+    sent = jnp.full((B, C), nd + 2, jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(sortmerge_rescore(sent, ids, ws)), 0.0)
