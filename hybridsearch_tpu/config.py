@@ -94,6 +94,10 @@ class IndexConfig:
     dim: int = 384
     block_n: int = 4096  # doc-block size for the scan/Pallas query kernel
     capacity_round: int = 4096  # capacity rounded up to a multiple of this
+    # storage order: "source" keeps input order; "clustered" permutes the
+    # corpus by k-means cluster at full-reindex time so similar docs share
+    # 128-doc tiles (tile-budgeted dense probes + tighter certificates)
+    layout: str = "source"
     dtype: str = "float32"  # embedding storage dtype on device
     max_postings: int = 0  # 0 = derive from corpus (max df)
     # approximate mode: "flat" (exact), "ivf" (k-means coarse quantizer,

@@ -294,3 +294,38 @@ def test_export_import_preserves_vectors(demo_docs, encoder, tmp_path):
         ix2.import_json(str(tmp_path / "d.json"))
         got = ix2.dense.get_vectors([0, 1, 2, 3])
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_clustered_layout_consistent_and_local(rng):
+    """layout="clustered" permutes the corpus at build; search results
+    (contents) must be identical to the source layout, ids stay consistent
+    across store/dense/bm25, and same-topic docs become id-adjacent."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    topics = [f"topic{z} " + " ".join(f"t{z}w{j}" for j in range(6))
+              for z in range(6)]
+    docs = [f"{topics[i % 6]} doc {i}" for i in range(600)]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(docs)
+    cfg2 = EngineConfig()
+    s2 = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                  config=cfg2)
+    s2.indexer.index_documents(docs)
+    for q in ("topic2 t2w1 t2w3", "topic5 t5w0"):
+        a = [c for _s, c, _i in s.search(q, top_k=5, log=False)]
+        b = [c for _s, c, _i in s2.search(q, top_k=5, log=False)]
+        assert a == b
+    # locality: same-topic docs occupy contiguous id ranges (k-means on
+    # the hashing embeddings separates these disjoint-vocab topics)
+    topic_of = [int(c.split(" doc ")[0][5]) for c in s.indexer.contents]
+    runs = 1 + sum(1 for i in range(1, len(topic_of))
+                   if topic_of[i] != topic_of[i - 1])
+    assert runs <= 60, f"clustered layout too fragmented: {runs} runs"
+    # store order matches in-memory order
+    _ids, contents = s.indexer.store.get_contents()
+    assert contents == s.indexer.contents
