@@ -86,6 +86,7 @@ def synth_correlated(
     bg_postings_per_doc: int = 6,
     bg_vocab: int = 16_384,
     seed: int = 3,
+    cluster_order: bool = False,
 ):
     """Topic-clustered corpus where the dense and lexical arms CORRELATE —
     the structure real retrieval corpora have (and the reason hybrid
@@ -98,6 +99,11 @@ def synth_correlated(
     """
     rng = np.random.default_rng(seed)
     topic_of = rng.integers(0, n_topics, n_docs)
+    if cluster_order:
+        # clustered storage layout (Indexer layout="clustered"): docs
+        # ordered by semantic cluster, so each query's top docs share few
+        # 128-doc tiles and the kd_tiles probe budget covers
+        topic_of = np.sort(topic_of)
     # topic postings: each doc draws terms from its topic's block
     tp = topic_postings_per_doc
     t_topic = (topic_of[:, None] * terms_per_topic
@@ -254,7 +260,15 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     from hybridsearch_tpu.ops.impact import default_align
 
     align = default_align()
-    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}.npz"
+    cluster = os.environ.get("HST_BENCH_CLUSTER", "1") != "0"
+    # the tile budget pays off when clusters are larger than k_dense
+    # (top-K' concentrates in the query topic's contiguous tiles) — at
+    # small corpora the dense candidate tail spreads over generic tiles
+    # and coverage cannot close
+    default_kt = "128" if cluster and n_docs >= 1_000_000 else "0"
+    kd_tiles = int(os.environ.get("HST_BENCH_KD_TILES", default_kt)) or None
+    cache = (f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}"
+             + ("_cl" if cluster else "") + ".npz")
     t0 = time.time()
     if os.path.exists(cache):
         z = np.load(cache)
@@ -271,7 +285,8 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
             align=align,
         )
     else:
-        topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
+        topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(
+            n_docs, cluster_order=cluster)
         imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                     p_max=P_MAX, align=align)
         d_ids = d_ids.astype(np.int32)
@@ -298,7 +313,7 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
         return hybrid_impact_topk(
             qq, docs, imp, enc, TOP_K, 0.7, 0.3,
             k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
-            full_postings=full,
+            full_postings=full, kd_tiles=kd_tiles,
         )
 
     # Throwaway FIRST compile: the first hybrid executable compiled in a
@@ -310,7 +325,7 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     warm = hybrid_impact_topk(
         q, docs, imp, enc, TOP_K + 1, 0.7, 0.3,
         k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
-        full_postings=full,
+        full_postings=full, kd_tiles=kd_tiles,
     )
     jax.block_until_ready(warm.values)
 
@@ -333,7 +348,8 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     qps = qps_loops[-1]
     exact = np.asarray(jax.device_get(res.exact))
     return {
-        "metric": f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}",
+        "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
+                   + ("_clustered" if cluster else "")),
         "value": round(qps, 2),
         "unit": "qps/chip",
         "vs_baseline": round(qps / TARGET_QPS, 4),
@@ -356,7 +372,15 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
         encode_impact_queries,
     )
 
-    topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(n_docs)
+    cluster = os.environ.get("HST_BENCH_CLUSTER", "1") != "0"
+    # the tile budget pays off when clusters are larger than k_dense
+    # (top-K' concentrates in the query topic's contiguous tiles) — at
+    # small corpora the dense candidate tail spreads over generic tiles
+    # and coverage cannot close
+    default_kt = "128" if cluster and n_docs >= 1_000_000 else "0"
+    kd_tiles = int(os.environ.get("HST_BENCH_KD_TILES", default_kt)) or None
+    topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(
+        n_docs, cluster_order=cluster)
     docs, cent = build_correlated_corpus(n_docs, topic_of)
     imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                 p_max=P_MAX)
@@ -368,7 +392,8 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     q = query_vectors(q_topics, cent)
     res = hybrid_impact_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
                              k_dense=KD, c_per_term=CP, p_depth=PD,
-                             n_alive=n_docs, full_postings=full)
+                             n_alive=n_docs, full_postings=full,
+                             kd_tiles=kd_tiles)
     got_ids = np.asarray(jax.device_get(res.indices))
     exact_flags = np.asarray(jax.device_get(res.exact))
 
@@ -394,7 +419,8 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     # soundness audit: certified rows must be oracle-perfect
     cert_jac = [j for j, e in zip(jac, exact_flags) if e]
     return {
-        "metric": f"hybrid_impact_jaccard@{n_docs}docs",
+        "metric": (f"hybrid_impact_jaccard@{n_docs}docs"
+                   + ("_clustered" if cluster else "")),
         "value": round(float(np.mean(jac)), 4),
         "unit": "jaccard@10 vs exact fusion oracle",
         "vs_baseline": round(float(np.mean(jac)) / 0.99, 4),

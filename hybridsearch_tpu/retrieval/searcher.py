@@ -393,8 +393,18 @@ class Searcher:
 
         q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
         n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
+        # clustered layouts concentrate each query's top docs in few
+        # 128-doc tiles: rung 0 probes a small tile budget (the coverage
+        # flag folds into the certificate; escalation lifts the budget)
+        # the tile budget pays off when clusters exceed k_dense (top-K'
+        # then concentrates in the query topic's contiguous tiles); below
+        # ~1M docs the dense tail spreads over generic tiles and coverage
+        # cannot close, so the budget would just burn an escalation rung
+        clustered = (self.indexer.config.index.layout == "clustered"
+                     and snap.n >= 1_000_000)
         res = None
-        for kd, cp, pd in _IMPACT_LADDER:
+        for rung, (kd, cp, pd) in enumerate(_IMPACT_LADDER):
+            kd_tiles = 128 if clustered and rung == 0 else None
             imp, enc = bm25.encode_queries_impact(list(queries), p_depth=pd)
             if imp is None:
                 break
@@ -404,6 +414,7 @@ class Searcher:
             res = hybrid_impact_topk(
                 q, snap.docs, imp, enc, k, sw, lw, bias=snap.bias,
                 k_dense=kd, c_per_term=cp, p_depth=pd, n_alive=n_alive,
+                kd_tiles=kd_tiles,
             )
             exact = np.asarray(jax.device_get(res.exact))
             if exact.all():
