@@ -35,10 +35,13 @@ import numpy as np
 D = 384
 TOP_K = 10
 TARGET_QPS = 10_000.0
-# (k_dense, c_per_term, p_depth) — mirrors searcher._IMPACT_LADDER rung 0;
-# escalation is pointless on this generator (hot terms make `complete`
-# unreachable), exactly like production corpora with stopword-grade terms.
-KD, CP, PD = 512, 64, 1024
+# (k_dense, c_per_term, p_depth) rung — env-overridable for sweeps. The
+# default p_depth=1024 is deeper than searcher rung 0 (256): the margin
+# correction makes hot-term scores exact either way, and --jaccard
+# verifies quality at whatever rung is set.
+KD = int(os.environ.get("HST_BENCH_KD", "512"))
+CP = int(os.environ.get("HST_BENCH_CP", "64"))
+PD = int(os.environ.get("HST_BENCH_PD", "1024"))
 P_MAX = 4096
 
 
