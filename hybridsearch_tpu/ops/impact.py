@@ -269,16 +269,21 @@ def encode_impact_queries(
     )
 
 
-def _use_pallas_rescore() -> bool:
-    """Pallas one-hot rescore on TPU — DEFAULT ON (validated on hardware
-    round 3: compiles clean, values match the oracle; the XLA fallback
-    materializes the [bq, C, W] comparison in HBM at ~430 ms/batch at 10M,
-    the kernel builds it blockwise in VMEM). HST_PALLAS_IMPACT=0 turns it
-    off."""
+def _rescore_backend() -> str:
+    """Candidate-rescore backend on TPU (HST_RESCORE): "sortmerge"
+    (default — one key sort, no comparison matrix; the XLA one-hot
+    materializes ~25 GB of comparisons per 10M batch at ~428 ms and the
+    Mosaic broadcast-compare kernel measured ~404 ms, ~60x off VPU peak),
+    "pallas", or "xla"."""
     import os
 
-    return (jax.default_backend() == "tpu"
-            and os.environ.get("HST_PALLAS_IMPACT", "1") != "0")
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return os.environ.get("HST_RESCORE", "sortmerge")
+
+
+def _use_pallas_rescore() -> bool:
+    return _rescore_backend() == "pallas"
 
 
 def _use_pallas_slice() -> bool:
@@ -428,6 +433,8 @@ def onehot_rescore(
     """
     B, C = cand.shape
     W = ids_flat.shape[1]
+    if _rescore_backend() == "sortmerge":
+        return sortmerge_rescore(cand, ids_flat, ws_flat)
     if _use_pallas_rescore() and W % 1024 == 0:
         from hybridsearch_tpu.ops.pallas_impact import pallas_onehot_rescore
 
