@@ -207,8 +207,11 @@ def _hybrid_sparse_impl(
     alive_lex = jnp.isfinite(lex_sel_vals)
     # semantic scores of the lexical candidates: gather k rows + dot
     d_sel = jnp.take(docs, jnp.clip(ids_lex, 0, N - 1).reshape(-1), axis=0)
-    d_sel = d_sel.reshape(B, ce, D).astype(jnp.float32)
-    sem_lex = jnp.einsum("bcd,bd->bc", d_sel, q,
+    d_sel = d_sel.reshape(B, ce, D)
+    # operands stay in the docs' dtype (bf16 gather = half the HBM
+    # traffic; f32 accumulate) — identical to the dense arm's products
+    q_g = q.astype(d_sel.dtype) if d_sel.dtype == jnp.bfloat16 else q
+    sem_lex = jnp.einsum("bcd,bd->bc", d_sel, q_g,
                          preferred_element_type=jnp.float32)
 
     # lexical scores of the dense candidates (exact CSR binary search)
@@ -379,8 +382,11 @@ def _hybrid_impact_impl(
     # semantic scores of the lexical candidates: gather rows + dot (the
     # dense arm's candidates already carry exact semantic values)
     d_sel = jnp.take(docs, jnp.clip(cand_l, 0, N - 1).reshape(-1), axis=0)
-    d_sel = d_sel.reshape(B, T * cp, D).astype(jnp.float32)
-    sem_l = jnp.einsum("bcd,bd->bc", d_sel, q,
+    d_sel = d_sel.reshape(B, T * cp, D)
+    # operands stay in the docs' dtype (bf16 gather = half the HBM
+    # traffic; f32 accumulate) — identical to the dense arm's products
+    q_g = q.astype(d_sel.dtype) if d_sel.dtype == jnp.bfloat16 else q
+    sem_l = jnp.einsum("bcd,bd->bc", d_sel, q_g,
                        preferred_element_type=jnp.float32)
     sem_all = jnp.concatenate([vals_d, sem_l], axis=1)
 
