@@ -366,10 +366,24 @@ def _hybrid_impact_impl(
     wcp = jnp.where(lengths > cp, ws_r[:, :, cp - 1], 0.0)
     tau_lex = jnp.sum(jnp.maximum(wcp, slack), axis=1)  # [B]
 
-    # -- rescore the full candidate union on the MXU ----------------------
+    # -- rescore the full candidate union ---------------------------------
+    from hybridsearch_tpu.ops.impact import (
+        _rescore_backend,
+        sortmerge_rescore_multi,
+    )
+
     safe_d = jnp.where(idxs_d >= 0, idxs_d, N + 2)
     cand_all = jnp.concatenate([safe_d, cand_l], axis=1)  # [B, kd + T*cp]
-    lex_all = onehot_rescore(cand_all, ids_flat, ws_flat, bq=bq)
+    hot_all = None
+    if hot_starts is not None and _rescore_backend() == "sortmerge":
+        # share ONE sort between the full rescore and the margin
+        # correction's marked-column prefix (extra weight payloads cost
+        # only a segmented scan each)
+        ws_hot_flat = (ws_r * hot_cols[:, :, None]).reshape(B, T * p_depth)
+        lex_all, hot_all = sortmerge_rescore_multi(
+            cand_all, ids_flat, (ws_flat, ws_hot_flat))
+    else:
+        lex_all = onehot_rescore(cand_all, ids_flat, ws_flat, bq=bq)
     alive_all = cand_all < N
     if bias is not None:
         alive_all = alive_all & (
@@ -456,8 +470,12 @@ def _hybrid_impact_impl(
         safe_m = jnp.where(malive, mids, N + 2)
         full_hot = cand_scores_bisect(full_doc_ids, full_weights,
                                       hot_starts, hot_lens, safe_m)
-        ws_hot = (ws_r * hot_cols[:, :, None]).reshape(B, T * p_depth)
-        prefix_hot = onehot_rescore(safe_m, ids_flat, ws_hot, bq=bq)
+        if hot_all is not None:  # shared-sort payload, gathered into M
+            hot_sorted = jnp.take_along_axis(hot_all, order, axis=1)
+            prefix_hot = jnp.take_along_axis(hot_sorted, mpos, axis=1)
+        else:
+            ws_hot = (ws_r * hot_cols[:, :, None]).reshape(B, T * p_depth)
+            prefix_hot = onehot_rescore(safe_m, ids_flat, ws_hot, bq=bq)
         mlex_corr = jnp.maximum(mlex - prefix_hot + full_hot, 0.0)
         lex_max2 = jnp.maximum(
             lex_max, jnp.max(jnp.where(malive, mlex_corr, 0.0), axis=1))

@@ -367,36 +367,40 @@ def slice_impact_runs(
             jnp.where(valid, ws_r, 0.0))
 
 
-@jax.jit
-def sortmerge_rescore(
+def sortmerge_rescore_multi(
     cand: jax.Array,  # [B, C] candidate doc ids (sentinels never match)
     ids_flat: jax.Array,  # [B, W] pruned posting doc ids (pad = n_docs)
-    ws_flat: jax.Array,  # [B, W] pruned posting weights (pad = 0)
-) -> jax.Array:
-    """[B, C] exact sums of pruned posting weights at each candidate via
-    ONE key sort per query — no [C, W] comparison anywhere.
+    ws_list: Sequence[jax.Array],  # each [B, W] posting weights (pad = 0)
+) -> Tuple[jax.Array, ...]:
+    """Per weight vector, [B, C] exact sums of pruned posting weights at
+    each candidate via ONE shared key sort — no [C, W] comparison
+    anywhere. Multiple weight vectors (the hybrid's full weights + the
+    margin correction's marked-column weights) share the sort and pay
+    only an extra segmented scan each.
 
     Keys are 2*id for postings and 2*id+1 for candidates, so after the
     sort every candidate sits directly after all postings with its id; a
     SEGMENTED cumsum (reset at id boundaries, so no long-prefix f32
-    cancellation) then hands each candidate its id's total posting weight,
-    scattered back to its original column. Cost: one [B, C+W] sort + a
-    log-depth scan + an O(C) scatter — bounded by XLA's vectorized sort
-    throughput instead of scatter/gather or Mosaic compare throughput."""
+    cancellation) hands each candidate its id's total posting weight, and
+    a second sort by stored column (postings carry pos = C, sorting to
+    the tail) restores original order — a sort is far cheaper than a
+    [B, C+W] element-scatter on TPU."""
     B, C = cand.shape
     W = ids_flat.shape[1]
     key = jnp.concatenate(
         [ids_flat.astype(jnp.int64) * 2, cand.astype(jnp.int64) * 2 + 1],
         axis=1,
     )
-    w = jnp.concatenate([ws_flat, jnp.zeros((B, C), jnp.float32)], axis=1)
+    zeros_c = jnp.zeros((B, C), jnp.float32)
+    ws_cat = [jnp.concatenate([w, zeros_c], axis=1) for w in ws_list]
     pos = jnp.concatenate(
         [jnp.full((B, W), C, jnp.int32),
          jnp.broadcast_to(jax.lax.broadcasted_iota(jnp.int32, (1, C), 1),
                           (B, C))],
         axis=1,
     )
-    key_s, w_s, pos_s = jax.lax.sort((key, w, pos), dimension=1, num_keys=1)
+    key_s, pos_s, *ws_s = jax.lax.sort((key, pos, *ws_cat), dimension=1,
+                                       num_keys=1)
     id_s = key_s >> 1
     new_run = jnp.concatenate(
         [jnp.ones((B, 1), bool), id_s[:, 1:] != id_s[:, :-1]], axis=1
@@ -407,12 +411,20 @@ def sortmerge_rescore(
         vb, gb = b
         return jnp.where(gb, vb, va + vb), ga | gb
 
-    run_sum, _ = jax.lax.associative_scan(seg, (w_s, new_run), axis=1)
-    # extract candidates in ORIGINAL column order with a second sort by
-    # stored position (postings carry pos = C, sorting to the tail) — a
-    # sort is far cheaper than a [B, C+W] element-scatter on TPU
-    _, out = jax.lax.sort((pos_s, run_sum), dimension=1, num_keys=1)
-    return out[:, :C]
+    sums = [jax.lax.associative_scan(seg, (w_s, new_run), axis=1)[0]
+            for w_s in ws_s]
+    _pos2, *outs = jax.lax.sort((pos_s, *sums), dimension=1, num_keys=1)
+    return tuple(o[:, :C] for o in outs)
+
+
+@jax.jit
+def sortmerge_rescore(
+    cand: jax.Array,
+    ids_flat: jax.Array,
+    ws_flat: jax.Array,
+) -> jax.Array:
+    """Single-weight wrapper over sortmerge_rescore_multi."""
+    return sortmerge_rescore_multi(cand, ids_flat, (ws_flat,))[0]
 
 
 @functools.partial(jax.jit, static_argnames=("bq",))
