@@ -32,6 +32,7 @@ measurably near-exact.
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -373,10 +374,38 @@ def sortmerge_rescore_multi(
     ws_list: Sequence[jax.Array],  # each [B, W] posting weights (pad = 0)
 ) -> Tuple[jax.Array, ...]:
     """Per weight vector, [B, C] exact sums of pruned posting weights at
-    each candidate via ONE shared key sort — no [C, W] comparison
-    anywhere. Multiple weight vectors (the hybrid's full weights + the
-    margin correction's marked-column weights) share the sort and pay
-    only an extra segmented scan each.
+    each candidate via key sorts — no [C, W] comparison anywhere.
+    Multiple weight vectors (the hybrid's full weights + the margin
+    correction's marked-column weights) share the sorts and pay only an
+    extra segmented scan each.
+
+    The posting axis is processed in chunks of <= _SORTMERGE_CHUNK and
+    the per-chunk candidate scores summed — exact by additivity of the
+    posting weights. Chunking keeps every sort at most
+    (_SORTMERGE_CHUNK + C) wide: this environment's remote compile
+    helper has wedged on ~18k-wide multi-operand sorts (deep rungs,
+    p_depth=1024 x 16 terms), while the ~6k-wide serving-rung shape
+    compiles cleanly; narrower sorts also tile better lane-wise."""
+    W = ids_flat.shape[1]
+    chunk = int(os.environ.get("HST_SORTMERGE_CHUNK", "4096"))
+    if W <= chunk:
+        return _sortmerge_core(cand, ids_flat, ws_list)
+    totals = None
+    for s in range(0, W, chunk):
+        e = min(s + chunk, W)
+        part = _sortmerge_core(cand, ids_flat[:, s:e],
+                               [w[:, s:e] for w in ws_list])
+        totals = part if totals is None else tuple(
+            t + p for t, p in zip(totals, part))
+    return totals
+
+
+def _sortmerge_core(
+    cand: jax.Array,
+    ids_flat: jax.Array,
+    ws_list: Sequence[jax.Array],
+) -> Tuple[jax.Array, ...]:
+    """One-sort rescore over a single posting chunk.
 
     Keys are 2*id for postings and 2*id+1 for candidates, so after the
     sort every candidate sits directly after all postings with its id; a
@@ -384,11 +413,12 @@ def sortmerge_rescore_multi(
     cancellation) hands each candidate its id's total posting weight, and
     a second sort by stored column (postings carry pos = C, sorting to
     the tail) restores original order — a sort is far cheaper than a
-    [B, C+W] element-scatter on TPU."""
+    [B, C+W] element-scatter on TPU. int32 keys: doc ids are int32
+    throughout the engine and 2*id+1 stays in range for n_docs < 2^30."""
     B, C = cand.shape
     W = ids_flat.shape[1]
     key = jnp.concatenate(
-        [ids_flat.astype(jnp.int64) * 2, cand.astype(jnp.int64) * 2 + 1],
+        [ids_flat.astype(jnp.int32) * 2, cand.astype(jnp.int32) * 2 + 1],
         axis=1,
     )
     zeros_c = jnp.zeros((B, C), jnp.float32)

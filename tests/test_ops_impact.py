@@ -607,3 +607,25 @@ def test_sortmerge_rescore_matches_onehot(rng):
     sent = jnp.full((B, C), nd + 2, jnp.int32)
     np.testing.assert_array_equal(
         np.asarray(sortmerge_rescore(sent, ids, ws)), 0.0)
+
+
+def test_sortmerge_rescore_chunked_matches_unchunked(rng, monkeypatch):
+    """Chunking the posting axis must be exact (additivity over chunks),
+    including a ragged last chunk and the multi-weight path."""
+    from hybridsearch_tpu.ops.impact import (
+        _sortmerge_core,
+        sortmerge_rescore_multi,
+    )
+
+    B, C, W, nd = 3, 64, 1000, 2000  # W % chunk != 0 on purpose
+    cand = jnp.asarray(rng.integers(0, nd, (B, C)).astype(np.int32))
+    ids = jnp.asarray(rng.integers(0, nd, (B, W)).astype(np.int32))
+    w1 = jnp.asarray((rng.random((B, W)) + 0.01).astype(np.float32))
+    w2 = jnp.asarray((rng.random((B, W)) + 0.01).astype(np.float32))
+    cand = cand.at[:, :16].set(ids[:, :16])
+    want = _sortmerge_core(cand, ids, (w1, w2))
+    monkeypatch.setenv("HST_SORTMERGE_CHUNK", "256")
+    got = sortmerge_rescore_multi(cand, ids, (w1, w2))
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=1e-5, atol=1e-5)
