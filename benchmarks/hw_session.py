@@ -30,9 +30,18 @@ import numpy as np
 
 
 def phase_rescore():
+    """Sort-merge rescore at serving shapes. Timing protocol: distinct
+    inputs per iteration AND a host fetch of a per-iteration reduction —
+    the tunnel has returned instant cached handles for pre-staged inputs
+    before (0.0 ms/iter readings), so each sample round-trips a scalar
+    that depends on that iteration's output."""
     from hybridsearch_tpu.ops.impact import sortmerge_rescore
 
     rng = np.random.default_rng(2)
+
+    @jax.jit
+    def red(c, i, w):
+        return jnp.sum(sortmerge_rescore(c, i, w))
 
     def measure(label, B, C, W, iters=6):
         cands = [jnp.asarray(
@@ -43,17 +52,19 @@ def phase_rescore():
             for _ in range(iters + 1)]
         ws = jnp.asarray(rng.random((B, W)).astype(np.float32))
         jax.block_until_ready((cands, idss))
-        out = sortmerge_rescore(cands[-1], idss[-1], ws)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        outs = [sortmerge_rescore(cands[i], idss[i], ws)
-                for i in range(iters)]
-        jax.block_until_ready(outs)
-        print(f"# {label}: {(time.perf_counter()-t0)/iters*1e3:.1f} ms/iter",
-              flush=True)
+        float(red(cands[-1], idss[-1], ws))  # warmup/compile
+        samples = []
+        for i in range(iters):
+            t0 = time.perf_counter()
+            float(red(cands[i], idss[i], ws))  # host fetch => real exec
+            samples.append((time.perf_counter() - t0) * 1e3)
+        samples.sort()
+        print(f"# {label}: med {samples[len(samples)//2]:.1f} ms "
+              f"min {samples[0]:.1f} ms (host-fetch bound)", flush=True)
 
     measure("throwaway sortmerge B=8 W=2048", 8, 128, 2048, iters=2)
     measure("sortmerge B=256 C=1536 W=4096", 256, 1536, 4096)
+    # deep rung: chunked internally to 4x 4096-wide sorts
     measure("sortmerge B=256 C=1536 W=16384", 256, 1536, 16384)
 
 
