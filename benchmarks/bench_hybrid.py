@@ -43,6 +43,10 @@ KD = int(os.environ.get("HST_BENCH_KD", "512"))
 CP = int(os.environ.get("HST_BENCH_CP", "64"))
 PD = int(os.environ.get("HST_BENCH_PD", "1024"))
 P_MAX = 4096
+# topic count scales docs-per-topic: 1024 topics at 10M docs means ~9.8k
+# docs/topic — overriding this lets a small corpus reproduce the large-
+# corpus regime (same docs/topic, same per-term df) on the CPU backend
+TOPICS = int(os.environ.get("HST_BENCH_TOPICS", "1024"))
 
 
 def synth_postings(
@@ -383,13 +387,13 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     default_kt = "128" if cluster and n_docs >= 1_000_000 else "0"
     kd_tiles = int(os.environ.get("HST_BENCH_KD_TILES", default_kt)) or None
     topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(
-        n_docs, cluster_order=cluster)
-    docs, cent = build_correlated_corpus(n_docs, topic_of)
+        n_docs, n_topics=TOPICS, cluster_order=cluster)
+    docs, cent = build_correlated_corpus(n_docs, topic_of, n_topics=TOPICS)
     imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
                                 p_max=P_MAX)
     starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
     full = (jnp.asarray(d_ids.astype(np.int32)), jnp.asarray(w))
-    term_lists, q_topics = correlated_queries(batch)
+    term_lists, q_topics = correlated_queries(batch, n_topics=TOPICS)
     enc = encode_impact_queries(imp, term_lists, p_depth=PD,
                                 full_starts=starts_full, full_lengths=df)
     q = query_vectors(q_topics, cent)
@@ -423,6 +427,7 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     cert_jac = [j for j, e in zip(jac, exact_flags) if e]
     return {
         "metric": (f"hybrid_impact_jaccard@{n_docs}docs"
+                   + (f"_t{TOPICS}" if TOPICS != 1024 else "")
                    + ("_clustered" if cluster else "")),
         "value": round(float(np.mean(jac)), 4),
         "unit": "jaccard@10 vs exact fusion oracle",

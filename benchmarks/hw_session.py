@@ -92,8 +92,22 @@ def phase_ivf():
     ivf_main()
 
 
+def phase_profile():
+    """Stage attribution for the 10M hybrid (the 478 ms/batch question)."""
+    import benchmarks.profile_hybrid as ph
+
+    sys.argv = ["profile_hybrid", "--n",
+                os.environ.get("HST_BENCH_N", "10000000"), "--b", "256"]
+    ph.main()
+
+
+def phase_ivf10m():
+    os.environ["HST_BENCH_N"] = "10000000"
+    phase_ivf()
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
-          "4": phase_ivf}
+          "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m}
 
 
 def main():

@@ -162,6 +162,11 @@ def main():
     jax.block_until_ready(cand_all)
     _time("rescore", lambda c: onehot_rescore(c, ids_flat, ws_flat, bq=8),
           cand_all, rot=0)
+    from hybridsearch_tpu.ops.impact import sortmerge_rescore
+
+    _time("rescore_sm",
+          lambda c: sortmerge_rescore(c, ids_flat, ws_flat),
+          cand_all, rot=0)
 
     def semgather(cl):
         d_sel = jnp.take(docs, jnp.clip(cl, 0, N - 1).reshape(-1), axis=0)
@@ -170,6 +175,11 @@ def main():
                           preferred_element_type=jnp.float32)
 
     _time("semgather", jax.jit(semgather), cand_l, rot=0)
+
+    # the tile-budget dense pass exactly as the hybrid's pass 2/3 calls it
+    _time("dense_ktb",
+          lambda qq: tiled_dense_topk(qq, docs, KD, with_stats=True,
+                                      probe_tiles=128), q, rot=0)
 
     if enc.hot_starts is not None:
         safe_m = cand_all[:, :128]
@@ -187,6 +197,16 @@ def main():
     _time("full", serve, q, rot=0, iters=6)
     # second measurement after everything is warm (placement steady state)
     _time("full2", serve, q, rot=0, iters=6)
+
+    def serve_kt(qq):
+        return hybrid_impact_topk(
+            qq, docs, imp, enc, TOP_K, 0.7, 0.3, k_dense=KD, c_per_term=CP,
+            p_depth=PD, n_alive=n_docs, full_postings=full, kd_tiles=128,
+        )
+
+    # the bench's exact serving config (tile-budget dense pass)
+    _time("full_kt", serve_kt, q, rot=0, iters=6)
+    _time("full_kt2", serve_kt, q, rot=0, iters=6)
 
 
 if __name__ == "__main__":
