@@ -397,10 +397,18 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     enc = encode_impact_queries(imp, term_lists, p_depth=PD,
                                 full_starts=starts_full, full_lengths=df)
     q = query_vectors(q_topics, cent)
-    res = hybrid_impact_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
-                             k_dense=KD, c_per_term=CP, p_depth=PD,
-                             n_alive=n_docs, full_postings=full,
-                             kd_tiles=kd_tiles)
+    if os.environ.get("HST_BENCH_TILEHYB") == "1":
+        from hybridsearch_tpu.ops.hybrid import hybrid_tile_topk
+
+        res = hybrid_tile_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
+                               kt=int(os.environ.get("HST_BENCH_KT", "128")),
+                               p_depth=PD, n_alive=n_docs,
+                               full_postings=full)
+    else:
+        res = hybrid_impact_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
+                                 k_dense=KD, c_per_term=CP, p_depth=PD,
+                                 n_alive=n_docs, full_postings=full,
+                                 kd_tiles=kd_tiles)
     got_ids = np.asarray(jax.device_get(res.indices))
     exact_flags = np.asarray(jax.device_get(res.exact))
 
@@ -428,6 +436,8 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     return {
         "metric": (f"hybrid_impact_jaccard@{n_docs}docs"
                    + (f"_t{TOPICS}" if TOPICS != 1024 else "")
+                   + ("_tile" if os.environ.get("HST_BENCH_TILEHYB") == "1"
+                      else "")
                    + ("_clustered" if cluster else "")),
         "value": round(float(np.mean(jac)), 4),
         "unit": "jaccard@10 vs exact fusion oracle",

@@ -95,7 +95,9 @@ def main():
     from hybridsearch_tpu.ops.impact import default_align
 
     align = default_align()
-    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}.npz"
+    cluster = os.environ.get("HST_BENCH_CLUSTER", "1") != "0"
+    cache = (f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}"
+             + ("_cl" if cluster else "") + ".npz")
     if os.path.exists(cache):
         z = np.load(cache)
         topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]

@@ -506,3 +506,147 @@ def pairwise_cosine(x: jax.Array) -> jax.Array:
     is an O(n^2) Python loop — here a single matmul)."""
     xn = l2_normalize(x.astype(jnp.float32))
     return jnp.dot(xn, xn.T, preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "tile"))
+def dense_tile_stats(
+    queries: jax.Array,
+    docs: jax.Array,
+    bias: jax.Array | None = None,
+    block_n: int = 262144,
+    tile: int = 128,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """([B, n_tiles] exact per-tile score maxima, [B] alive min, [B] alive
+    max) in ONE streaming MXU sweep.
+
+    The tile-max array is 128x smaller than the score matrix and carries
+    everything the clustered joint-bound hybrid (ops/hybrid.py
+    hybrid_tile_topk) needs from the dense arm: the probe-selection bound,
+    the unprobed-tile certificate bound, and the exact min-max
+    normalization statistics — without materializing [B, N] anywhere.
+    Same Pallas fused pass-1 as tiled_dense_topk on TPU; lax.scan
+    fallback elsewhere. bias is the 0/-inf alive mask.
+    """
+    import os
+
+    q = queries.astype(jnp.float32)
+    B, Dm = q.shape
+    N = docs.shape[0]
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    d = jnp.pad(docs, ((0, Np - N), (0, 0))) if Np != N else docs
+    bias_p = None
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32), (0, Np - N),
+                         constant_values=NEG_INF)
+    q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
+
+    pallas_tpb = int(os.environ.get("HST_PALLAS_TPB", "32"))
+    use_pallas = (
+        jax.default_backend() == "tpu"
+        and tile == 128
+        and Np == N
+        and Dm % 128 == 0
+        and n_tiles >= 2 * pallas_tpb
+        and d.dtype != jnp.int8
+    )
+    if use_pallas:
+        from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
+
+        Bp = _round_up(B, 128)
+        q_t = q_mm.T
+        if Bp != B:
+            q_t = jnp.pad(q_t, ((0, 0), (0, Bp - B)))
+        tiles_b, tile_mins_b = pallas_tile_stats_t(
+            q_t, d, bias_p, n_valid=N, block_n=pallas_tpb * tile,
+            with_min=True,
+        )
+        tiles_b = tiles_b[:, :, :B]
+        tile_mins_b = tile_mins_b[:, :, :B]
+        nb, tpb = tiles_b.shape[0], tiles_b.shape[1]
+    else:
+        blk = max(tile, (min(block_n, Np) // tile) * tile)
+        nb = -(-Np // blk)
+        if nb * blk != Np:
+            d = jnp.pad(d, ((0, nb * blk - Np), (0, 0)))
+            if bias_p is not None:
+                bias_p = jnp.pad(bias_p, (0, nb * blk - Np),
+                                 constant_values=NEG_INF)
+        tpb = blk // tile
+        d_blocks = d[: nb * blk].reshape(nb, blk, Dm)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+        POS_INF = jnp.float32(jnp.inf)
+
+        def pass1(_, inp):
+            blk_i, e_blk = inp
+            s = jax.lax.dot_general(
+                q_mm, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [B, blk]
+            gidx = blk_i * blk + col
+            raw = s
+            alive = gidx < N
+            if bias_p is not None:
+                b_blk = jax.lax.dynamic_slice(bias_p, (blk_i * blk,), (blk,))
+                s = s + b_blk[None, :]
+                alive = alive & (b_blk[None, :] >= 0.0)
+            s = jnp.where(gidx < N, s, NEG_INF)
+            tile_max = jnp.max(s.reshape(B, tpb, tile), axis=2).T
+            s_min = jnp.where(alive, raw, POS_INF)
+            tile_min = jnp.min(s_min.reshape(B, tpb, tile), axis=2).T
+            return None, (tile_max, tile_min)
+
+        _, (tiles_b, tile_mins_b) = jax.lax.scan(
+            pass1, None, (jnp.arange(nb, dtype=jnp.int32), d_blocks)
+        )  # [nb, tpb, B]
+
+    smax = jnp.max(tiles_b, axis=(0, 1))
+    smin = jnp.min(tile_mins_b, axis=(0, 1))
+    tile_max = tiles_b.transpose(2, 0, 1).reshape(B, nb * tpb)[:, :n_tiles]
+    return tile_max, smin, smax
+
+
+@functools.partial(jax.jit, static_argnames=("tile",))
+def gather_tile_scores(
+    queries: jax.Array,
+    docs: jax.Array,
+    top_tiles: jax.Array,  # [B, KT] int32 tile ids
+    bias: jax.Array | None = None,
+    tile: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Exact scores of EVERY doc in the given tiles: ([B, KT*tile] scores,
+    [B, KT*tile] global doc ids). Chunked tile gather + einsum with bf16
+    operands and f32 accumulation — identical numerics to
+    tiled_dense_topk's pass 3. Overhang rows (beyond len(docs)) and
+    bias-dead docs score NEG_INF."""
+    q = queries.astype(jnp.float32)
+    B, Dm = q.shape
+    N = docs.shape[0]
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    d = jnp.pad(docs, ((0, Np - N), (0, 0))) if Np != N else docs
+    KT = top_tiles.shape[1]
+    d_tiles = d.reshape(n_tiles, tile, Dm)
+    q3 = q.astype(jnp.bfloat16) if docs.dtype == jnp.bfloat16 else q
+    el_bytes = 2 if docs.dtype == jnp.bfloat16 else 4
+    per_tile_bytes = max(1, B * tile * Dm * el_bytes)
+    chunk = max(1, min(KT, 268_435_456 // per_tile_bytes))
+    tt_safe = jnp.minimum(top_tiles, n_tiles - 1)
+    parts = []
+    for c0 in range(0, KT, chunk):
+        tt = tt_safe[:, c0 : c0 + chunk]
+        sel = jnp.take(d_tiles, tt, axis=0)  # [B, c, tile, D]
+        parts.append(jnp.einsum(
+            "bktd,bd->bkt", sel, q3,
+            preferred_element_type=jnp.float32,
+        ).reshape(B, tt.shape[1] * tile))
+    s = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    gidx = (tt_safe[:, :, None] * tile
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2)
+            ).reshape(B, KT * tile)
+    if bias is not None:
+        s = s + jnp.take(bias.astype(jnp.float32),
+                         jnp.minimum(gidx, N - 1))
+    valid = (jnp.repeat(top_tiles, tile, axis=1) < n_tiles) & (gidx < N)
+    s = jnp.where(valid, s, NEG_INF)
+    return s, gidx
