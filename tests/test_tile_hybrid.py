@@ -135,6 +135,34 @@ def test_tile_hybrid_certificate_soundness_fuzz():
                             f"margin={margin}")
 
 
+def test_searcher_tile_path_parity(monkeypatch, rng):
+    """search_batch through the clustered tile-resident path must return
+    exactly what the full fused path returns (same corpus, queries)."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(150)]
+    topics = [" ".join(f"z{z}t{j}" for j in range(8)) for z in range(5)]
+    texts = [f"{topics[i % 5]} " +
+             " ".join(rng.choice(vocab, size=8)) for i in range(900)]
+    queries = [f"z2t1 z2t3 {vocab[7]}", f"z4t0 z4t5", "w3 w11 w42"]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    full = s.search_batch(queries, top_k=5, log=False)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    tile = s.search_batch(queries, top_k=5, log=False)
+    for a, b in zip(full, tile):
+        assert [i for _v, _c, i in a] == [i for _v, _c, i in b]
+        np.testing.assert_allclose([v for v, _c, _i in a],
+                                   [v for v, _c, _i in b],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_dense_tile_stats_parity(rng):
     """Tile maxima + alive min/max must equal brute force, bias included."""
     n, d, B = 1000, 64, 5
