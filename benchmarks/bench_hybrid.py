@@ -316,12 +316,34 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
                                 full_starts=starts_full, full_lengths=df)
     q = query_vectors(q_topics, cent)
 
-    def serve_once(qq):
-        return hybrid_impact_topk(
-            qq, docs, imp, enc, TOP_K, 0.7, 0.3,
-            k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
-            full_postings=full, kd_tiles=kd_tiles,
-        )
+    tilehyb = os.environ.get("HST_BENCH_TILEHYB") == "1"
+    KT = int(os.environ.get("HST_BENCH_KT", "128"))
+    if tilehyb:
+        from hybridsearch_tpu.ops.hybrid import hybrid_tile_topk
+
+        def serve_once(qq):
+            return hybrid_tile_topk(qq, docs, imp, enc, TOP_K, 0.7, 0.3,
+                                    kt=KT, p_depth=PD, n_alive=n_docs,
+                                    full_postings=full)
+
+        def serve_warm(qq):
+            return hybrid_tile_topk(qq, docs, imp, enc, TOP_K + 1, 0.7,
+                                    0.3, kt=KT, p_depth=PD,
+                                    n_alive=n_docs, full_postings=full)
+    else:
+        def serve_once(qq):
+            return hybrid_impact_topk(
+                qq, docs, imp, enc, TOP_K, 0.7, 0.3,
+                k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
+                full_postings=full, kd_tiles=kd_tiles,
+            )
+
+        def serve_warm(qq):
+            return hybrid_impact_topk(
+                qq, docs, imp, enc, TOP_K + 1, 0.7, 0.3,
+                k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
+                full_postings=full, kd_tiles=kd_tiles,
+            )
 
     # Throwaway FIRST compile: the first hybrid executable compiled in a
     # process persistently runs ~3x slower on this environment's tunnel
@@ -329,11 +351,7 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     # forever, later-compiled configs 125-205 ms at identical settings —
     # allocation-order effect). Compile-and-run a k+1 variant first so the
     # measured executable is not the first.
-    warm = hybrid_impact_topk(
-        q, docs, imp, enc, TOP_K + 1, 0.7, 0.3,
-        k_dense=KD, c_per_term=CP, p_depth=PD, n_alive=n_docs,
-        full_postings=full, kd_tiles=kd_tiles,
-    )
+    warm = serve_warm(q)
     jax.block_until_ready(warm.values)
 
     res = serve_once(q)  # warmup/compile
@@ -356,6 +374,7 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     exact = np.asarray(jax.device_get(res.exact))
     return {
         "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
+                   + ("_tile" if tilehyb else "")
                    + ("_clustered" if cluster else "")),
         "value": round(qps, 2),
         "unit": "qps/chip",

@@ -106,8 +106,37 @@ def phase_ivf10m():
     phase_ivf()
 
 
+def phase_tile_hybrid():
+    """10M clustered serving through the tile-resident joint-bound path."""
+    os.environ["HST_BENCH_TILEHYB"] = "1"
+    os.environ["HST_BENCH_PD"] = "4096"
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    print(json.dumps(bh.run(int(os.environ.get("HST_BENCH_N", "10000000")),
+                            batch=256, iters=6)), flush=True)
+
+
+def phase_tile_jaccard():
+    """10M quality + certified fraction for the tile path (device sem
+    oracle, host lexical oracle)."""
+    os.environ["HST_BENCH_TILEHYB"] = "1"
+    os.environ["HST_BENCH_PD"] = "4096"
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    print(json.dumps(bh.jaccard_vs_oracle(
+        int(os.environ.get("HST_BENCH_N", "10000000")), batch=32)),
+        flush=True)
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
-          "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m}
+          "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m,
+          "7": phase_tile_hybrid, "8": phase_tile_jaccard}
 
 
 def main():
