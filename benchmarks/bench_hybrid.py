@@ -431,10 +431,13 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     got_ids = np.asarray(jax.device_get(res.indices))
     exact_flags = np.asarray(jax.device_get(res.exact))
 
-    # oracle semantic scores on device (same bf16 matrix, f32 accumulate);
-    # a host f64 matmul at 1M docs takes minutes on this 1-core machine
+    # oracle semantic scores on device (same bf16 operands, f32
+    # accumulate — identical numerics to both engine arms); docs stay in
+    # their storage dtype: an astype(f32) copy of a 10M-doc corpus is
+    # 15.4 GB and OOMs the chip next to the 7.7 GB original
+    qo = q.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else q
     sem_all = np.asarray(jax.device_get(
-        jnp.einsum("nd,bd->bn", docs.astype(jnp.float32), q,
+        jnp.einsum("nd,bd->bn", docs, qo,
                    preferred_element_type=jnp.float32))).astype(np.float64)
     starts = np.concatenate([[0], np.cumsum(df)])
     jac = []

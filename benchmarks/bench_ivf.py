@@ -67,11 +67,17 @@ def main() -> None:
 
         mesh = build_mesh()
 
+    # host-side f32 cast (an on-device astype at 10M docs is a 15.4 GB
+    # HBM copy next to the 7.7 GB original — OOM), and the original doc
+    # buffer is freed before the build: the IVF index holds its own
+    # permuted bf16 storage, and exact reference ids are already fetched
+    docs_np = np.asarray(jax.device_get(docs)).astype(np.float32)
+    del docs
     t0 = time.time()
     idx = IVFIndex(dim=D, nprobe=8, mesh=mesh,
-                   storage_dtype=jnp.bfloat16).build(
-        np.asarray(docs.astype(jnp.float32)))
+                   storage_dtype=jnp.bfloat16).build(docs_np)
     build_s = time.time() - t0
+    del docs_np
 
     q_np = np.asarray(q)
     best = None

@@ -134,9 +134,157 @@ def phase_tile_jaccard():
         flush=True)
 
 
+def phase_tile_profile():
+    """Stage attribution for the tile-resident hybrid at 10M (the
+    997 ms/batch question): each sub-stage timed as its own program with
+    rotated inputs + a host-fetched reduction."""
+    import numpy as np
+
+    os.environ.setdefault("HST_BENCH_PD", "4096")
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    from hybridsearch_tpu.ops.dense import (
+        dense_tile_stats,
+        gather_tile_scores,
+        tiled_matrix_topk,
+    )
+    from hybridsearch_tpu.ops.impact import (
+        ImpactPostings,
+        build_impact_postings,
+        encode_impact_queries,
+        slice_impact_runs,
+    )
+
+    n_docs, B = int(os.environ.get("HST_BENCH_N", "10000000")), 256
+    PD = bh.PD
+    from hybridsearch_tpu.ops.impact import default_align
+
+    align = default_align()
+    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}_cl.npz"
+    z = np.load(cache)
+    topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
+    imp = ImpactPostings(
+        doc_ids=jnp.asarray(z["imp_ids"]), weights=jnp.asarray(z["imp_ws"]),
+        n_docs=n_docs, p_max=bh.P_MAX, starts_host=z["imp_starts"],
+        lengths_host=z["imp_lens"], slack_host=z["imp_slack"],
+        weights_host=z["imp_wh"], df_host=df.astype(np.int64), align=align)
+    docs, cent = bh.build_correlated_corpus(n_docs, topic_of)
+    jax.block_until_ready(imp.weights)
+    starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
+    term_lists, q_topics = bh.correlated_queries(B)
+    enc = encode_impact_queries(imp, term_lists, p_depth=PD,
+                                full_starts=starts_full, full_lengths=df)
+    q = bh.query_vectors(q_topics, cent)
+    N = docs.shape[0]
+    n_tiles = N // 128
+    T = enc.starts.shape[1]
+    W = T * PD
+    print(f"# T={T} W={W} n_tiles={n_tiles}", flush=True)
+    rng = np.random.default_rng(0)
+
+    def _time(label, fn, *args, iters=4, rot=0):
+        try:
+            jax.block_until_ready(fn(*args))
+            samples = []
+            for i in range(iters):
+                a = list(args)
+                a[rot] = jnp.roll(args[rot], i + 1, axis=0)
+                jax.block_until_ready(a[rot])
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*a))
+                samples.append((time.perf_counter() - t0) * 1e3)
+            samples.sort()
+            print(f"{label:14s} {samples[len(samples)//2]:8.1f} ms "
+                  f"(min {samples[0]:.1f})", flush=True)
+        except Exception as e:
+            print(f"{label:14s} FAILED {type(e).__name__}: {e}", flush=True)
+
+    # throwaway first-compile burn
+    jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
+
+    _time("tile_stats", jax.jit(
+        lambda qq: dense_tile_stats(qq, docs, None)), q)
+
+    f_slice = jax.jit(lambda s: slice_impact_runs(
+        imp.doc_ids, imp.weights, s, enc.lengths, p_depth=PD, n_docs=N,
+        align=imp.align))
+    _time("slice4k", f_slice, enc.starts)
+    ids_r, ws_r = f_slice(enc.starts)
+    ids_flat = ids_r.reshape(B, W)
+    ws_flat = ws_r.reshape(B, W)
+
+    @jax.jit
+    def scat_tile(idsf, wsf):
+        tids = idsf // 128
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        return jnp.zeros((B, n_tiles), jnp.float32).at[rows, tids].add(
+            wsf, mode="drop")
+
+    _time("scat_ntiles", scat_tile, ids_flat, ws_flat)
+    lex_tile = scat_tile(ids_flat, ws_flat)
+
+    @jax.jit
+    def sel(bound):
+        _, tt = tiled_matrix_topk(bound, 128)
+        return jnp.sort(jnp.maximum(tt, 0), axis=1)
+
+    _time("tile_topk", sel, lex_tile)
+    ts = sel(lex_tile)
+
+    _time("gather128", jax.jit(
+        lambda tt: gather_tile_scores(q, docs, tt, None)[0]), ts, rot=0)
+
+    @jax.jit
+    def bisect_scat(tt, idsf, wsf):
+        tids = idsf // 128
+        pos = jax.vmap(jnp.searchsorted)(tt, tids)
+        pos_c = jnp.clip(pos, 0, 127)
+        hit = jnp.take_along_axis(tt, pos_c, axis=1) == tids
+        bufidx = jnp.where(hit, pos_c * 128 + idsf % 128, 128 * 128)
+        rows = jnp.arange(B, dtype=jnp.int32)[:, None]
+        return jnp.zeros((B, 128 * 128), jnp.float32).at[rows, bufidx].add(
+            wsf, mode="drop")
+
+    _time("bisect_scat", bisect_scat, ts, ids_flat, ws_flat, rot=1)
+
+    @jax.jit
+    def searchsorted_only(tt, idsf):
+        return jax.vmap(jnp.searchsorted)(tt, idsf // 128).sum()
+
+    _time("searchsorted", searchsorted_only, ts, ids_flat, rot=1)
+
+    @jax.jit
+    def bound_chain(lt, sm):
+        smin = jnp.min(sm, axis=1)
+        smax = jnp.max(sm, axis=1)
+        ns = (sm - smin[:, None]) / jnp.maximum(
+            (smax - smin)[:, None], 1e-12)
+        L0 = jnp.maximum(jnp.max(lt, axis=1), 1e-12)
+        return 0.7 * ns + 0.3 * lt / L0[:, None]
+
+    sm_fake = jnp.asarray(
+        rng.standard_normal((B, n_tiles)).astype(np.float32))
+    _time("bound_chain", bound_chain, lex_tile, sm_fake, rot=1)
+
+    from hybridsearch_tpu.ops.hybrid import hybrid_tile_topk
+
+    full = (jnp.asarray(d_ids.astype(np.int32)), jnp.asarray(w))
+
+    def serve(qq):
+        return hybrid_tile_topk(qq, docs, imp, enc, 10, 0.7, 0.3, kt=128,
+                                p_depth=PD, n_alive=n_docs,
+                                full_postings=full)
+
+    _time("full_tile", serve, q, iters=4)
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
           "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m,
-          "7": phase_tile_hybrid, "8": phase_tile_jaccard}
+          "7": phase_tile_hybrid, "8": phase_tile_jaccard,
+          "9": phase_tile_profile}
 
 
 def main():
