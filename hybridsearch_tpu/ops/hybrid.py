@@ -707,9 +707,22 @@ def _hybrid_tile_impl(
     ws_flat = ws_r.reshape(B, W)
     tids = ids_flat // TILE  # sentinel ids land >= n_tiles -> drop
     rowsB = jnp.arange(B, dtype=jnp.int32)[:, None]
-    lex_tile = jnp.zeros((B, n_tiles), jnp.float32).at[rowsB, tids].add(
-        ws_flat, mode="drop")
     S = jnp.sum(slack, axis=1)  # [B] per-doc missing-mass bound
+
+    # per-term per-tile MAX weights — the block-max WAND bound at tile
+    # granularity. A doc in tile τ scores at most
+    #   Σ_t max(tile-max of term t in τ, slack_t)
+    # (each term contributes one posting: its pruned entry is <= the
+    # term's tile max, a truncated tail entry is <= slack_t). The naive
+    # tile SUM bound (all postings of all docs in τ) is ~100x looser and
+    # never lets the certificate close at 78k tiles.
+    lex_bound_tile = jnp.zeros((B, n_tiles), jnp.float32)
+    tids_r = ids_r // TILE  # [B, T, p]
+    for t in range(T):
+        bm_t = jnp.zeros((B, n_tiles), jnp.float32).at[
+            rowsB, tids_r[:, t, :]].max(ws_r[:, t, :], mode="drop")
+        lex_bound_tile = lex_bound_tile + jnp.maximum(
+            bm_t, slack[:, t:t + 1])
 
     # -- joint bound + probe selection ------------------------------------
     rng_s = smax - smin
@@ -725,7 +738,6 @@ def _hybrid_tile_impl(
             return jnp.where(smax[:, None] > eps,
                              x / jnp.maximum(smax[:, None], eps), x)
 
-    lex_bound_tile = lex_tile + S[:, None]  # true resident lex <= this
     L0 = jnp.maximum(jnp.max(lex_bound_tile, axis=1), eps)
     bound0 = w_s * nsem(tile_sem) + w_l * lex_bound_tile / L0[:, None]
     kt_eff = min(kt, n_tiles)
