@@ -205,12 +205,16 @@ def phase_tile_profile():
     # throwaway first-compile burn
     jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
 
-    _time("tile_stats", jax.jit(
-        lambda qq: dense_tile_stats(qq, docs, None)), q)
+    # NOTE: dense_tile_stats / slice_impact_runs / gather_tile_scores are
+    # already jitted with the big arrays as traced ARGUMENTS. Wrapping them
+    # in an outer jax.jit(lambda ...) closure-captures the 7.7 GB corpus as
+    # a baked CONSTANT — the compile request then exceeds the tunnel's
+    # body limit (HTTP 413) and can break its transport (2026-08-17).
+    _time("tile_stats", lambda qq: dense_tile_stats(qq, docs, None), q)
 
-    f_slice = jax.jit(lambda s: slice_impact_runs(
+    f_slice = lambda s: slice_impact_runs(
         imp.doc_ids, imp.weights, s, enc.lengths, p_depth=PD, n_docs=N,
-        align=imp.align))
+        align=imp.align)
     _time("slice4k", f_slice, enc.starts)
     ids_r, ws_r = f_slice(enc.starts)
     ids_flat = ids_r.reshape(B, W)
@@ -234,8 +238,8 @@ def phase_tile_profile():
     _time("tile_topk", sel, lex_tile)
     ts = sel(lex_tile)
 
-    _time("gather128", jax.jit(
-        lambda tt: gather_tile_scores(q, docs, tt, None)[0]), ts, rot=0)
+    _time("gather128",
+          lambda tt: gather_tile_scores(q, docs, tt, None)[0], ts, rot=0)
 
     @jax.jit
     def bisect_scat(tt, idsf, wsf):

@@ -170,13 +170,17 @@ def main():
           lambda c: sortmerge_rescore(c, ids_flat, ws_flat),
           cand_all, rot=0)
 
-    def semgather(cl):
-        d_sel = jnp.take(docs, jnp.clip(cl, 0, N - 1).reshape(-1), axis=0)
+    @jax.jit
+    def semgather(cl, dd, qq):
+        # dd/qq are ARGUMENTS: closing over the 7.7 GB corpus inside
+        # jax.jit bakes it as a constant and breaks the compile tunnel
+        # (HTTP 413 / broken transport).
+        d_sel = jnp.take(dd, jnp.clip(cl, 0, N - 1).reshape(-1), axis=0)
         d_sel = d_sel.reshape(B, T * CP, D).astype(jnp.float32)
-        return jnp.einsum("bcd,bd->bc", d_sel, q,
+        return jnp.einsum("bcd,bd->bc", d_sel, qq,
                           preferred_element_type=jnp.float32)
 
-    _time("semgather", jax.jit(semgather), cand_l, rot=0)
+    _time("semgather", semgather, cand_l, docs, q, rot=0)
 
     # the tile-budget dense pass exactly as the hybrid's pass 2/3 calls it
     _time("dense_ktb",
