@@ -361,6 +361,49 @@ class BM25:
         self._impact_cache = (state, p_max, imp)  # atomic publish
         return imp
 
+    def super_postings(self, state=None, super_tiles: int = 128):
+        """Lazily build (and cache per fitted state) the supertile lexical
+        structures for the scatter-free exact-resident hybrid
+        (ops/supertile.py hybrid_supertile_topk): the dense per-term
+        supertile-maximum table plus the full doc-sorted CSR reshaped to
+        gather-friendly rows. Rebuilt automatically after a refit."""
+        state = state if state is not None else self._state
+        if state.postings is None:
+            return None
+        cached = getattr(self, "_super_cache", None)
+        if cached is not None and cached[0] is state:
+            return cached[1]
+        from hybridsearch_tpu.ops.supertile import build_super_postings
+
+        po = state.postings
+        nnz = int(po.indptr[-1]) if po.indptr.shape[0] else 0
+        term_ids = np.repeat(
+            np.arange(po.vocab_size, dtype=np.int64),
+            np.asarray(state.term_runs[: po.vocab_size])
+            if state.term_runs is not None
+            else np.diff(np.asarray(po.indptr)),
+        )
+        sp = build_super_postings(
+            term_ids, np.asarray(po.doc_ids[:nnz]),
+            np.asarray(po.weights[:nnz]), po.n_docs, po.vocab_size,
+            super_tiles=super_tiles,
+        )
+        self._super_cache = (state, sp)  # atomic publish
+        return sp
+
+    def encode_queries_super(self, queries: Sequence[str]):
+        """(SuperPostings, SuperQueryEnc) for hybrid_supertile_topk — one
+        state snapshot for both (copy-on-write discipline, ADVICE r2)."""
+        from hybridsearch_tpu.ops.supertile import encode_super_queries
+
+        state = self._state
+        sp = self.super_postings(state=state)
+        if sp is None:
+            return None, None
+        term_id_lists = [state.vocab.encode(extract_tokens(q))
+                         for q in queries]
+        return sp, encode_super_queries(sp, term_id_lists)
+
     def encode_queries_impact(self, queries: Sequence[str], p_depth: int,
                               p_max: int = 4096):
         """(ImpactPostings, ImpactQueryEnc) for hybrid_impact_topk. The

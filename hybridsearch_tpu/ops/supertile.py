@@ -1,0 +1,435 @@
+"""Supertile hybrid — exact-resident, scatter-free fused top-k at scale.
+
+The v1 tile path (ops/hybrid.py hybrid_tile_topk) is bounded by XLA
+scatter throughput on TPU: its per-term block-max bounds and its resident
+lexical scores are both built by wide scatter-adds into [B, n_tiles] /
+[B, R] buffers (measured ~400 ms/batch each at 10M docs), and its pruned
+posting slices force a margin/slack correction ladder to recover
+exactness. This module is the redesign that removes every wide scatter
+and the entire slack machinery:
+
+  build   * a DENSE per-term supertile-maximum table [V, n_super]
+            (supertile = 128 tiles = 16384 docs): sup_max[t, s] is the
+            exact max BM25 weight of term t over docs in supertile s.
+            Bounds are then a row GATHER + sum — no scatter, no slack,
+            no truncation (the table covers every posting).
+          * the full doc-sorted CSR reshaped to 128-wide rows so any
+            query-term window can be fetched as whole-row gathers
+            (blockwise DMA), never element gathers.
+  query   1. one streaming MXU sweep -> exact per-tile semantic maxima
+             and exact alive min/max (ops/dense.py dense_tile_stats).
+          2. joint supertile bound = w_s*nsem(supertile sem max)
+             + w_l*nlex(sum_t sup_max[t, s]) — sound upper bound on any
+             resident's fused score; top-S supertiles are probed.
+          3. EVERY doc in a probed supertile is scored EXACTLY:
+             sem via contiguous tile gathers + MXU dot
+             (ops/dense.py gather_tile_scores); lex via the term's
+             doc-sorted CSR window inside the supertile (bisect the run
+             ends, row-gather the window) placed by a FACTORIZED ONE-HOT
+             MATMUL: out[r, c] = sum_e (l_e//128==r)*(l_e%128==c)*w_e
+             — two [E, 128] one-hot factors and one MXU contraction per
+             (query, supertile) instead of a scatter.
+          4. certificate: the k-th fused result >= every unprobed
+             supertile's joint bound under the FINAL normalizers, and
+             the resident lexical max dominates every unprobed
+             supertile's lexical bound (so the normalizer is the true
+             global max). Residents are exact by construction, so there
+             is no margin/cushion pass at all.
+
+Semantics matched: the reference's full hybrid fusion (reference
+core.py:199-271 — min-max normalize both arms over alive docs, weighted
+sum, top-k); `exact` is True only when the result provably equals
+full-corpus fusion.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybridsearch_tpu.ops.hybrid import NEG_INF, HybridTopK
+
+TILE = 128
+ROW = 128  # CSR row width for whole-row window gathers
+
+# Static window-cap ladder: the per-(term, supertile) CSR window is
+# gathered at a fixed width; encode picks the smallest rung covering the
+# query terms' build-time maxima (bounded compile set).
+WCAP_LADDER = (512, 1024, 2048, 4096, 8192, 16384)
+# Per-query term-count pad ladder (same as ops/impact.py).
+SUPER_T_LADDER = (8, 16, 32)
+
+
+class SuperPostings(NamedTuple):
+    """Build-time lexical structures for the supertile hybrid."""
+
+    sup_max: jax.Array  # [V+1, n_super] f32 per-term supertile maxima
+    #                     (row V is zeros — the query-pad sentinel)
+    ids_rows: jax.Array  # [M, ROW] int32 full doc-sorted CSR ids (pad n_docs)
+    ws_rows: jax.Array  # [M, ROW] f32 full CSR weights (pad 0)
+    n_docs: int
+    n_super: int
+    super_tiles: int  # tiles per supertile
+    starts_host: np.ndarray  # [V] int64 run starts into the flat CSR
+    df_host: np.ndarray  # [V] int64 full document frequencies
+    win_max_host: np.ndarray  # [V] int64 max (term, supertile) window width
+
+    @property
+    def super_docs(self) -> int:
+        return self.super_tiles * TILE
+
+
+def build_super_postings(
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    weights: np.ndarray,
+    n_docs: int,
+    vocab_size: int,
+    super_tiles: int = 128,
+) -> SuperPostings:
+    """Host-side build from term-major doc-sorted COO triples.
+
+    One pass of segment reductions (np.maximum.reduceat over the
+    (term, supertile) boundaries the sorted order already provides) — no
+    per-term Python loops, no host scatters over the nnz axis."""
+    t = np.asarray(term_ids, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.float32)
+    V = vocab_size
+    sd = super_tiles * TILE
+    n_tiles = max(1, -(-n_docs // TILE))
+    n_super = max(1, -(-n_tiles // super_tiles))
+    df = np.bincount(t, minlength=V).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(df)])[:-1]
+
+    table = np.zeros((V + 1, n_super), dtype=np.float32)
+    win_max = np.zeros(V, dtype=np.int64)
+    nnz = len(t)
+    if nnz:
+        sig = d // sd
+        key = t * n_super + sig
+        bnd = np.flatnonzero(np.diff(key)) + 1
+        seg_starts = np.concatenate([[0], bnd])
+        seg_t = t[seg_starts]
+        seg_s = sig[seg_starts]
+        table[seg_t, seg_s] = np.maximum.reduceat(w, seg_starts)
+        seg_len = np.diff(np.concatenate([seg_starts, [nnz]]))
+        # per-term max window width: reduceat over term boundaries of the
+        # (already term-sorted) segment list
+        tb = np.concatenate([[0], np.flatnonzero(np.diff(seg_t)) + 1])
+        win_max[seg_t[tb]] = np.maximum.reduceat(seg_len, tb)
+
+    M = max(1, -(-(nnz + 1) // ROW))
+    ids_pad = np.full(M * ROW, n_docs, dtype=np.int32)
+    ws_pad = np.zeros(M * ROW, dtype=np.float32)
+    ids_pad[:nnz] = d
+    ws_pad[:nnz] = w
+    return SuperPostings(
+        sup_max=jnp.asarray(table),
+        ids_rows=jnp.asarray(ids_pad.reshape(M, ROW)),
+        ws_rows=jnp.asarray(ws_pad.reshape(M, ROW)),
+        n_docs=n_docs,
+        n_super=n_super,
+        super_tiles=super_tiles,
+        starts_host=starts,
+        df_host=df,
+        win_max_host=win_max,
+    )
+
+
+class SuperQueryEnc(NamedTuple):
+    """Encoded query batch against a SuperPostings build."""
+
+    term_ids: jax.Array  # [B, T] int32 (pad = V -> the table's zero row)
+    starts: jax.Array  # [B, T] int32 full-run starts (pad -> 0, len 0)
+    lens: jax.Array  # [B, T] int32 full dfs (pad -> 0)
+    complete: np.ndarray  # [B] bool — no term dropped by the T pad
+    full_touched: np.ndarray  # [B] int64 — sum of full dfs (lex-min-0 cert)
+    wcap: int  # static window cap for this batch (WCAP_LADDER rung)
+    t_pad: int
+
+
+def encode_super_queries(
+    sp: SuperPostings,
+    query_term_ids: Sequence[Sequence[int]],
+    wcap: Optional[int] = None,
+) -> SuperQueryEnc:
+    """Host-side encode: term-id lists -> padded [B, T] run descriptors
+    plus the smallest WCAP_LADDER rung covering every query term's
+    build-time max window width (so no window can silently truncate)."""
+    B = len(query_term_ids)
+    longest = max((len(ids) for ids in query_term_ids), default=1)
+    t_pad = next((t for t in SUPER_T_LADDER if t >= longest),
+                 SUPER_T_LADDER[-1])
+    V = len(sp.df_host)
+    tid = np.full((B, t_pad), V, dtype=np.int32)
+    st = np.zeros((B, t_pad), dtype=np.int32)
+    ln = np.zeros((B, t_pad), dtype=np.int32)
+    complete = np.ones(B, dtype=bool)
+    full_touched = np.zeros(B, dtype=np.int64)
+    need = 1
+    for b, ids in enumerate(query_term_ids):
+        for j, term in enumerate(ids[:t_pad]):
+            tid[b, j] = term
+            st[b, j] = int(sp.starts_host[term])
+            ln[b, j] = int(sp.df_host[term])
+            full_touched[b] += int(sp.df_host[term])
+            need = max(need, int(sp.win_max_host[term]))
+        if len(ids) > t_pad:
+            complete[b] = False
+            for term in ids[t_pad:]:
+                full_touched[b] += int(sp.df_host[term])
+    if wcap is None:
+        cap = min(sp.super_docs, WCAP_LADDER[-1])
+        wcap = next((c for c in WCAP_LADDER if c >= min(need, cap)), cap)
+        wcap = min(wcap, max(cap, WCAP_LADDER[0]))
+    return SuperQueryEnc(
+        term_ids=jnp.asarray(tid),
+        starts=jnp.asarray(st),
+        lens=jnp.asarray(ln),
+        complete=complete,
+        full_touched=full_touched,
+        wcap=int(wcap),
+        t_pad=t_pad,
+    )
+
+
+def _bisect_runs(
+    ids_flat: jax.Array,  # [M*ROW] int32 doc-sorted CSR (pad = n_docs)
+    starts: jax.Array,  # [B, T]
+    lens: jax.Array,  # [B, T]
+    points: jax.Array,  # [B, T, P] global doc-id targets
+) -> jax.Array:
+    """[B, T, P] first position p in each run with ids[start+p] >= point
+    (relative to the run start). 31 fixed halving steps — element gathers
+    of only [B, T, P] per step."""
+    lo = jnp.zeros(points.shape, jnp.int32)
+    hi = jnp.broadcast_to(lens[:, :, None], points.shape).astype(jnp.int32)
+
+    def body(_, lh):
+        lo, hi = lh
+        mid = (lo + hi) // 2
+        pos = starts[:, :, None] + jnp.minimum(mid, hi - 1)
+        v = jnp.take(ids_flat, jnp.maximum(pos, 0))
+        go = (v < points) & (lo < hi)
+        return jnp.where(go, mid + 1, lo), jnp.where(go, hi, mid)
+
+    lo, _hi = jax.lax.fori_loop(0, 31, body, (lo, hi))
+    return lo
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "s_probe", "wcap", "norm", "block_n",
+                     "super_tiles"),
+)
+def _hybrid_super_impl(
+    q: jax.Array,  # [B, D] L2-normalized f32 queries
+    docs: jax.Array,  # [N, D] L2-normalized (bf16/f32)
+    sup_max: jax.Array,  # [V+1, n_super]
+    ids_rows: jax.Array,  # [M, ROW]
+    ws_rows: jax.Array,  # [M, ROW]
+    term_ids: jax.Array,  # [B, T]
+    starts: jax.Array,  # [B, T]
+    lens: jax.Array,  # [B, T]
+    complete: jax.Array,  # [B] bool
+    lex_min_zero: jax.Array,  # [B] bool (full_touched < n_alive)
+    w_s: jax.Array,
+    w_l: jax.Array,
+    bias: Optional[jax.Array],
+    k: int,
+    s_probe: int,
+    wcap: int,
+    norm: str,
+    block_n: int,
+    super_tiles: int,
+) -> HybridTopK:
+    from hybridsearch_tpu.ops.dense import dense_tile_stats, gather_tile_scores
+
+    B, Dm = q.shape
+    N = docs.shape[0]
+    n_tiles = -(-N // TILE)
+    n_super = sup_max.shape[1]
+    sd = super_tiles * TILE
+    eps = jnp.float32(1e-12)
+    T = term_ids.shape[1]
+    S = min(s_probe, n_super)
+
+    # -- 1. dense arm: exact per-tile maxima + alive min/max, one sweep --
+    tile_sem, smin, smax = dense_tile_stats(q, docs, bias, block_n=block_n)
+    # capacity-padded doc matrices can have more tiles than the build-time
+    # table covers; the extra supertiles get zero lexical columns (their
+    # docs hold no postings, and dead rows are bias-masked anyway)
+    need_super = -(-n_tiles // super_tiles)
+    if need_super > n_super:
+        sup_max = jnp.pad(sup_max, ((0, 0), (0, need_super - n_super)))
+        n_super = need_super
+    pad_t = n_super * super_tiles - n_tiles
+    ts_full = jnp.pad(tile_sem, ((0, 0), (0, pad_t)),
+                      constant_values=NEG_INF) if pad_t else tile_sem
+    ssem = jnp.max(ts_full.reshape(B, n_super, super_tiles), axis=2)
+
+    # -- 2. lexical supertile bounds: one row gather, no scatter ----------
+    slex = jnp.sum(jnp.take(sup_max, term_ids, axis=0), axis=1)  # [B, ns]
+
+    # -- 3. probe selection by joint bound --------------------------------
+    rng_s = smax - smin
+    if norm == "minmax":
+        def nsem(x):
+            return jnp.where(
+                rng_s[:, None] > eps,
+                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
+                jnp.ones_like(x),
+            )
+    else:  # "max"
+        def nsem(x):
+            return jnp.where(smax[:, None] > eps,
+                             x / jnp.maximum(smax[:, None], eps), x)
+
+    def nlex(x, L):
+        # oracle parity: an all-zero lexical arm min-max-normalizes to
+        # ones (searcher._fuse_and_topk rng <= eps edge)
+        return jnp.where(L[:, None] > eps, x / jnp.maximum(L[:, None], eps),
+                         jnp.ones_like(x))
+
+    L0 = jnp.max(slex, axis=1)
+    bound0 = w_s * nsem(ssem) + w_l * nlex(slex, L0)
+    _, top_sup = jax.lax.top_k(bound0, S)
+    sup_s = jnp.sort(top_sup, axis=1)  # [B, S] ascending
+
+    # -- 4. resident semantic scores: contiguous tile gathers -------------
+    tiles_sel = (sup_s[:, :, None] * super_tiles
+                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, super_tiles),
+                                            2)).reshape(B, S * super_tiles)
+    s_res, gidx = gather_tile_scores(q, docs, tiles_sel, bias)  # [B, R]
+    R = S * sd
+    alive = jnp.isfinite(s_res)
+
+    # -- 5. resident lexical scores: CSR windows + one-hot placement ------
+    base = (sup_s * sd).astype(jnp.int32)  # [B, S]
+    pts = jnp.stack([
+        jnp.broadcast_to(base[:, None, :], (B, T, S)),
+        jnp.broadcast_to(base[:, None, :] + sd, (B, T, S)),
+    ], axis=-1).reshape(B, T, S * 2)
+    ids_flat = ids_rows.reshape(-1)
+    pos2 = _bisect_runs(ids_flat, starts, lens, pts).reshape(B, T, S, 2)
+    lo = starts[:, :, None] + pos2[..., 0]  # [B, T, S] abs CSR positions
+    hi = starts[:, :, None] + pos2[..., 1]
+    ovf = jnp.any((hi - lo) > wcap, axis=(1, 2))  # [B]
+
+    m_rows = wcap // ROW + 1
+    E = m_rows * ROW
+    M = ids_rows.shape[0]
+    row0 = lo // ROW
+    rows_idx = jnp.minimum(
+        row0[..., None] + jax.lax.broadcasted_iota(
+            jnp.int32, (1, 1, 1, m_rows), 3),
+        M - 1,
+    )  # [B, T, S, m]
+    win_ids = jnp.take(ids_rows, rows_idx, axis=0).reshape(B, T, S, E)
+    win_ws = jnp.take(ws_rows, rows_idx, axis=0).reshape(B, T, S, E)
+    gpos = (row0[..., None] * ROW
+            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, E), 3))
+    valid = (gpos >= lo[..., None]) & (gpos < hi[..., None])
+    w_eff = jnp.where(valid, win_ws, 0.0)
+    l_loc = win_ids - base[:, None, :, None]  # [B, T, S, E] local doc ids
+
+    # factorized one-hot placement: out[b,s,r,c] += sum_e
+    #   (l//TILE == r) * (l%TILE == c) * w — one MXU contraction per term
+    # instead of a scatter. Out-of-range l (entries just outside the
+    # window, already weight-masked anyway) match no r row.
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
+
+    def per_term(acc, ts_in):
+        l_t, w_t = ts_in  # [B, S, E]
+        r_hot = (l_t[..., None] // TILE == r_iota).astype(jnp.float32)
+        c_hot = ((l_t[..., None] % TILE == c_iota)
+                 & (l_t[..., None] >= 0)).astype(jnp.bfloat16)
+        contrib = jnp.einsum(
+            "bser,bsec->bsrc", r_hot * w_t[..., None], c_hot,
+            preferred_element_type=jnp.float32,
+        )
+        return acc + contrib, None
+
+    lex4, _ = jax.lax.scan(
+        per_term,
+        jnp.zeros((B, S, super_tiles, TILE), jnp.float32),
+        (l_loc.transpose(1, 0, 2, 3), w_eff.transpose(1, 0, 2, 3)),
+    )
+    lex_res = lex4.reshape(B, R)
+    lex_res = jnp.where(alive, lex_res, 0.0)
+
+    # -- 6. exact fusion + top-k ------------------------------------------
+    L_res = jnp.max(lex_res, axis=1)  # [B] exact resident lexical max
+    fused = w_s * nsem(s_res) + w_l * nlex(lex_res, L_res)
+    fused = jnp.where(alive, fused, NEG_INF)
+    k_eff = min(k, R)
+    if R > 4096:
+        from hybridsearch_tpu.ops.dense import tiled_matrix_topk
+
+        vals, pos = tiled_matrix_topk(fused, k_eff)
+        pos = jnp.maximum(pos, 0)
+    else:
+        vals, pos = jax.lax.top_k(fused, k_eff)
+    idxs = jnp.take_along_axis(gidx, pos, axis=1)
+    ok = jnp.isfinite(vals) & (vals > NEG_INF / 2)
+    idxs = jnp.where(ok, idxs, -1)
+
+    # -- 7. certificate ----------------------------------------------------
+    # (a) residents are EXACT (whole supertiles, full-CSR windows, no
+    #     truncation when ovf is False);
+    # (b) any unprobed supertile resident's fused score <= its joint bound
+    #     under the FINAL normalizers;
+    # (c) L_res is the true global lexical max: it is an achieved exact
+    #     score and >= every unprobed supertile's lexical bound;
+    # (d) minmax only: the true lexical min is 0 (some alive doc holds no
+    #     query term — lex_min_zero) and sem stats are exact (full sweep).
+    kth = vals[:, -1]
+    sup_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_super), 1)
+    probed = jnp.any(sup_iota[:, :, None] == sup_s[:, None, :], axis=2)
+    slex_un = jnp.where(probed, 0.0, slex)
+    cert_norm = L_res >= jnp.max(slex_un, axis=1)
+    bound_f = w_s * nsem(ssem) + w_l * nlex(slex, jnp.maximum(L_res, eps))
+    tau = jnp.max(jnp.where(probed, NEG_INF, bound_f), axis=1)
+    exact = (complete & cert_norm & ~ovf
+             & ((kth >= tau) | ~jnp.isfinite(tau)))
+    if norm == "minmax":
+        exact = exact & lex_min_zero
+    return HybridTopK(values=vals, indices=idxs, exact=exact)
+
+
+def hybrid_supertile_topk(
+    q: jax.Array,
+    docs: jax.Array,
+    sp: SuperPostings,
+    enc: SuperQueryEnc,
+    k: int,
+    w_s: float,
+    w_l: float,
+    bias: Optional[jax.Array] = None,
+    s_probe: int = 4,
+    norm: str = "minmax",
+    block_n: int = 262144,
+    n_alive: Optional[int] = None,
+) -> HybridTopK:
+    """Supertile hybrid top-k (clustered layouts). Same fused semantics
+    and HybridTopK contract as hybrid_impact_topk/hybrid_tile_topk;
+    `exact` is sound per-query. s_probe is the probe budget in
+    supertiles (128 tiles = 16384 docs each) — callers escalate it when
+    certificates fail (retrieval/searcher.py)."""
+    N = docs.shape[0]
+    n_alive = N if n_alive is None else n_alive
+    lex_min_zero = jnp.asarray(enc.full_touched < n_alive)
+    return _hybrid_super_impl(
+        q, docs, sp.sup_max, sp.ids_rows, sp.ws_rows,
+        enc.term_ids, enc.starts, enc.lens,
+        jnp.asarray(enc.complete), lex_min_zero,
+        jnp.float32(w_s), jnp.float32(w_l), bias,
+        k=k, s_probe=s_probe, wcap=min(enc.wcap, sp.super_docs),
+        norm=norm, block_n=block_n, super_tiles=sp.super_tiles,
+    )

@@ -52,6 +52,10 @@ SPARSE_HYBRID_MIN_DOCS = int(
 _IMPACT_LADDER = ((512, 64, 256), (1024, 128, 1024), (2048, 256, 4096))
 # probe-budget rungs (128-doc tiles) for the clustered tile-resident path
 _TILE_LADDER = (128, 256, 512)
+# supertile probe-budget ladder (ops/supertile.py): rungs in 16384-doc
+# supertiles — 2 rungs cover a straddling ~10k-doc topic, deeper rungs
+# chase uncertified queries
+_SUPER_LADDER = (2, 4, 8, 16)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -406,6 +410,46 @@ class Searcher:
                      and snap.n >= 1_000_000)
         import os as _os
 
+        use_super = (self.indexer.config.index.layout == "clustered"
+                     and _os.environ.get("HST_SUPER_HYBRID", "1") != "0")
+        if use_super:
+            # supertile exact-resident path (ops/supertile.py): scatter-
+            # free bounds from the build-time per-term supertile-max
+            # table, EXACT resident scores from full-CSR windows placed
+            # by one-hot MXU matmuls — no slack, no margin correction.
+            # The ladder escalates the probe budget in whole supertiles.
+            from hybridsearch_tpu.ops.supertile import hybrid_supertile_topk
+
+            sp, enc_s = bm25.encode_queries_super(list(queries))
+            if sp is not None:
+                res = None
+                lmz = enc_s.full_touched < n_alive
+                for s_probe in _SUPER_LADDER:
+                    res = hybrid_supertile_topk(
+                        q, snap.docs, sp, enc_s, k, sw, lw,
+                        bias=snap.bias, s_probe=s_probe, n_alive=n_alive,
+                    )
+                    exact = np.asarray(jax.device_get(res.exact))
+                    if exact.all():
+                        return res.values, res.indices
+                    # certifiable-at-all: term-complete AND the lexical
+                    # min is provably 0; deeper probes can't fix the rest
+                    if not np.logical_and(~exact,
+                                          enc_s.complete & lmz).any():
+                        break
+                    if s_probe * sp.super_docs >= snap.n:
+                        break  # this rung already probed every supertile
+                from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+                if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
+                    import warnings
+
+                    warnings.warn(
+                        "supertile hybrid certificate did not close after "
+                        "probe escalation; serving the best-effort top-k",
+                        RuntimeWarning,
+                    )
+                return res.values, res.indices
         use_tiles = (self.indexer.config.index.layout == "clustered"
                      and _os.environ.get("HST_TILE_HYBRID", "1") != "0")
         if use_tiles:

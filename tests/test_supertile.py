@@ -1,0 +1,240 @@
+"""Supertile exact-resident hybrid (ops/supertile.py) — oracle parity,
+certificate soundness, window/overflow handling, and the searcher route.
+
+Reference semantics being matched: reference core.py:199-271 (min-max
+normalize both full score arrays over alive docs, weighted fusion,
+top-k). Wherever `exact` is True the result must equal full fusion, for
+any layout, and exactness must never be claimed falsely."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybridsearch_tpu.index.sparse_index import BM25
+from hybridsearch_tpu.ops.dense import l2_normalize
+from hybridsearch_tpu.ops.supertile import (
+    SuperPostings,
+    build_super_postings,
+    encode_super_queries,
+    hybrid_supertile_topk,
+)
+from hybridsearch_tpu.retrieval.searcher import _fuse_and_topk, _semantic_full
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+def _oracle(bm25, docs, queries, q, w_s, w_l, bias, k):
+    sem = _semantic_full(q, docs)
+    lex = jnp.asarray(bm25.batch_scores(queries))
+    if bias is None:
+        bias = jnp.zeros(docs.shape[0], jnp.float32)
+    return _fuse_and_topk(sem, lex, jnp.float32(w_s), jnp.float32(w_l),
+                          bias, k)
+
+
+def _mk_corpus(rng, n, n_vocab, d=32, doc_len=(4, 14)):
+    vocab = [f"t{i}" for i in range(n_vocab)]
+    texts = [" ".join(rng.choice(vocab, size=int(rng.integers(*doc_len))))
+             for _ in range(n)]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, d)).astype(np.float32)))
+    return vocab, bm25, docs
+
+
+def _sp_from_bm25(bm25, super_tiles=4):
+    return bm25.super_postings(super_tiles=super_tiles)
+
+
+def test_supertile_full_coverage_matches_oracle(rng):
+    """Probing every supertile must certify AND match full fusion."""
+    n = 2048
+    vocab, bm25, docs = _mk_corpus(rng, n, 120)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(4)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((4, 32)).astype(np.float32)))
+    sp, enc = bm25.encode_queries_super(queries)
+    assert isinstance(sp, SuperPostings)
+    sp = _sp_from_bm25(bm25)  # small supertiles so several exist
+    enc = encode_super_queries(sp, [
+        bm25.vocab.encode(qq.split()) for qq in queries])
+    res = hybrid_supertile_topk(q, docs, sp, enc, 5, 0.7, 0.3,
+                                s_probe=sp.n_super)
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.7, 0.3, None, 5)
+    assert bool(res.exact.all()), "full coverage must certify"
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-5)
+    rv, ov = np.asarray(res.values), np.asarray(ovals)
+    ri, oi = np.asarray(res.indices), np.asarray(oidx)
+    for b in range(rv.shape[0]):
+        mism = ri[b] != oi[b]
+        if mism.any():  # disagreements must be exact-score ties
+            np.testing.assert_allclose(rv[b][mism], ov[b][mism],
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_supertile_tombstones_never_returned(rng):
+    n = 1024
+    vocab, bm25, docs = _mk_corpus(rng, n, 80)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(3)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((3, 32)).astype(np.float32)))
+    bias_np = np.zeros(n, np.float32)
+    dead = rng.choice(n, size=200, replace=False)
+    bias_np[dead] = -np.inf
+    sp = _sp_from_bm25(bm25)
+    enc = encode_super_queries(sp, [
+        bm25.vocab.encode(qq.split()) for qq in queries])
+    res = hybrid_supertile_topk(q, docs, sp, enc, 10, 0.7, 0.3,
+                                bias=jnp.asarray(bias_np),
+                                s_probe=sp.n_super,
+                                n_alive=n - len(dead))
+    idx = np.asarray(res.indices)
+    assert not np.isin(idx[idx >= 0], dead).any()
+    ovals, oidx = _oracle(bm25, docs, queries, q, 0.7, 0.3,
+                          jnp.asarray(bias_np), 10)
+    assert bool(res.exact.all())
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_supertile_certificate_soundness_fuzz():
+    """Wherever exact=True the result equals full fusion — randomized
+    corpora, weights, probe budgets, supertile sizes, tombstones; the
+    corpus is NOT clustered (soundness is layout-independent)."""
+    rng = np.random.default_rng(1234)
+    for trial in range(8):
+        n = int(rng.choice([512, 1024, 3000]))
+        vocab, bm25, docs = _mk_corpus(rng, n, int(rng.choice([50, 300])))
+        nq = 3
+        queries = [" ".join(rng.choice(vocab,
+                                       size=int(rng.integers(1, 5))))
+                   for _ in range(nq)]
+        q = l2_normalize(jnp.asarray(
+            rng.standard_normal((nq, 32)).astype(np.float32)))
+        w_s = float(rng.choice([0.3, 0.7, 1.0]))
+        st = int(rng.choice([2, 4, 8]))
+        s_probe = int(rng.choice([1, 2, 4]))
+        bias = None
+        n_alive = n
+        if rng.random() < 0.5:
+            bias_np = np.zeros(n, np.float32)
+            dead = rng.choice(n, size=n // 10, replace=False)
+            bias_np[dead] = -np.inf
+            bias = jnp.asarray(bias_np)
+            n_alive = n - len(dead)
+        sp = bm25.super_postings(super_tiles=st)
+        bm25._super_cache = None  # per-trial supertile sizes
+        enc = encode_super_queries(sp, [
+            bm25.vocab.encode(qq.split()) for qq in queries])
+        res = hybrid_supertile_topk(q, docs, sp, enc, 5, w_s, 1.0 - w_s,
+                                    bias=bias, s_probe=s_probe,
+                                    n_alive=n_alive)
+        ovals, _ = _oracle(bm25, docs, queries, q, w_s, 1.0 - w_s, bias, 5)
+        ex = np.asarray(res.exact)
+        rv, ov = np.asarray(res.values), np.asarray(ovals)
+        for b in range(nq):
+            if ex[b]:
+                np.testing.assert_allclose(
+                    rv[b], ov[b], rtol=1e-4, atol=1e-4,
+                    err_msg=f"trial {trial} q{b}: claimed exact, st={st} "
+                            f"s_probe={s_probe} w_s={w_s}")
+
+
+def test_supertile_wcap_overflow_is_flagged(rng):
+    """A window cap smaller than a term's widest supertile window must
+    clear the certificate (never a wrong exact claim) and never crash."""
+    n = 1024
+    vocab = [f"t{i}" for i in range(200)]
+    # 'hotterm' lives in ~300 contiguous docs: its window inside one
+    # 512-doc supertile exceeds the forced 128 cap, while the corpus
+    # still has term-free docs (the lexical-min-0 certificate can hold)
+    texts = [("hotterm " if i < 300 else "")
+             + " ".join(rng.choice(vocab, size=6)) for i in range(n)]
+    bm25 = BM25().fit(texts)
+    docs = l2_normalize(jnp.asarray(
+        rng.standard_normal((n, 32)).astype(np.float32)))
+    queries = ["hotterm " + " ".join(rng.choice(vocab, size=2))
+               for _ in range(2)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((2, 32)).astype(np.float32)))
+    sp = _sp_from_bm25(bm25)
+    assert sp.win_max_host.max() > 128  # tiny vocab -> wide windows
+    term_lists = [bm25.vocab.encode(qq.split()) for qq in queries]
+    enc = encode_super_queries(sp, term_lists, wcap=128)
+    res = hybrid_supertile_topk(q, docs, sp, enc, 5, 0.7, 0.3,
+                                s_probe=sp.n_super)
+    assert not bool(np.asarray(res.exact).any())
+    # the auto-picked cap covers the widest window and certifies
+    enc2 = encode_super_queries(sp, term_lists)
+    assert enc2.wcap >= int(sp.win_max_host[
+        np.asarray([t for ts in term_lists for t in ts])].max())
+    res2 = hybrid_supertile_topk(q, docs, sp, enc2, 5, 0.7, 0.3,
+                                 s_probe=sp.n_super)
+    assert bool(np.asarray(res2.exact).all())
+
+
+def test_supertile_build_matches_numpy_oracle(rng):
+    """sup_max / win_max / CSR rows against a brute-force build."""
+    V, n = 40, 700
+    tl, dl, wl = [], [], []
+    for t in range(V):
+        df = int(rng.integers(1, 60))
+        ds = np.sort(rng.choice(n, size=df, replace=False))
+        tl.append(np.full(df, t))
+        dl.append(ds)
+        wl.append(rng.exponential(1.0, df).astype(np.float32))
+    t_ids = np.concatenate(tl)
+    d_ids = np.concatenate(dl)
+    w = np.concatenate(wl)
+    st = 2
+    sp = build_super_postings(t_ids, d_ids, w, n, V, super_tiles=st)
+    sd = st * 128
+    n_super = sp.n_super
+    ref = np.zeros((V, n_super), np.float32)
+    wid = np.zeros(V, np.int64)
+    for t in range(V):
+        m = t_ids == t
+        for s in range(n_super):
+            sel = m & (d_ids // sd == s)
+            if sel.any():
+                ref[t, s] = w[sel].max()
+                wid[t] = max(wid[t], sel.sum())
+    np.testing.assert_allclose(np.asarray(sp.sup_max)[:V], ref, rtol=1e-6)
+    np.testing.assert_array_equal(sp.win_max_host, wid)
+    flat_ids = np.asarray(sp.ids_rows).reshape(-1)
+    np.testing.assert_array_equal(flat_ids[: len(d_ids)], d_ids)
+    assert (flat_ids[len(d_ids):] == n).all()
+
+
+def test_searcher_supertile_path_parity(monkeypatch, rng):
+    """search_batch through the clustered supertile path must return
+    exactly what the full fused path returns (same corpus, queries)."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(150)]
+    topics = [" ".join(f"z{z}t{j}" for j in range(8)) for z in range(5)]
+    texts = [f"{topics[i % 5]} " +
+             " ".join(rng.choice(vocab, size=8)) for i in range(900)]
+    queries = [f"z2t1 z2t3 {vocab[7]}", "z4t0 z4t5", "w3 w11 w42"]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    full = s.search_batch(queries, top_k=5, log=False)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    monkeypatch.setenv("HST_TILE_HYBRID", "0")  # force the supertile route
+    sup = s.search_batch(queries, top_k=5, log=False)
+    for a, b in zip(full, sup):
+        assert [i for _v, _c, i in a] == [i for _v, _c, i in b]
+        np.testing.assert_allclose([v for v, _c, _i in a],
+                                   [v for v, _c, _i in b],
+                                   rtol=1e-4, atol=1e-5)
