@@ -317,8 +317,32 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     q = query_vectors(q_topics, cent)
 
     tilehyb = os.environ.get("HST_BENCH_TILEHYB") == "1"
+    superhyb = os.environ.get("HST_BENCH_SUPERHYB") == "1"
     KT = int(os.environ.get("HST_BENCH_KT", "128"))
-    if tilehyb:
+    if superhyb:
+        # scatter-free exact-resident supertile path (ops/supertile.py)
+        from hybridsearch_tpu.ops.supertile import (
+            build_super_postings,
+            encode_super_queries,
+            hybrid_supertile_topk,
+        )
+
+        t_full = np.repeat(np.arange(vocab, dtype=np.int64), df)
+        sp = build_super_postings(t_full, d_ids.astype(np.int64), w,
+                                  n_docs, vocab)
+        enc_s = encode_super_queries(sp, term_lists)
+        jax.block_until_ready(sp.sup_max)
+        SP = int(os.environ.get("HST_BENCH_SP", "2"))
+
+        def serve_once(qq):
+            return hybrid_supertile_topk(qq, docs, sp, enc_s, TOP_K, 0.7,
+                                         0.3, s_probe=SP, n_alive=n_docs)
+
+        def serve_warm(qq):
+            return hybrid_supertile_topk(qq, docs, sp, enc_s, TOP_K + 1,
+                                         0.7, 0.3, s_probe=SP,
+                                         n_alive=n_docs)
+    elif tilehyb:
         from hybridsearch_tpu.ops.hybrid import hybrid_tile_topk
 
         def serve_once(qq):
@@ -374,7 +398,8 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     exact = np.asarray(jax.device_get(res.exact))
     return {
         "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
-                   + ("_tile" if tilehyb else "")
+                   + ("_super" if superhyb else "")
+                   + ("_tile" if tilehyb and not superhyb else "")
                    + ("_clustered" if cluster else "")),
         "value": round(qps, 2),
         "unit": "qps/chip",
@@ -416,7 +441,22 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     enc = encode_impact_queries(imp, term_lists, p_depth=PD,
                                 full_starts=starts_full, full_lengths=df)
     q = query_vectors(q_topics, cent)
-    if os.environ.get("HST_BENCH_TILEHYB") == "1":
+    if os.environ.get("HST_BENCH_SUPERHYB") == "1":
+        from hybridsearch_tpu.ops.supertile import (
+            build_super_postings,
+            encode_super_queries,
+            hybrid_supertile_topk,
+        )
+
+        t_full = np.repeat(np.arange(vocab, dtype=np.int64), df)
+        sp = build_super_postings(t_full, d_ids.astype(np.int64), w,
+                                  n_docs, vocab)
+        enc_s = encode_super_queries(sp, term_lists)
+        res = hybrid_supertile_topk(
+            q, docs, sp, enc_s, TOP_K, 0.7, 0.3,
+            s_probe=int(os.environ.get("HST_BENCH_SP", "2")),
+            n_alive=n_docs)
+    elif os.environ.get("HST_BENCH_TILEHYB") == "1":
         from hybridsearch_tpu.ops.hybrid import hybrid_tile_topk
 
         res = hybrid_tile_topk(q, docs, imp, enc, TOP_K, 0.7, 0.3,
@@ -458,7 +498,10 @@ def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     return {
         "metric": (f"hybrid_impact_jaccard@{n_docs}docs"
                    + (f"_t{TOPICS}" if TOPICS != 1024 else "")
-                   + ("_tile" if os.environ.get("HST_BENCH_TILEHYB") == "1"
+                   + ("_super"
+                      if os.environ.get("HST_BENCH_SUPERHYB") == "1"
+                      else "_tile"
+                      if os.environ.get("HST_BENCH_TILEHYB") == "1"
                       else "")
                    + ("_clustered" if cluster else "")),
         "value": round(float(np.mean(jac)), 4),

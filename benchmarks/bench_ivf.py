@@ -67,17 +67,18 @@ def main() -> None:
 
         mesh = build_mesh()
 
-    # host-side f32 cast (an on-device astype at 10M docs is a 15.4 GB
-    # HBM copy next to the 7.7 GB original — OOM), and the original doc
-    # buffer is freed before the build: the IVF index holds its own
-    # permuted bf16 storage, and exact reference ids are already fetched
-    docs_np = np.asarray(jax.device_get(docs)).astype(np.float32)
-    del docs
+    # the build consumes the device bf16 corpus DIRECTLY: k-means runs on
+    # the storage dtype (per-block normalization) and the build releases
+    # the source before uploading its permuted storage, so peak HBM is
+    # one corpus copy + block temps — the old host-f32 round trip put a
+    # 15.4 GB f32 copy on the chip and OOMed at 10M
     t0 = time.time()
+    box = [docs]
+    del docs  # ownership moves into the build; no caller reference keeps
+    #           the source alive when the build releases it pre-upload
     idx = IVFIndex(dim=D, nprobe=8, mesh=mesh,
-                   storage_dtype=jnp.bfloat16).build(docs_np)
+                   storage_dtype=jnp.bfloat16).build(box.pop())
     build_s = time.time() - t0
-    del docs_np
 
     q_np = np.asarray(q)
     best = None

@@ -39,15 +39,18 @@ def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
     re-seeded from the data.
 
     BLOCKED over doc rows (lax.scan): peak memory is O(block * C), never
-    the [N, C] similarity matrix — 10M x 3162 would be 126 GB."""
+    the [N, C] similarity matrix — 10M x 3162 would be 126 GB. The big
+    arrays stay in the STORAGE dtype end to end: normalization happens
+    per block inside the scan (a global
+    l2_normalize(vectors.astype(f32)) materialized a 14.3 GB temp at 10M
+    and OOMed the 16 GB chip)."""
     n, d = vectors.shape
-    v = l2_normalize(vectors.astype(jnp.float32))
     key = jax.random.PRNGKey(seed)
     idx = jax.random.choice(key, n, (n_clusters,), replace=False)
-    centroids = v[idx]
+    centroids = l2_normalize(vectors[idx].astype(jnp.float32))
     nb = -(-n // block)
     pad = nb * block - n
-    v_pad = jnp.pad(v, ((0, pad), (0, 0)))
+    v_pad = jnp.pad(vectors, ((0, pad), (0, 0)))
     v_blocks = v_pad.reshape(nb, block, d)
     row0 = jnp.arange(nb, dtype=jnp.int32) * block
     iota = jax.lax.broadcasted_iota(jnp.int32, (block,), 0)
@@ -56,6 +59,7 @@ def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
         def blk(carry, inp):
             sums, counts = carry
             r0, vb = inp
+            vb = l2_normalize(vb.astype(jnp.float32))
             sims = jnp.dot(vb, c.T, preferred_element_type=jnp.float32)
             assign = jnp.argmax(sims, axis=1)
             oh = jax.nn.one_hot(assign, n_clusters, dtype=jnp.float32)
@@ -74,7 +78,9 @@ def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
         counts = counts[:, None]
         new_c = sums / jnp.maximum(counts, 1.0)
         # re-seed empties from random data points
-        rnd = v[jax.random.randint(key, (n_clusters,), 0, n)]
+        rnd = l2_normalize(vectors[
+            jax.random.randint(key, (n_clusters,), 0, n)
+        ].astype(jnp.float32))
         new_c = jnp.where(counts > 0, new_c, rnd)
         norm = jnp.linalg.norm(new_c, axis=1, keepdims=True)
         return new_c / jnp.maximum(norm, 1e-12), None
@@ -87,13 +93,14 @@ def kmeans_fit(vectors: jax.Array, n_clusters: int, seed: int = 0,
 @functools.partial(jax.jit, static_argnames=("block",))
 def kmeans_assign(vectors: jax.Array, centroids: jax.Array,
                   block: int = 16384) -> jax.Array:
-    """[n] argmax-cosine cluster assignment, blocked like kmeans_fit."""
+    """[n] argmax-cosine cluster assignment, blocked like kmeans_fit
+    (per-block normalization — no [N, D] f32 temp)."""
     n, d = vectors.shape
-    v = l2_normalize(vectors.astype(jnp.float32))
     nb = -(-n // block)
-    v_pad = jnp.pad(v, ((0, nb * block - n), (0, 0)))
+    v_pad = jnp.pad(vectors, ((0, nb * block - n), (0, 0)))
 
     def blk(_, vb):
+        vb = l2_normalize(vb.astype(jnp.float32))
         sims = jnp.dot(vb, centroids.T, preferred_element_type=jnp.float32)
         return None, jnp.argmax(sims, axis=1).astype(jnp.int32)
 
@@ -254,18 +261,37 @@ class IVFIndex:
         return (np.asarray(starts, np.int64), np.asarray(lens, np.int64),
                 np.asarray(cids, np.int64))
 
-    def build(self, vectors: np.ndarray, kmeans_iters: int = 10) -> "IVFIndex":
-        v = np.asarray(vectors, dtype=np.float32)
-        n = len(v)
+    def build(self, vectors, kmeans_iters: int = 10) -> "IVFIndex":
+        """Build from [n, D] vectors — np array OR a device array in the
+        storage dtype. Memory discipline for corpus scale on a 16 GB
+        chip: k-means runs on the storage-dtype buffer (per-block
+        normalization, index/ivf.py kmeans_fit), the normalized host
+        copy is fetched block by block in the storage dtype, and the
+        device source is RELEASED before the permuted storage uploads —
+        peak device memory is one corpus copy plus block temps, never
+        two copies or an [N, D] f32 temp (the 10M build OOMed on both
+        before)."""
+        if isinstance(vectors, jax.Array):
+            v_dev = vectors
+        else:
+            v_dev = jnp.asarray(np.asarray(vectors, dtype=np.float32))
+        n, dim = int(v_dev.shape[0]), int(v_dev.shape[1])
         self.n_docs = n
         C = self.n_clusters or max(1, int(np.sqrt(n)))
         C = min(C, n)
         cap = self.chunk_cap or max(8, (4 * n) // C)
-        v_dev = jnp.asarray(v)
         centroids = kmeans_fit(v_dev, C, seed=self.seed, iters=kmeans_iters)
-        v_norm = np.asarray(l2_normalize(v_dev.astype(jnp.float32)))
+        # normalized host copy in the STORAGE dtype, block by block
+        blk = 1_000_000
+        parts = []
+        for s in range(0, n, blk):
+            piece = l2_normalize(
+                v_dev[s:s + blk].astype(jnp.float32)
+            ).astype(self.storage_dtype)
+            parts.append(np.asarray(piece))
+        v_norm = np.concatenate(parts) if len(parts) > 1 else parts[0]
         assign = np.asarray(kmeans_assign(v_dev, centroids))
-        del v_dev
+        del v_dev, vectors, parts  # free the device source before upload
         # permute docs into cluster order; split big clusters into chunks
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
@@ -273,11 +299,11 @@ class IVFIndex:
         starts, lens, cids = self._chunkify(sorted_assign, cap)
         self._cap = cap
         if self.mesh is not None:
-            self._build_sharded(v_norm, order, starts, lens,
-                                centroids_np[cids])
+            self._build_sharded(v_norm.astype(np.float32), order, starts,
+                                lens, centroids_np[cids])
         else:
             pad = cap  # so the last chunk's slice never reads out of bounds
-            docs_perm = np.zeros((n + pad, v.shape[1]), dtype=np.float32)
+            docs_perm = np.zeros((n + pad, dim), dtype=v_norm.dtype)
             docs_perm[:n] = v_norm[order]
             perm_to_orig = np.full(n + pad, -1, dtype=np.int32)
             perm_to_orig[:n] = order
