@@ -285,10 +285,112 @@ def phase_tile_profile():
     _time("full_tile", serve, q, iters=4)
 
 
+def phase_super():
+    """10M clustered serving + quality through the supertile exact-
+    resident path (ops/supertile.py), probe rungs 2 and 4."""
+    os.environ["HST_BENCH_SUPERHYB"] = "1"
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    n = int(os.environ.get("HST_BENCH_N", "10000000"))
+    for sp in ("2", "4"):
+        os.environ["HST_BENCH_SP"] = sp
+        print(json.dumps({"s_probe": int(sp), **bh.run(n, batch=256,
+                                                       iters=6)}),
+              flush=True)
+    os.environ["HST_BENCH_SP"] = "2"
+    print(json.dumps(bh.jaccard_vs_oracle(n, batch=32)), flush=True)
+
+
+def phase_super_profile():
+    """Stage attribution for the supertile path at 10M: tile-stats sweep,
+    supertile bound chain, window gather, one-hot placement — each as its
+    own program, rotated inputs, host-fetched reduction."""
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    from hybridsearch_tpu.ops.dense import (
+        dense_tile_stats,
+        gather_tile_scores,
+    )
+    from hybridsearch_tpu.ops.supertile import (
+        build_super_postings,
+        encode_super_queries,
+        hybrid_supertile_topk,
+        _bisect_runs,
+    )
+
+    n_docs, B = int(os.environ.get("HST_BENCH_N", "10000000")), 256
+    align = __import__(
+        "hybridsearch_tpu.ops.impact", fromlist=["default_align"]
+    ).default_align()
+    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}_cl.npz"
+    z = np.load(cache)
+    topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
+    vocab = int(z["vocab"])
+    t_full = np.repeat(np.arange(vocab, dtype=np.int64), df)
+    sp = build_super_postings(t_full, d_ids.astype(np.int64), w, n_docs,
+                              vocab)
+    docs, cent = bh.build_correlated_corpus(n_docs, topic_of)
+    term_lists, q_topics = bh.correlated_queries(B)
+    enc = encode_super_queries(sp, term_lists)
+    q = bh.query_vectors(q_topics, cent)
+    jax.block_until_ready((sp.sup_max, docs))
+    print(f"# wcap={enc.wcap} n_super={sp.n_super}", flush=True)
+
+    def _time(label, fn, *args, iters=4, rot=0):
+        try:
+            jax.block_until_ready(fn(*args))
+            samples = []
+            for i in range(iters):
+                a = list(args)
+                a[rot] = jnp.roll(args[rot], i + 1, axis=0)
+                jax.block_until_ready(a[rot])
+                t0 = time.perf_counter()
+                jax.block_until_ready(fn(*a))
+                samples.append((time.perf_counter() - t0) * 1e3)
+            samples.sort()
+            print(f"{label:14s} {samples[len(samples)//2]:8.1f} ms "
+                  f"(min {samples[0]:.1f})", flush=True)
+        except Exception as e:
+            print(f"{label:14s} FAILED {type(e).__name__}: {e}", flush=True)
+
+    jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
+    _time("tile_stats", lambda qq: dense_tile_stats(qq, docs, None), q)
+    rng = np.random.default_rng(0)
+    sup2 = jnp.asarray(np.sort(
+        rng.integers(0, sp.n_super, (B, 2)).astype(np.int32), axis=1))
+    tiles2 = (sup2[:, :, None] * 128 + jnp.arange(128, dtype=jnp.int32)[
+        None, None, :]).reshape(B, 256)
+    _time("gather256t", lambda tt: gather_tile_scores(q, docs, tt, None)[0],
+          tiles2, rot=0)
+    ids_flat = sp.ids_rows.reshape(-1)
+    base2 = (sup2 * sp.super_docs).astype(jnp.int32)
+    T = enc.term_ids.shape[1]
+    pts = jnp.stack([jnp.broadcast_to(base2[:, None, :], (B, T, 2)),
+                     jnp.broadcast_to(base2[:, None, :] + sp.super_docs,
+                                      (B, T, 2))], axis=-1
+                    ).reshape(B, T, 4)
+    _time("bisect", lambda p: _bisect_runs(ids_flat, enc.starts, enc.lens,
+                                           p).sum(), pts, rot=0)
+
+    def serve(qq):
+        return hybrid_supertile_topk(qq, docs, sp, enc, 10, 0.7, 0.3,
+                                     s_probe=2, n_alive=n_docs)
+
+    _time("full_super", serve, q, iters=6)
+    _time("full_super2", serve, q, iters=6)
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
           "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m,
           "7": phase_tile_hybrid, "8": phase_tile_jaccard,
-          "9": phase_tile_profile}
+          "9": phase_tile_profile, "10": phase_super,
+          "11": phase_super_profile}
 
 
 def main():

@@ -1,0 +1,85 @@
+"""Pallas TPU kernel for the supertile hybrid's resident placement
+(ops/supertile.py).
+
+The XLA path of the factorized one-hot placement materializes its
+[*, ECH, 128] one-hot factors in HBM every scan step — ~26 GB of traffic
+per 256-query batch at 10M docs (window cap 8192). This kernel builds
+both factors in VMEM per (query, supertile) block and accumulates the
+[super_tiles, 128] resident buffer on the MXU, so HBM traffic is the
+gathered windows once plus the output once.
+
+Semantics (exact, same as the jnp scan):
+    out[bs, r, c] = sum_e (l[bs,e] // 128 == r) * (l[bs,e] % 128 == c)
+                          * (l[bs,e] >= 0) * w[bs,e]
+Entries with l outside [0, super_tiles*128) contribute nothing (their
+weights are window-masked to 0 upstream anyway).
+
+jnp fallback lives in ops/supertile.py; CPU tests run this kernel in
+interpret mode for value parity (interpret mode does not validate
+Mosaic's block-shape rules — those are exercised by the TPU benchmarks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("super_tiles", "tile", "ech",
+                                    "interpret"))
+def pallas_place_windows(
+    l_flat: jax.Array,  # [BS, TE] int32 local doc ids (invalid < 0 or >= R)
+    w_flat: jax.Array,  # [BS, TE] float32 (invalid entries = 0)
+    super_tiles: int = 128,
+    tile: int = 128,
+    ech: int = 2048,
+    interpret: bool = False,
+) -> jax.Array:
+    """[BS, super_tiles, tile] f32 resident lexical buffers. TE must be a
+    multiple of `ech` (the wrapper in ops/supertile.py pads)."""
+    BS, TE = l_flat.shape
+    ech = min(ech, TE)
+    assert TE % ech == 0
+    nk = TE // ech
+
+    def kernel(l_ref, w_ref, out_ref):
+        k = pl.program_id(1)
+
+        @pl.when(k == 0)
+        def _init():
+            out_ref[...] = jnp.zeros_like(out_ref)
+
+        l = l_ref[0]  # [ech]
+        w = w_ref[0]  # [ech]
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, super_tiles), 1)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, tile), 1)
+        r_hot = l[:, None] // tile == r_iota  # [ech, St]
+        wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 — exact row select
+        c_hot = ((l[:, None] % tile == c_iota)
+                 & (l >= 0)[:, None]).astype(jnp.bfloat16)
+        out_ref[0] += jax.lax.dot_general(
+            wh, c_hot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BS, super_tiles, tile),
+                                       jnp.float32),
+        grid=(BS, nk),
+        in_specs=[
+            pl.BlockSpec((1, ech), lambda b, k: (b, k)),
+            pl.BlockSpec((1, ech), lambda b, k: (b, k)),
+        ],
+        out_specs=pl.BlockSpec((1, super_tiles, tile),
+                               lambda b, k: (b, 0, 0)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(l_flat, w_flat)

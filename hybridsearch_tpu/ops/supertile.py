@@ -198,6 +198,18 @@ def encode_super_queries(
     )
 
 
+def _use_pallas_place() -> bool:
+    """Pallas VMEM-resident placement on TPU (HST_PALLAS_SUPER=0 to
+    disable): the jnp scan materializes its one-hot factors in HBM every
+    chunk (~26 GB/batch at 10M, wcap 8192); the kernel's HBM traffic is
+    the windows once plus the output once. Value parity pinned by
+    interpret-mode tests."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("HST_PALLAS_SUPER", "1") != "0")
+
+
 def _bisect_runs(
     ids_flat: jax.Array,  # [M*ROW] int32 doc-sorted CSR (pad = n_docs)
     starts: jax.Array,  # [B, T]
@@ -339,28 +351,53 @@ def _hybrid_super_impl(
     l_loc = win_ids - base[:, None, :, None]  # [B, T, S, E] local doc ids
 
     # factorized one-hot placement: out[b,s,r,c] += sum_e
-    #   (l//TILE == r) * (l%TILE == c) * w — one MXU contraction per term
-    # instead of a scatter. Out-of-range l (entries just outside the
-    # window, already weight-masked anyway) match no r row.
-    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
-    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
-
-    def per_term(acc, ts_in):
-        l_t, w_t = ts_in  # [B, S, E]
-        r_hot = (l_t[..., None] // TILE == r_iota).astype(jnp.float32)
-        c_hot = ((l_t[..., None] % TILE == c_iota)
-                 & (l_t[..., None] >= 0)).astype(jnp.bfloat16)
-        contrib = jnp.einsum(
-            "bser,bsec->bsrc", r_hot * w_t[..., None], c_hot,
-            preferred_element_type=jnp.float32,
+    #   (l//TILE == r) * (l%TILE == c) * w — MXU contractions instead of
+    # a scatter. Out-of-range l (entries just outside the window, already
+    # weight-masked anyway) match no r row. The entry axis is scanned in
+    # ECH-wide chunks across all terms so the one-hot transient stays
+    # bounded ([B, S, ECH, 128] per step) at any window cap.
+    ECH = min(E, 2048)
+    n_ch = -(-E // ECH)
+    if n_ch * ECH != E:
+        pad_e = n_ch * ECH - E
+        l_loc = jnp.pad(l_loc, ((0, 0),) * 3 + ((0, pad_e),),
+                        constant_values=-1)
+        w_eff = jnp.pad(w_eff, ((0, 0),) * 3 + ((0, pad_e),))
+    if _use_pallas_place():
+        from hybridsearch_tpu.ops.pallas_supertile import (
+            pallas_place_windows,
         )
-        return acc + contrib, None
 
-    lex4, _ = jax.lax.scan(
-        per_term,
-        jnp.zeros((B, S, super_tiles, TILE), jnp.float32),
-        (l_loc.transpose(1, 0, 2, 3), w_eff.transpose(1, 0, 2, 3)),
-    )
+        l2 = l_loc.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
+        w2 = w_eff.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
+        lex4 = pallas_place_windows(l2, w2, super_tiles, TILE,
+                                    ech=ECH).reshape(B, S, super_tiles,
+                                                     TILE)
+    else:
+        r_iota = jax.lax.broadcasted_iota(jnp.int32,
+                                          (1, 1, 1, super_tiles), 3)
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
+        l_ch = (l_loc.reshape(B, T, S, n_ch, ECH)
+                .transpose(1, 3, 0, 2, 4).reshape(T * n_ch, B, S, ECH))
+        w_ch = (w_eff.reshape(B, T, S, n_ch, ECH)
+                .transpose(1, 3, 0, 2, 4).reshape(T * n_ch, B, S, ECH))
+
+        def per_chunk(acc, ts_in):
+            l_t, w_t = ts_in  # [B, S, ECH]
+            r_hot = (l_t[..., None] // TILE == r_iota).astype(jnp.float32)
+            c_hot = ((l_t[..., None] % TILE == c_iota)
+                     & (l_t[..., None] >= 0)).astype(jnp.bfloat16)
+            contrib = jnp.einsum(
+                "bser,bsec->bsrc", r_hot * w_t[..., None], c_hot,
+                preferred_element_type=jnp.float32,
+            )
+            return acc + contrib, None
+
+        lex4, _ = jax.lax.scan(
+            per_chunk,
+            jnp.zeros((B, S, super_tiles, TILE), jnp.float32),
+            (l_ch, w_ch),
+        )
     lex_res = lex4.reshape(B, R)
     lex_res = jnp.where(alive, lex_res, 0.0)
 

@@ -178,6 +178,25 @@ def test_supertile_wcap_overflow_is_flagged(rng):
     assert bool(np.asarray(res2.exact).all())
 
 
+def test_supertile_wide_wcap_chunked_placement(rng):
+    """A window cap above the placement chunk width (2048) must still
+    match full fusion — exercises the multi-chunk one-hot scan."""
+    n = 2048
+    vocab, bm25, docs = _mk_corpus(rng, n, 120)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(3)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((3, 32)).astype(np.float32)))
+    sp = _sp_from_bm25(bm25)
+    enc = encode_super_queries(sp, [
+        bm25.vocab.encode(qq.split()) for qq in queries], wcap=4096)
+    res = hybrid_supertile_topk(q, docs, sp, enc, 5, 0.7, 0.3,
+                                s_probe=sp.n_super)
+    ovals, _ = _oracle(bm25, docs, queries, q, 0.7, 0.3, None, 5)
+    assert bool(res.exact.all())
+    np.testing.assert_allclose(np.asarray(res.values), np.asarray(ovals),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_supertile_build_matches_numpy_oracle(rng):
     """sup_max / win_max / CSR rows against a brute-force build."""
     V, n = 40, 700
@@ -209,6 +228,28 @@ def test_supertile_build_matches_numpy_oracle(rng):
     flat_ids = np.asarray(sp.ids_rows).reshape(-1)
     np.testing.assert_array_equal(flat_ids[: len(d_ids)], d_ids)
     assert (flat_ids[len(d_ids):] == n).all()
+
+
+def test_pallas_place_windows_interpret_parity(rng):
+    """The Pallas placement kernel (interpret mode) must bit-match the
+    jnp scatter oracle on random windows, including invalid ids."""
+    from hybridsearch_tpu.ops.pallas_supertile import pallas_place_windows
+
+    BS, TE, St, Tl = 8, 1024, 16, 128
+    R = St * Tl
+    l = rng.integers(-200, R + 300, (BS, TE)).astype(np.int32)
+    w = rng.exponential(1.0, (BS, TE)).astype(np.float32)
+    w[l < 0] = 0.0
+    w[l >= R] = 0.0
+    out = pallas_place_windows(jnp.asarray(l), jnp.asarray(w),
+                               super_tiles=St, tile=Tl, ech=512,
+                               interpret=True)
+    ref = np.zeros((BS, R), np.float32)
+    for b in range(BS):
+        ok = (l[b] >= 0) & (l[b] < R)
+        np.add.at(ref[b], l[b][ok], w[b][ok])
+    np.testing.assert_allclose(np.asarray(out).reshape(BS, R), ref,
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_searcher_supertile_path_parity(monkeypatch, rng):
