@@ -375,8 +375,10 @@ def phase_super_profile():
                      jnp.broadcast_to(base2[:, None, :] + sp.super_docs,
                                       (B, T, 2))], axis=-1
                     ).reshape(B, T, 4)
-    _time("bisect", lambda p: _bisect_runs(ids_flat, enc.starts, enc.lens,
-                                           p).sum(), pts, rot=0)
+    f_bis = jax.jit(lambda p, idf, st, ln: _bisect_runs(idf, st, ln,
+                                                        p).sum())
+    _time("bisect", lambda p: f_bis(p, ids_flat, enc.starts, enc.lens),
+          pts, rot=0)
 
     def serve(qq):
         return hybrid_supertile_topk(qq, docs, sp, enc, 10, 0.7, 0.3,

@@ -41,11 +41,18 @@ def pallas_place_windows(
     interpret: bool = False,
 ) -> jax.Array:
     """[BS, super_tiles, tile] f32 resident lexical buffers. TE must be a
-    multiple of `ech` (the wrapper in ops/supertile.py pads)."""
+    multiple of `ech`; BS is padded to a multiple of 8 here (Mosaic:
+    block rows divisible by 8)."""
+    _ROWS = 8
     BS, TE = l_flat.shape
     ech = min(ech, TE)
     assert TE % ech == 0
     nk = TE // ech
+    bs_pad = -(-BS // _ROWS) * _ROWS
+    if bs_pad != BS:
+        l_flat = jnp.pad(l_flat, ((0, bs_pad - BS), (0, 0)),
+                         constant_values=-1)
+        w_flat = jnp.pad(w_flat, ((0, bs_pad - BS), (0, 0)))
 
     def kernel(l_ref, w_ref, out_ref):
         k = pl.program_id(1)
@@ -54,32 +61,34 @@ def pallas_place_windows(
         def _init():
             out_ref[...] = jnp.zeros_like(out_ref)
 
-        l = l_ref[0]  # [ech]
-        w = w_ref[0]  # [ech]
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, super_tiles), 1)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, tile), 1)
-        r_hot = l[:, None] // tile == r_iota  # [ech, St]
-        wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 — exact row select
-        c_hot = ((l[:, None] % tile == c_iota)
-                 & (l >= 0)[:, None]).astype(jnp.bfloat16)
-        out_ref[0] += jax.lax.dot_general(
-            wh, c_hot, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        for r in range(_ROWS):
+            l = l_ref[r]  # [ech]
+            w = w_ref[r]  # [ech]
+            r_hot = l[:, None] // tile == r_iota  # [ech, St]
+            wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 exact row select
+            c_hot = ((l[:, None] % tile == c_iota)
+                     & (l >= 0)[:, None]).astype(jnp.bfloat16)
+            out_ref[r] += jax.lax.dot_general(
+                wh, c_hot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BS, super_tiles, tile),
+        out_shape=jax.ShapeDtypeStruct((bs_pad, super_tiles, tile),
                                        jnp.float32),
-        grid=(BS, nk),
+        grid=(bs_pad // _ROWS, nk),
         in_specs=[
-            pl.BlockSpec((1, ech), lambda b, k: (b, k)),
-            pl.BlockSpec((1, ech), lambda b, k: (b, k)),
+            pl.BlockSpec((_ROWS, ech), lambda b, k: (b, k)),
+            pl.BlockSpec((_ROWS, ech), lambda b, k: (b, k)),
         ],
-        out_specs=pl.BlockSpec((1, super_tiles, tile),
+        out_specs=pl.BlockSpec((_ROWS, super_tiles, tile),
                                lambda b, k: (b, 0, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
     )(l_flat, w_flat)
+    return out[:BS] if bs_pad != BS else out
