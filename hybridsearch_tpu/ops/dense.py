@@ -630,7 +630,14 @@ def gather_tile_scores(
     q3 = q.astype(jnp.bfloat16) if docs.dtype == jnp.bfloat16 else q
     el_bytes = 2 if docs.dtype == jnp.bfloat16 else 4
     per_tile_bytes = max(1, B * tile * Dm * el_bytes)
-    chunk = max(1, min(KT, 268_435_456 // per_tile_bytes))
+    # transient budget per gather chunk: too small fragments the gather
+    # into many sequential low-utilization einsums (26 chunks measured
+    # 57.7 ms for 256 tiles x 256 queries at 10M — ~12% of HBM speed);
+    # 1 GB keeps it to a few large steps
+    import os as _os
+
+    budget = int(_os.environ.get("HST_GATHER_CHUNK_MB", "1024")) << 20
+    chunk = max(1, min(KT, budget // per_tile_bytes))
     tt_safe = jnp.minimum(top_tiles, n_tiles - 1)
     parts = []
     for c0 in range(0, KT, chunk):
