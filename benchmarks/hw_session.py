@@ -361,6 +361,14 @@ def phase_super_profile():
 
     jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
     _time("tile_stats", lambda qq: dense_tile_stats(qq, docs, None), q)
+    # block-size sensitivity: the pass-1 kernel measured ~3.5x off its
+    # bandwidth bound at B=256 with the default 32 tiles/block
+    for tpb in (64, 128):
+        os.environ["HST_PALLAS_TPB"] = str(tpb)
+        _time(f"tile_stats{tpb}",
+              lambda qq: dense_tile_stats(qq, docs, None,
+                                          block_n=tpb * 128 * 64), q)
+    os.environ.pop("HST_PALLAS_TPB", None)
     rng = np.random.default_rng(0)
     sup2 = jnp.asarray(np.sort(
         rng.integers(0, sp.n_super, (B, 2)).astype(np.int32), axis=1))
