@@ -66,10 +66,14 @@ def pallas_place_windows(
         for r in range(_ROWS):
             l = l_ref[r]  # [ech]
             w = w_ref[r]  # [ech]
+            # no explicit l >= 0 guard: a negative l floor-divides to a
+            # negative row, matching no r_iota row, so its c_hot column
+            # never receives weight. (A bool [ech] -> [ech, 1] reshape
+            # also trips Mosaic: "insertion of minor dim ... only
+            # supported for 32-bit types".)
             r_hot = l[:, None] // tile == r_iota  # [ech, St]
             wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 exact row select
-            c_hot = ((l[:, None] % tile == c_iota)
-                     & (l >= 0)[:, None]).astype(jnp.bfloat16)
+            c_hot = (l[:, None] % tile == c_iota).astype(jnp.bfloat16)
             out_ref[r] += jax.lax.dot_general(
                 wh, c_hot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -69,6 +69,11 @@ class SuperPostings(NamedTuple):
 
     sup_max: jax.Array  # [V+1, n_super] f32 per-term supertile maxima
     #                     (row V is zeros — the query-pad sentinel)
+    sup_pos: jax.Array  # [V+1, n_super+1] int32 — absolute CSR position
+    #                     of term t's first posting in supertile >= s;
+    #                     window bounds are then ONE gather instead of a
+    #                     31-step device bisection (35.6 ms/batch at 10M:
+    #                     serial latency-bound gathers)
     ids_rows: jax.Array  # [M, ROW] int32 full doc-sorted CSR ids (pad n_docs)
     ws_rows: jax.Array  # [M, ROW] f32 full CSR weights (pad 0)
     n_docs: int
@@ -107,6 +112,8 @@ def build_super_postings(
     starts = np.concatenate([[0], np.cumsum(df)])[:-1]
 
     table = np.zeros((V + 1, n_super), dtype=np.float32)
+    pos_tab = np.zeros((V + 1, n_super + 1), dtype=np.int32)
+    pos_tab[:V, n_super] = (starts + df).astype(np.int32)
     win_max = np.zeros(V, dtype=np.int64)
     nnz = len(t)
     if nnz:
@@ -122,6 +129,15 @@ def build_super_postings(
         # (already term-sorted) segment list
         tb = np.concatenate([[0], np.flatnonzero(np.diff(seg_t)) + 1])
         win_max[seg_t[tb]] = np.maximum.reduceat(seg_len, tb)
+        # boundary positions: reverse fill — a supertile with no segment
+        # inherits the next one's start (first position with sig >= s)
+        present = np.zeros((V, n_super), bool)
+        seg_pos = np.zeros((V, n_super), np.int64)
+        present[seg_t, seg_s] = True
+        seg_pos[seg_t, seg_s] = seg_starts
+        for s in range(n_super - 1, -1, -1):
+            pos_tab[:V, s] = np.where(present[:, s], seg_pos[:, s],
+                                      pos_tab[:V, s + 1])
 
     M = max(1, -(-(nnz + 1) // ROW))
     ids_pad = np.full(M * ROW, n_docs, dtype=np.int32)
@@ -130,6 +146,7 @@ def build_super_postings(
     ws_pad[:nnz] = w
     return SuperPostings(
         sup_max=jnp.asarray(table),
+        sup_pos=jnp.asarray(pos_tab),
         ids_rows=jnp.asarray(ids_pad.reshape(M, ROW)),
         ws_rows=jnp.asarray(ws_pad.reshape(M, ROW)),
         n_docs=n_docs,
@@ -243,11 +260,10 @@ def _hybrid_super_impl(
     q: jax.Array,  # [B, D] L2-normalized f32 queries
     docs: jax.Array,  # [N, D] L2-normalized (bf16/f32)
     sup_max: jax.Array,  # [V+1, n_super]
+    sup_pos: jax.Array,  # [V+1, n_super+1]
     ids_rows: jax.Array,  # [M, ROW]
     ws_rows: jax.Array,  # [M, ROW]
     term_ids: jax.Array,  # [B, T]
-    starts: jax.Array,  # [B, T]
-    lens: jax.Array,  # [B, T]
     complete: jax.Array,  # [B] bool
     lex_min_zero: jax.Array,  # [B] bool (full_touched < n_alive)
     w_s: jax.Array,
@@ -322,15 +338,19 @@ def _hybrid_super_impl(
     alive = jnp.isfinite(s_res)
 
     # -- 5. resident lexical scores: CSR windows + one-hot placement ------
+    # window bounds come from the build-time boundary-position table —
+    # one gather, not a bisection (31 serial gather steps measured
+    # 35.6 ms/batch at 10M)
     base = (sup_s * sd).astype(jnp.int32)  # [B, S]
-    pts = jnp.stack([
-        jnp.broadcast_to(base[:, None, :], (B, T, S)),
-        jnp.broadcast_to(base[:, None, :] + sd, (B, T, S)),
-    ], axis=-1).reshape(B, T, S * 2)
-    ids_flat = ids_rows.reshape(-1)
-    pos2 = _bisect_runs(ids_flat, starts, lens, pts).reshape(B, T, S, 2)
-    lo = starts[:, :, None] + pos2[..., 0]  # [B, T, S] abs CSR positions
-    hi = starts[:, :, None] + pos2[..., 1]
+    ns_tab = sup_pos.shape[1] - 1  # table's n_super (pre-padding)
+    sup_c = jnp.minimum(sup_s, ns_tab - 1)
+    tab_idx = term_ids[:, :, None] * (ns_tab + 1) + sup_c[:, None, :]
+    pos_flat = sup_pos.reshape(-1)
+    lo = jnp.take(pos_flat, tab_idx)  # [B, T, S] abs CSR positions
+    hi = jnp.take(pos_flat, tab_idx + 1)
+    in_tab = (sup_s < ns_tab)[:, None, :]
+    lo = jnp.where(in_tab, lo, 0)
+    hi = jnp.where(in_tab, hi, 0)
     ovf = jnp.any((hi - lo) > wcap, axis=(1, 2))  # [B]
 
     m_rows = wcap // ROW + 1
@@ -463,9 +483,8 @@ def hybrid_supertile_topk(
     n_alive = N if n_alive is None else n_alive
     lex_min_zero = jnp.asarray(enc.full_touched < n_alive)
     return _hybrid_super_impl(
-        q, docs, sp.sup_max, sp.ids_rows, sp.ws_rows,
-        enc.term_ids, enc.starts, enc.lens,
-        jnp.asarray(enc.complete), lex_min_zero,
+        q, docs, sp.sup_max, sp.sup_pos, sp.ids_rows, sp.ws_rows,
+        enc.term_ids, jnp.asarray(enc.complete), lex_min_zero,
         jnp.float32(w_s), jnp.float32(w_l), bias,
         k=k, s_probe=s_probe, wcap=min(enc.wcap, sp.super_docs),
         norm=norm, block_n=block_n, super_tiles=sp.super_tiles,

@@ -225,6 +225,16 @@ def test_supertile_build_matches_numpy_oracle(rng):
                 wid[t] = max(wid[t], sel.sum())
     np.testing.assert_allclose(np.asarray(sp.sup_max)[:V], ref, rtol=1e-6)
     np.testing.assert_array_equal(sp.win_max_host, wid)
+    # boundary positions: first CSR position of term t with doc in
+    # supertile >= s (== searchsorted over the term's doc-sorted run)
+    pos = np.asarray(sp.sup_pos)
+    for t in range(V):
+        s0, l0 = int(sp.starts_host[t]), int(sp.df_host[t])
+        run = d_ids[s0:s0 + l0]
+        for s in range(n_super + 1):
+            want = s0 + np.searchsorted(run, s * sd)
+            assert pos[t, s] == want, (t, s)
+    assert (pos[V] == 0).all()
     flat_ids = np.asarray(sp.ids_rows).reshape(-1)
     np.testing.assert_array_equal(flat_ids[: len(d_ids)], d_ids)
     assert (flat_ids[len(d_ids):] == n).all()
