@@ -37,7 +37,8 @@ def pallas_place_windows(
     w_flat: jax.Array,  # [BS, TE] float32 (invalid entries = 0)
     super_tiles: int = 128,
     tile: int = 128,
-    ech: int = 2048,
+    ech: int = 1024,  # 2048 OOMed VMEM: the 8 unrolled rows' one-hot
+    #                   temporaries (~2.5 MB each) co-allocate on stack
     interpret: bool = False,
 ) -> jax.Array:
     """[BS, super_tiles, tile] f32 resident lexical buffers. TE must be a

@@ -390,9 +390,10 @@ def _hybrid_super_impl(
 
         l2 = l_loc.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
         w2 = w_eff.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
-        lex4 = pallas_place_windows(l2, w2, super_tiles, TILE,
-                                    ech=ECH).reshape(B, S, super_tiles,
-                                                     TILE)
+        lex4 = pallas_place_windows(
+            l2, w2, super_tiles, TILE,
+            ech=min(ECH, 1024),  # VMEM budget of the 8-row kernel
+        ).reshape(B, S, super_tiles, TILE)
     else:
         r_iota = jax.lax.broadcasted_iota(jnp.int32,
                                           (1, 1, 1, super_tiles), 3)
