@@ -333,6 +333,13 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
         enc_s = encode_super_queries(sp, term_lists)
         jax.block_until_ready(sp.sup_max)
         SP = int(os.environ.get("HST_BENCH_SP", "2"))
+        # zero-row pad to a 4096 multiple: the fused DMA scores kernel
+        # needs N % chunk == 0 (engine capacity rounding guarantees it;
+        # the bench corpus is exactly n_docs). Pad rows have no postings
+        # and mid-pack sem scores — never in a topical top-k.
+        pad_n = -(-n_docs // 4096) * 4096 - n_docs
+        if pad_n:
+            docs = jnp.pad(docs, ((0, pad_n), (0, 0)))
 
         def serve_once(qq):
             return hybrid_supertile_topk(qq, docs, sp, enc_s, TOP_K, 0.7,

@@ -29,6 +29,80 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+@functools.partial(jax.jit, static_argnames=("sd", "ch", "interpret"))
+def pallas_super_scores(
+    q: jax.Array,  # [B, D] in the docs' matmul dtype (bf16 for bf16 docs)
+    docs: jax.Array,  # [N, D], N % ch == 0, D % 128 == 0
+    sup_s: jax.Array,  # [B, S] int32 probed supertile ids (sorted)
+    sd: int,  # docs per supertile; sd % ch == 0
+    ch: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """[B, S*sd] raw dot scores of every doc in each query's probed
+    supertiles — the DMA-fused replacement for the XLA gather+einsum
+    (jnp.take of tile rows measured ~105 GB/s effective: 58-120 ms/batch
+    at 10M). Each grid step DMAs 8 queries' supertile-contiguous row
+    chunks straight from HBM and dots them against the query block; HBM
+    traffic is docs-rows once + output once.
+
+    Out-of-range chunk indices (capacity-padded supertiles past the end)
+    are clamped to the last chunk; the caller masks those slots by
+    global doc id anyway. The caller applies bias and validity masks."""
+    B, D = q.shape
+    N = docs.shape[0]
+    S = sup_s.shape[1]
+    assert N % ch == 0 and sd % ch == 0 and D % 128 == 0
+    nch = sd // ch
+    _R = 8
+    bp = -(-B // _R) * _R
+    if bp != B:
+        q = jnp.pad(q, ((0, bp - B), (0, 0)))
+        sup_s = jnp.pad(sup_s, ((0, bp - B), (0, 0)))
+    sup_flat = sup_s.reshape(-1).astype(jnp.int32)
+    last = N // ch - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(bp // _R, S, nch),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # docs (HBM)
+            pl.BlockSpec((_R, D), lambda b, s, c, sup: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((_R, ch), lambda b, s, c, sup: (b, s * nch + c)),
+        scratch_shapes=[
+            pltpu.VMEM((_R, ch, D), docs.dtype),
+            pltpu.SemaphoreType.DMA((_R,)),
+        ],
+    )
+
+    def kernel(sup_ref, docs_hbm, q_ref, out_ref, scr, sem):
+        b = pl.program_id(0)
+        s = pl.program_id(1)
+        c = pl.program_id(2)
+        copies = []
+        for r in range(_R):
+            idx = jnp.minimum(sup_ref[(b * _R + r) * S + s] * nch + c,
+                              last)
+            cp = pltpu.make_async_copy(
+                docs_hbm.at[pl.ds(idx * ch, ch)], scr.at[r], sem.at[r])
+            cp.start()
+            copies.append(cp)
+        for r in range(_R):
+            copies[r].wait()
+            out_ref[r, :] = jax.lax.dot_general(
+                scr[r], q_ref[r][:, None], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[:, 0]
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bp, S * sd), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(sup_flat, docs, q)
+    return out[:B] if bp != B else out
+
+
 @functools.partial(jax.jit,
                    static_argnames=("super_tiles", "tile", "ech",
                                     "interpret"))

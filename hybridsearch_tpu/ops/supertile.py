@@ -329,12 +329,36 @@ def _hybrid_super_impl(
     _, top_sup = jax.lax.top_k(bound0, S)
     sup_s = jnp.sort(top_sup, axis=1)  # [B, S] ascending
 
-    # -- 4. resident semantic scores: contiguous tile gathers -------------
-    tiles_sel = (sup_s[:, :, None] * super_tiles
-                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, super_tiles),
-                                            2)).reshape(B, S * super_tiles)
-    s_res, gidx = gather_tile_scores(q, docs, tiles_sel, bias)  # [B, R]
+    # -- 4. resident semantic scores ---------------------------------------
     R = S * sd
+    CH = 1024
+    if _use_pallas_place() and N % CH == 0 and Dm % 128 == 0:
+        # fused DMA+dot kernel: supertile rows stream from HBM once
+        # (the XLA tile gather + einsum measured 58-120 ms/batch at 10M)
+        from hybridsearch_tpu.ops.pallas_supertile import (
+            pallas_super_scores,
+        )
+
+        q3 = q.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else q
+        s_res = pallas_super_scores(q3, docs, sup_s, sd, ch=CH)
+        gidx = (sup_s[:, :, None] * sd
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sd), 2)
+                ).reshape(B, R)
+        if bias is not None:
+            bias2 = bias.astype(jnp.float32).reshape(N // CH, CH)
+            blk = jnp.minimum(
+                sup_s[:, :, None] * (sd // CH)
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sd // CH), 2),
+                N // CH - 1,
+            ).reshape(B, S * (sd // CH))
+            s_res = s_res + jnp.take(bias2, blk, axis=0).reshape(B, R)
+        s_res = jnp.where(gidx < N, s_res, NEG_INF)
+    else:
+        tiles_sel = (sup_s[:, :, None] * super_tiles
+                     + jax.lax.broadcasted_iota(
+                         jnp.int32, (1, 1, super_tiles), 2)
+                     ).reshape(B, S * super_tiles)
+        s_res, gidx = gather_tile_scores(q, docs, tiles_sel, bias)
     alive = jnp.isfinite(s_res)
 
     # -- 5. resident lexical scores: CSR windows + one-hot placement ------

@@ -262,6 +262,27 @@ def test_pallas_place_windows_interpret_parity(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_super_scores_interpret_parity(rng):
+    """The fused DMA+dot scores kernel (interpret mode) must match the
+    plain einsum on every probed slot, including clamped out-of-range
+    chunks (those slots are masked by gid >= N)."""
+    from hybridsearch_tpu.ops.pallas_supertile import pallas_super_scores
+
+    B, D, sd, S = 5, 128, 512, 2
+    N = 4096  # 8 supertiles, N % ch == 0
+    docs = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    sup = jnp.asarray(np.sort(rng.integers(0, N // sd, (B, S)), axis=1)
+                      .astype(np.int32))
+    out = pallas_super_scores(q, docs, sup, sd, ch=256, interpret=True)
+    gidx = (np.asarray(sup)[:, :, None] * sd
+            + np.arange(sd)[None, None, :]).reshape(B, S * sd)
+    ref = np.take(np.asarray(docs), gidx.reshape(-1), axis=0).reshape(
+        B, S * sd, D)
+    ref = np.einsum("brd,bd->br", ref, np.asarray(q))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
+
+
 def test_searcher_supertile_path_parity(monkeypatch, rng):
     """search_batch through the clustered supertile path must return
     exactly what the full fused path returns (same corpus, queries)."""
