@@ -336,6 +336,9 @@ def phase_super_profile():
     sp = build_super_postings(t_full, d_ids.astype(np.int64), w, n_docs,
                               vocab)
     docs, cent = bh.build_correlated_corpus(n_docs, topic_of)
+    pad_n = -(-n_docs // 4096) * 4096 - n_docs
+    if pad_n:  # the DMA scores kernel needs N % chunk == 0 (bench parity)
+        docs = jnp.pad(docs, ((0, pad_n), (0, 0)))
     term_lists, q_topics = bh.correlated_queries(B)
     enc = encode_super_queries(sp, term_lists)
     q = bh.query_vectors(q_topics, cent)
@@ -387,6 +390,32 @@ def phase_super_profile():
                                                         p).sum())
     _time("bisect", lambda p: f_bis(p, ids_flat, enc.starts, enc.lens),
           pts, rot=0)
+
+    # placement kernel alone at serving shapes (S=2, wcap windows)
+    from hybridsearch_tpu.ops.pallas_supertile import (
+        pallas_place_windows,
+        pallas_super_scores,
+    )
+
+    E = (enc.wcap // 128 + 1) * 128
+    n_ch = -(-E // 1024)
+    TE = T * n_ch * 1024
+    l_fake = jnp.asarray(
+        rng.integers(-1, 2 * 16384, (512, TE)).astype(np.int32))
+    w_fake = jnp.asarray(rng.random((512, TE)).astype(np.float32))
+
+    @jax.jit
+    def place_red(l, wv):
+        return pallas_place_windows(l, wv, 128, 128, ech=1024).sum()
+
+    _time("place_s2", place_red, l_fake, w_fake)
+
+    @jax.jit
+    def scores_red(qq, ss):
+        return pallas_super_scores(qq, docs, ss, 16384, ch=1024).sum()
+
+    q_bf = q.astype(docs.dtype)
+    _time("dmascores_s2", lambda ss: scores_red(q_bf, ss), sup2, rot=0)
 
     def serve(qq):
         return hybrid_supertile_topk(qq, docs, sp, enc, 10, 0.7, 0.3,
