@@ -277,13 +277,18 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     cache = (f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}"
              + ("_cl" if cluster else "") + ".npz")
     t0 = time.time()
+    tilehyb = os.environ.get("HST_BENCH_TILEHYB") == "1"
+    superhyb = os.environ.get("HST_BENCH_SUPERHYB") == "1"
     if os.path.exists(cache):
         z = np.load(cache)
         topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
         vocab = int(z["vocab"])
         from hybridsearch_tpu.ops.impact import ImpactPostings
 
-        imp = ImpactPostings(
+        # the supertile path never touches the impact tier — keep its
+        # ~1 GB of device arrays off the chip (the 10M corpus + super
+        # structures need the headroom)
+        imp = None if superhyb else ImpactPostings(
             doc_ids=jnp.asarray(z["imp_ids"]),
             weights=jnp.asarray(z["imp_ws"]),
             n_docs=n_docs, p_max=P_MAX, starts_host=z["imp_starts"],
@@ -303,21 +308,34 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
                  imp_ws=np.asarray(imp.weights),
                  imp_starts=imp.starts_host, imp_lens=imp.lengths_host,
                  imp_slack=imp.slack_host, imp_wh=imp.weights_host)
-    docs, cent = build_correlated_corpus(n_docs, topic_of)
-    jax.block_until_ready(imp.weights)
+        if superhyb:
+            imp = None
+    # zero-postings ghost rows pad the corpus to a 4096 multiple for the
+    # supertile path: the fused DMA scores kernel needs N % chunk == 0
+    # (engine capacity rounding guarantees it; the bench corpus is
+    # exactly n_docs). Generated at padded size — a post-hoc jnp.pad
+    # would transiently hold TWO 7.7 GB corpus copies and OOM the chip.
+    n_gen = -(-n_docs // 4096) * 4096 if superhyb else n_docs
+    topic_gen = topic_of
+    if n_gen != n_docs:
+        topic_gen = np.concatenate(
+            [topic_of, np.zeros(n_gen - n_docs, topic_of.dtype)])
+    docs, cent = build_correlated_corpus(n_gen, topic_gen)
+    if imp is not None:
+        jax.block_until_ready(imp.weights)
     build_s = time.time() - t0
     # full doc-sorted CSR (generator emits term-major doc-sorted COO) for
     # the hot-term margin correction
     starts_full = np.concatenate([[0], np.cumsum(df)])[:-1]
-    full = (jnp.asarray(d_ids.astype(np.int32)), jnp.asarray(w))
+    full = None if superhyb else (jnp.asarray(d_ids.astype(np.int32)),
+                                  jnp.asarray(w))
 
     term_lists, q_topics = correlated_queries(batch)
-    enc = encode_impact_queries(imp, term_lists, p_depth=PD,
-                                full_starts=starts_full, full_lengths=df)
+    enc = None if superhyb else encode_impact_queries(
+        imp, term_lists, p_depth=PD,
+        full_starts=starts_full, full_lengths=df)
     q = query_vectors(q_topics, cent)
 
-    tilehyb = os.environ.get("HST_BENCH_TILEHYB") == "1"
-    superhyb = os.environ.get("HST_BENCH_SUPERHYB") == "1"
     KT = int(os.environ.get("HST_BENCH_KT", "128"))
     if superhyb:
         # scatter-free exact-resident supertile path (ops/supertile.py)
@@ -333,13 +351,6 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
         enc_s = encode_super_queries(sp, term_lists)
         jax.block_until_ready(sp.sup_max)
         SP = int(os.environ.get("HST_BENCH_SP", "2"))
-        # zero-row pad to a 4096 multiple: the fused DMA scores kernel
-        # needs N % chunk == 0 (engine capacity rounding guarantees it;
-        # the bench corpus is exactly n_docs). Pad rows have no postings
-        # and mid-pack sem scores — never in a topical top-k.
-        pad_n = -(-n_docs // 4096) * 4096 - n_docs
-        if pad_n:
-            docs = jnp.pad(docs, ((0, pad_n), (0, 0)))
 
         def serve_once(qq):
             return hybrid_supertile_topk(qq, docs, sp, enc_s, TOP_K, 0.7,

@@ -335,10 +335,14 @@ def phase_super_profile():
     t_full = np.repeat(np.arange(vocab, dtype=np.int64), df)
     sp = build_super_postings(t_full, d_ids.astype(np.int64), w, n_docs,
                               vocab)
-    docs, cent = bh.build_correlated_corpus(n_docs, topic_of)
-    pad_n = -(-n_docs // 4096) * 4096 - n_docs
-    if pad_n:  # the DMA scores kernel needs N % chunk == 0 (bench parity)
-        docs = jnp.pad(docs, ((0, pad_n), (0, 0)))
+    # padded-size generation (bench parity): the DMA scores kernel needs
+    # N % chunk == 0, and a post-hoc pad would hold two corpus copies
+    n_gen = -(-n_docs // 4096) * 4096
+    topic_gen = topic_of
+    if n_gen != n_docs:
+        topic_gen = np.concatenate(
+            [topic_of, np.zeros(n_gen - n_docs, topic_of.dtype)])
+    docs, cent = bh.build_correlated_corpus(n_gen, topic_gen)
     term_lists, q_topics = bh.correlated_queries(B)
     enc = encode_super_queries(sp, term_lists)
     q = bh.query_vectors(q_topics, cent)
