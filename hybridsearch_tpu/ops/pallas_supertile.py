@@ -89,8 +89,11 @@ def pallas_super_scores(
             copies.append(cp)
         for r in range(_R):
             copies[r].wait()
+            # q row sliced as [1, D] (a [D] -> [D, 1] bf16 reshape trips
+            # Mosaic's 32-bit-only minor-dim insertion); contract D on
+            # both sides -> [ch, 1] f32, whose squeeze IS 32-bit.
             out_ref[r, :] = jax.lax.dot_general(
-                scr[r], q_ref[r][:, None], (((1,), (0,)), ((), ())),
+                scr[r], q_ref[pl.ds(r, 1)], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )[:, 0]
 
