@@ -441,6 +441,8 @@ def main():
     backend = jax.default_backend()
     print(f"# backend={backend}", flush=True)
     assert backend == "tpu", "tunnel not available — aborting session"
+    import gc
+
     for p in want:
         t0 = time.time()
         try:
@@ -449,6 +451,9 @@ def main():
         except Exception as e:
             print(f"# phase {p} FAILED: {type(e).__name__}: {e}",
                   flush=True)
+        # a failed phase's traceback can pin its 7.7 GB corpus until the
+        # next gc cycle — the following phase then OOMs allocating its own
+        gc.collect()
 
 
 if __name__ == "__main__":
