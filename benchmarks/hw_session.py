@@ -438,11 +438,21 @@ PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
 
 def main():
     want = sys.argv[1:] or ["1", "2"]
+    if len(want) > 1:
+        # one SUBPROCESS per phase, sequentially (still a single tunnel
+        # client at a time): a failed in-process phase leaks device
+        # buffers that OOM the next phase's 7.7 GB corpus even after
+        # gc.collect()
+        import subprocess
+
+        for p in want:
+            rc = subprocess.call(
+                [sys.executable, os.path.abspath(__file__), p])
+            print(f"# phase {p} subprocess rc={rc}", flush=True)
+        return
     backend = jax.default_backend()
     print(f"# backend={backend}", flush=True)
     assert backend == "tpu", "tunnel not available — aborting session"
-    import gc
-
     for p in want:
         t0 = time.time()
         try:
@@ -451,9 +461,6 @@ def main():
         except Exception as e:
             print(f"# phase {p} FAILED: {type(e).__name__}: {e}",
                   flush=True)
-        # a failed phase's traceback can pin its 7.7 GB corpus until the
-        # next gc cycle — the following phase then OOMs allocating its own
-        gc.collect()
 
 
 if __name__ == "__main__":

@@ -89,13 +89,13 @@ def pallas_super_scores(
             copies.append(cp)
         for r in range(_R):
             copies[r].wait()
-            # q row sliced as [1, D] (a [D] -> [D, 1] bf16 reshape trips
-            # Mosaic's 32-bit-only minor-dim insertion); contract D on
-            # both sides -> [ch, 1] f32, whose squeeze IS 32-bit.
-            out_ref[r, :] = jax.lax.dot_general(
-                scr[r], q_ref[pl.ds(r, 1)], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )[:, 0]
+            # explicit f32 multiply + lane reduce: Mosaic mis-lowers both
+            # the [D]->[D,1] bf16 reshape (16-bit minor-dim insertion)
+            # and the [ch,D]x[1,D] dot (bf16->f32 via vector.broadcast);
+            # the op is HBM-bound, so VPU FLOPs are free.
+            prod = (scr[r].astype(jnp.float32)
+                    * q_ref[pl.ds(r, 1)].astype(jnp.float32))
+            out_ref[r, :] = jnp.sum(prod, axis=1)
 
     out = pl.pallas_call(
         kernel,
