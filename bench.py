@@ -113,10 +113,17 @@ def run_once(n_docs: int, iters: int) -> float:
     v.block_until_ready()
     jax.block_until_ready(rot(queries, 1))
 
+    # checksum chained across iterations: the tunnel has elided
+    # un-fetched dispatches (block_until_ready resolved without
+    # execution); the final scalar fetch forces the whole chain while
+    # the loop stays async-pipelined
+    acc_fn = jax.jit(lambda a, x: a + jnp.sum(x))
+    acc = jnp.float32(0)
     t0 = time.perf_counter()
     for i in range(iters):
         v, _ = fn(rot(queries, i + 1))
-    v.block_until_ready()
+        acc = acc_fn(acc, v)
+    float(acc)
     dt = time.perf_counter() - t0
     return QUERY_BATCH * iters / dt
 

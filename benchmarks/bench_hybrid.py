@@ -404,12 +404,19 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     # loops, second reported: the first loop's pass through all buffers
     # can include placement warm-up effects on this tunnel (round-2: a
     # full second run measured ~2x the first); both numbers are emitted.
+    # an on-device checksum chained across iterations forces EVERY
+    # dispatch to execute (the tunnel has elided un-fetched dispatches —
+    # block_until_ready alone resolved without execution, 2026-08-17)
+    # while keeping the loop async-pipelined (one host fetch per loop)
+    _acc = jax.jit(lambda a, v: a + jnp.sum(v))
     qps_loops = []
     for loop in range(2):
+        acc = jnp.float32(0)
         t0 = time.perf_counter()
         for i in range(iters):
             res = serve_once(jnp.roll(q, loop * iters + i + 1, axis=0))
-        jax.block_until_ready(res.values)
+            acc = _acc(acc, res.values)
+        float(acc)
         dt = time.perf_counter() - t0
         qps_loops.append(batch * iters / dt)
     qps = qps_loops[-1]

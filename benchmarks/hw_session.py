@@ -185,16 +185,24 @@ def phase_tile_profile():
     print(f"# T={T} W={W} n_tiles={n_tiles}", flush=True)
     rng = np.random.default_rng(0)
 
+    @jax.jit
+    def _red(out):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree_util.tree_leaves(out))
+
     def _time(label, fn, *args, iters=4, rot=0):
+        # host-fetch a scalar reduction per iteration: block_until_ready
+        # alone now resolves without execution on this tunnel (0.1 ms
+        # readings for a 40 ms kernel, 2026-08-17)
         try:
-            jax.block_until_ready(fn(*args))
+            float(_red(fn(*args)))
             samples = []
             for i in range(iters):
                 a = list(args)
                 a[rot] = jnp.roll(args[rot], i + 1, axis=0)
                 jax.block_until_ready(a[rot])
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(*a))
+                float(_red(fn(*a)))
                 samples.append((time.perf_counter() - t0) * 1e3)
             samples.sort()
             print(f"{label:14s} {samples[len(samples)//2]:8.1f} ms "
@@ -349,16 +357,24 @@ def phase_super_profile():
     jax.block_until_ready((sp.sup_max, docs))
     print(f"# wcap={enc.wcap} n_super={sp.n_super}", flush=True)
 
+    @jax.jit
+    def _red(out):
+        return sum(jnp.sum(x.astype(jnp.float32))
+                   for x in jax.tree_util.tree_leaves(out))
+
     def _time(label, fn, *args, iters=4, rot=0):
+        # host-fetch a scalar reduction per iteration: block_until_ready
+        # alone now resolves without execution on this tunnel (0.1 ms
+        # readings for a 40 ms kernel, 2026-08-17)
         try:
-            jax.block_until_ready(fn(*args))
+            float(_red(fn(*args)))
             samples = []
             for i in range(iters):
                 a = list(args)
                 a[rot] = jnp.roll(args[rot], i + 1, axis=0)
                 jax.block_until_ready(a[rot])
                 t0 = time.perf_counter()
-                jax.block_until_ready(fn(*a))
+                float(_red(fn(*a)))
                 samples.append((time.perf_counter() - t0) * 1e3)
             samples.sort()
             print(f"{label:14s} {samples[len(samples)//2]:8.1f} ms "
