@@ -168,6 +168,13 @@ def main() -> None:
         try:
             signal.alarm(540)
             sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            # serving default: the supertile exact-resident path
+            # (ops/supertile.py) — measured 1386 qps/chip at 10M vs 535
+            # for the candidate-union path, with jaccard@10 0.9943 and
+            # 100% of quality-batch queries certified exact (hw_session
+            # phase 10, 2026-08-17)
+            os.environ.setdefault("HST_BENCH_SUPERHYB", "1")
+            os.environ.setdefault("HST_BENCH_SP", "4")
             from benchmarks.bench_hybrid import run as run_hybrid
 
             hres = run_hybrid(n_docs, batch=256, iters=6)
