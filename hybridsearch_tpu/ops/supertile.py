@@ -166,8 +166,13 @@ class SuperQueryEnc(NamedTuple):
     lens: jax.Array  # [B, T] int32 full dfs (pad -> 0)
     complete: np.ndarray  # [B] bool — no term dropped by the T pad
     full_touched: np.ndarray  # [B] int64 — sum of full dfs (lex-min-0 cert)
-    wcap: int  # static window cap for this batch (WCAP_LADDER rung)
+    wcaps: tuple  # static per-SLOT window caps (WCAP_LADDER rungs;
+    #               terms are slotted widest-first at encode)
     t_pad: int
+
+    @property
+    def wcap(self) -> int:  # back-compat: the widest slot's cap
+        return max(self.wcaps)
 
 
 def encode_super_queries(
@@ -175,9 +180,15 @@ def encode_super_queries(
     query_term_ids: Sequence[Sequence[int]],
     wcap: Optional[int] = None,
 ) -> SuperQueryEnc:
-    """Host-side encode: term-id lists -> padded [B, T] run descriptors
-    plus the smallest WCAP_LADDER rung covering every query term's
-    build-time max window width (so no window can silently truncate)."""
+    """Host-side encode: term-id lists -> padded [B, T] run descriptors.
+
+    Terms are sorted WIDEST-WINDOW-FIRST into the slots and each SLOT
+    gets its own WCAP_LADDER rung (the smallest covering every term in
+    that slot across the batch) — a query's one hot term no longer
+    forces every other term's window to the batch-max cap, which cuts
+    the placement contraction and window gather ~3-4x on typical mixed
+    queries. No window can silently truncate (rungs cover the build-time
+    maxima). Passing `wcap` forces one uniform rung (tests)."""
     B = len(query_term_ids)
     longest = max((len(ids) for ids in query_term_ids), default=1)
     t_pad = next((t for t in SUPER_T_LADDER if t >= longest),
@@ -188,29 +199,43 @@ def encode_super_queries(
     ln = np.zeros((B, t_pad), dtype=np.int32)
     complete = np.ones(B, dtype=bool)
     full_touched = np.zeros(B, dtype=np.int64)
-    need = 1
+    slot_need = np.ones(t_pad, dtype=np.int64)
     for b, ids in enumerate(query_term_ids):
-        for j, term in enumerate(ids[:t_pad]):
+        terms = sorted(ids[:t_pad],
+                       key=lambda tt: -int(sp.win_max_host[tt]))
+        for j, term in enumerate(terms):
             tid[b, j] = term
             st[b, j] = int(sp.starts_host[term])
             ln[b, j] = int(sp.df_host[term])
             full_touched[b] += int(sp.df_host[term])
-            need = max(need, int(sp.win_max_host[term]))
+            slot_need[j] = max(slot_need[j], int(sp.win_max_host[term]))
         if len(ids) > t_pad:
             complete[b] = False
             for term in ids[t_pad:]:
                 full_touched[b] += int(sp.df_host[term])
+    cap = min(sp.super_docs, WCAP_LADDER[-1])
+
+    def _rung(need):
+        r = next((c for c in WCAP_LADDER if c >= min(int(need), cap)), cap)
+        return min(r, max(cap, WCAP_LADDER[0]))
+
     if wcap is None:
-        cap = min(sp.super_docs, WCAP_LADDER[-1])
-        wcap = next((c for c in WCAP_LADDER if c >= min(need, cap)), cap)
-        wcap = min(wcap, max(cap, WCAP_LADDER[0]))
+        # canonical TWO-rung pattern (widest slot, rest): wcaps is a jit
+        # compile key, and free-form per-slot tuples would recompile on
+        # every query mix; two rungs keep the combination count at
+        # |ladder|^2 while capturing the hot-vs-topical split that
+        # drives the savings
+        rest = _rung(slot_need[1:].max()) if t_pad > 1 else None
+        wcaps = (_rung(slot_need[0]),) + (rest,) * (t_pad - 1)
+    else:
+        wcaps = (int(wcap),) * t_pad
     return SuperQueryEnc(
         term_ids=jnp.asarray(tid),
         starts=jnp.asarray(st),
         lens=jnp.asarray(ln),
         complete=complete,
         full_touched=full_touched,
-        wcap=int(wcap),
+        wcaps=wcaps,
         t_pad=t_pad,
     )
 
@@ -253,7 +278,7 @@ def _bisect_runs(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k", "s_probe", "wcap", "norm", "block_n",
+    static_argnames=("k", "s_probe", "wcaps", "norm", "block_n",
                      "super_tiles"),
 )
 def _hybrid_super_impl(
@@ -271,7 +296,7 @@ def _hybrid_super_impl(
     bias: Optional[jax.Array],
     k: int,
     s_probe: int,
-    wcap: int,
+    wcaps: tuple,
     norm: str,
     block_n: int,
     super_tiles: int,
@@ -375,57 +400,66 @@ def _hybrid_super_impl(
     in_tab = (sup_s < ns_tab)[:, None, :]
     lo = jnp.where(in_tab, lo, 0)
     hi = jnp.where(in_tab, hi, 0)
-    ovf = jnp.any((hi - lo) > wcap, axis=(1, 2))  # [B]
-
-    m_rows = wcap // ROW + 1
-    E = m_rows * ROW
+    # per-SLOT windows at per-slot caps (encode slots terms widest-first
+    # and assigns each slot the smallest rung covering it): the entry
+    # stream is the concatenation of every slot's 1024-padded window —
+    # typically 3-4x shorter than T x batch-max-cap
+    ECH = 1024
     M = ids_rows.shape[0]
-    row0 = lo // ROW
-    rows_idx = jnp.minimum(
-        row0[..., None] + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, 1, m_rows), 3),
-        M - 1,
-    )  # [B, T, S, m]
-    win_ids = jnp.take(ids_rows, rows_idx, axis=0).reshape(B, T, S, E)
-    win_ws = jnp.take(ws_rows, rows_idx, axis=0).reshape(B, T, S, E)
-    gpos = (row0[..., None] * ROW
-            + jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, E), 3))
-    valid = (gpos >= lo[..., None]) & (gpos < hi[..., None])
-    w_eff = jnp.where(valid, win_ws, 0.0)
-    l_loc = win_ids - base[:, None, :, None]  # [B, T, S, E] local doc ids
+    ovf = jnp.zeros((B,), bool)
+    parts_l, parts_w = [], []
+    for j, wc in enumerate(wcaps):
+        lo_j, hi_j = lo[:, j], hi[:, j]  # [B, S]
+        ovf = ovf | jnp.any((hi_j - lo_j) > wc, axis=1)
+        m_j = wc // ROW + 1
+        E_j = m_j * ROW
+        row0 = lo_j // ROW
+        rows_idx = jnp.minimum(
+            row0[..., None] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, m_j), 2),
+            M - 1,
+        )  # [B, S, m]
+        wi = jnp.take(ids_rows, rows_idx, axis=0).reshape(B, S, E_j)
+        ww = jnp.take(ws_rows, rows_idx, axis=0).reshape(B, S, E_j)
+        gpos = (row0[..., None] * ROW
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, E_j), 2))
+        valid = (gpos >= lo_j[..., None]) & (gpos < hi_j[..., None])
+        w_j = jnp.where(valid, ww, 0.0)
+        l_j = wi - base[:, :, None]  # [B, S, E_j] local doc ids
+        pad_e = -(-E_j // ECH) * ECH - E_j
+        if pad_e:
+            l_j = jnp.pad(l_j, ((0, 0), (0, 0), (0, pad_e)),
+                          constant_values=-1)
+            w_j = jnp.pad(w_j, ((0, 0), (0, 0), (0, pad_e)))
+        parts_l.append(l_j)
+        parts_w.append(w_j)
+    l_cat = jnp.concatenate(parts_l, axis=2)  # [B, S, TEp]
+    w_cat = jnp.concatenate(parts_w, axis=2)
+    TEp = l_cat.shape[2]
+    n_ch = TEp // ECH
 
     # factorized one-hot placement: out[b,s,r,c] += sum_e
     #   (l//TILE == r) * (l%TILE == c) * w — MXU contractions instead of
     # a scatter. Out-of-range l (entries just outside the window, already
-    # weight-masked anyway) match no r row. The entry axis is scanned in
-    # ECH-wide chunks across all terms so the one-hot transient stays
-    # bounded ([B, S, ECH, 128] per step) at any window cap.
-    ECH = min(E, 2048)
-    n_ch = -(-E // ECH)
-    if n_ch * ECH != E:
-        pad_e = n_ch * ECH - E
-        l_loc = jnp.pad(l_loc, ((0, 0),) * 3 + ((0, pad_e),),
-                        constant_values=-1)
-        w_eff = jnp.pad(w_eff, ((0, 0),) * 3 + ((0, pad_e),))
+    # weight-masked anyway) match no r row.
     if _use_pallas_place():
         from hybridsearch_tpu.ops.pallas_supertile import (
             pallas_place_windows,
         )
 
-        l2 = l_loc.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
-        w2 = w_eff.transpose(0, 2, 1, 3).reshape(B * S, T * n_ch * ECH)
+        l2 = l_cat.reshape(B * S, TEp)
+        w2 = w_cat.reshape(B * S, TEp)
         lex4 = pallas_place_windows(
-            l2, w2, super_tiles, TILE,
-            ech=min(ECH, 1024),  # VMEM budget of the 8-row kernel
+            l2, w2, super_tiles, TILE, ech=ECH,
         ).reshape(B, S, super_tiles, TILE)
     else:
         r_iota = jax.lax.broadcasted_iota(jnp.int32,
                                           (1, 1, 1, super_tiles), 3)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
-        l_ch = (l_loc.reshape(B, T, S, n_ch, ECH)
-                .transpose(1, 3, 0, 2, 4).reshape(T * n_ch, B, S, ECH))
-        w_ch = (w_eff.reshape(B, T, S, n_ch, ECH)
-                .transpose(1, 3, 0, 2, 4).reshape(T * n_ch, B, S, ECH))
+        l_ch = (l_cat.reshape(B, S, n_ch, ECH)
+                .transpose(2, 0, 1, 3))  # [n_ch, B, S, ECH]
+        w_ch = (w_cat.reshape(B, S, n_ch, ECH)
+                .transpose(2, 0, 1, 3))
 
         def per_chunk(acc, ts_in):
             l_t, w_t = ts_in  # [B, S, ECH]
@@ -511,6 +545,7 @@ def hybrid_supertile_topk(
         q, docs, sp.sup_max, sp.sup_pos, sp.ids_rows, sp.ws_rows,
         enc.term_ids, jnp.asarray(enc.complete), lex_min_zero,
         jnp.float32(w_s), jnp.float32(w_l), bias,
-        k=k, s_probe=s_probe, wcap=min(enc.wcap, sp.super_docs),
+        k=k, s_probe=s_probe,
+        wcaps=tuple(min(w, sp.super_docs) for w in enc.wcaps),
         norm=norm, block_n=block_n, super_tiles=sp.super_tiles,
     )
