@@ -303,9 +303,9 @@ def phase_super():
 
     importlib.reload(bh)
     n = int(os.environ.get("HST_BENCH_N", "10000000"))
-    for sp in ("2", "4"):
+    for sp, batch in (("4", 256), ("2", 256), ("2", 512), ("4", 512)):
         os.environ["HST_BENCH_SP"] = sp
-        print(json.dumps({"s_probe": int(sp), **bh.run(n, batch=256,
+        print(json.dumps({"s_probe": int(sp), **bh.run(n, batch=batch,
                                                        iters=6)}),
               flush=True)
     os.environ["HST_BENCH_SP"] = "2"
@@ -392,6 +392,11 @@ def phase_super_profile():
               lambda qq: dense_tile_stats(qq, docs, None,
                                           block_n=tpb * 128 * 64), q)
     os.environ.pop("HST_PALLAS_TPB", None)
+    # batch-size sensitivity: the k=10 dense sweep hits ~145 TF/s at
+    # B=512 vs ~47 TF/s here at B=256
+    q512 = jnp.concatenate([q, q[::-1]], axis=0)
+    _time("tile_stats512", lambda qq: dense_tile_stats(qq, docs, None),
+          q512)
     rng = np.random.default_rng(0)
     sup2 = jnp.asarray(np.sort(
         rng.integers(0, sp.n_super, (B, 2)).astype(np.int32), axis=1))
