@@ -398,6 +398,10 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
 
     res = serve_once(q)  # warmup/compile
     jax.block_until_ready(res.values)
+    # exactness from MATCHED (query, encoding) pairs: the rolled
+    # throughput iterations below permute q against a fixed enc, so
+    # their exact flags measure a mismatch artifact, not the engine
+    exact = np.asarray(jax.device_get(res.exact))
     # throughput: pipeline the batches (block once at the end), but rotate
     # queries each iteration — the device tunnel caches identical
     # dispatches, which would otherwise report fantasy QPS. Two measured
@@ -420,7 +424,6 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
         dt = time.perf_counter() - t0
         qps_loops.append(batch * iters / dt)
     qps = qps_loops[-1]
-    exact = np.asarray(jax.device_get(res.exact))
     return {
         "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
                    + ("_super" if superhyb else "")
