@@ -128,6 +128,48 @@ def run_once(n_docs: int, iters: int) -> float:
     return QUERY_BATCH * iters / dt
 
 
+def _supervised_main() -> None:
+    """Run the real benchmark in a CHILD process under a hard deadline.
+
+    SIGALRM alone is not enough on this environment: a wedged device
+    tunnel blocks inside non-returning C calls where the Python signal
+    handler never runs (observed 2026-08-17: bench hung >20 min past its
+    540 s alarm). The parent enforces the deadline with SIGKILL and
+    always prints ONE JSON line — the child's, or the last good run."""
+    import subprocess
+
+    budget = int(os.environ.get("HST_BENCH_DEADLINE_S", "1100"))
+    env = dict(os.environ, HST_BENCH_CHILD="1")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, timeout=budget,
+        )
+        for ln in reversed(out.stdout.splitlines()):
+            if ln.startswith("{"):
+                print(ln)
+                return
+        print(f"# bench child rc={out.returncode}, no JSON line",
+              file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"# bench child exceeded {budget}s (wedged tunnel?); killed",
+              file=sys.stderr)
+    line = {
+        "metric": "bench_unavailable",
+        "value": 0.0,
+        "unit": "qps/chip",
+        "vs_baseline": 0.0,
+        "note": "device tunnel unavailable/wedged at bench time; "
+                "last_good_run is from earlier this round",
+    }
+    try:
+        with open("/tmp/hst_bench_last_good.json") as f:
+            line["last_good_run"] = json.load(f)
+    except OSError:
+        pass
+    print(json.dumps(line))
+
+
 def main() -> None:
     if os.environ.get("JAX_PLATFORMS") == "cpu":
         # the axon TPU plugin wins over the env var; force via config
@@ -251,4 +293,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("HST_BENCH_CHILD") == "1":
+        main()
+    else:
+        _supervised_main()
