@@ -272,9 +272,23 @@ def main() -> None:
     }
     last_good = "/tmp/hst_bench_last_good.json"
     if qps > 0:
+        # never DOWNGRADE the fallback record: a CPU run or a
+        # degraded-tunnel small-corpus fallback must not clobber a
+        # full-scale entry that still carries the hybrid figure
         try:
-            with open(last_good, "w") as f:
-                json.dump(line, f)
+            prior = {}
+            try:
+                with open(last_good) as f:
+                    prior = json.load(f)
+            except OSError:
+                pass
+            better_scale = used_n >= prior.get("hybrid_docs", 0) or (
+                used_n >= 10_000_000)
+            keeps_hybrid = bool(hybrid.get("hybrid_qps")) or not prior.get(
+                "hybrid_qps")
+            if backend != "cpu" and better_scale and keeps_hybrid:
+                with open(last_good, "w") as f:
+                    json.dump(line, f)
         except OSError:
             pass
     else:
