@@ -158,6 +158,111 @@ def build_super_postings(
     )
 
 
+class ShardedSuperPostings(NamedTuple):
+    """Per-shard supertile structures stacked on the leading axis, for
+    the mesh serving path (parallel/collectives.py
+    sharded_supertile_topk). Doc ids inside each shard's CSR are LOCAL
+    (global - shard * docs_per_shard); tables cover the shard's slice."""
+
+    sup_max: np.ndarray  # [S, V+1, ns_l] f32
+    sup_pos: np.ndarray  # [S, V+1, ns_l+1] int32
+    ids_rows: np.ndarray  # [S, M_l, ROW] int32 (pad = docs_per_shard)
+    ws_rows: np.ndarray  # [S, M_l, ROW] f32
+    docs_per_shard: int
+    n_docs: int
+    super_tiles: int
+    df_host: np.ndarray  # [V] GLOBAL dfs (encode: full_touched)
+    win_max_host: np.ndarray  # [V] max window width over ALL shards
+
+
+def build_super_postings_sharded(
+    term_ids: np.ndarray,
+    doc_ids: np.ndarray,
+    weights: np.ndarray,
+    n_docs: int,
+    vocab_size: int,
+    docs_per_shard: int,
+    n_shards: int,
+    super_tiles: int = 128,
+) -> ShardedSuperPostings:
+    """Split the term-major doc-sorted COO by doc range and build each
+    shard's SuperPostings with LOCAL doc ids. docs_per_shard must cover
+    n_docs over n_shards (capacity padding rounds it)."""
+    t = np.asarray(term_ids, dtype=np.int64)
+    d = np.asarray(doc_ids, dtype=np.int64)
+    w = np.asarray(weights, dtype=np.float32)
+    parts = []
+    for s in range(n_shards):
+        base = s * docs_per_shard
+        m = (d >= base) & (d < base + docs_per_shard)
+        parts.append(build_super_postings(
+            t[m], d[m] - base, w[m], docs_per_shard, vocab_size,
+            super_tiles=super_tiles))
+    M_l = max(p.ids_rows.shape[0] for p in parts)
+    ids_s = np.full((n_shards, M_l, ROW), docs_per_shard, np.int32)
+    ws_s = np.zeros((n_shards, M_l, ROW), np.float32)
+    for s, p in enumerate(parts):
+        ids_s[s, : p.ids_rows.shape[0]] = np.asarray(p.ids_rows)
+        ws_s[s, : p.ws_rows.shape[0]] = np.asarray(p.ws_rows)
+    return ShardedSuperPostings(
+        sup_max=np.stack([np.asarray(p.sup_max) for p in parts]),
+        sup_pos=np.stack([np.asarray(p.sup_pos) for p in parts]),
+        ids_rows=ids_s,
+        ws_rows=ws_s,
+        docs_per_shard=docs_per_shard,
+        n_docs=n_docs,
+        super_tiles=super_tiles,
+        df_host=np.sum([p.df_host for p in parts], axis=0),
+        win_max_host=np.max([p.win_max_host for p in parts], axis=0),
+    )
+
+
+def encode_super_queries_sharded(
+    ssp: ShardedSuperPostings,
+    query_term_ids: Sequence[Sequence[int]],
+) -> "SuperQueryEnc":
+    """Encode against the GLOBAL df/window stats of a sharded build —
+    same SuperQueryEnc contract (starts/lens are unused by the sharded
+    path, which reads per-shard position tables)."""
+    B = len(query_term_ids)
+    longest = max((len(ids) for ids in query_term_ids), default=1)
+    t_pad = next((t for t in SUPER_T_LADDER if t >= longest),
+                 SUPER_T_LADDER[-1])
+    V = len(ssp.df_host)
+    tid = np.full((B, t_pad), V, dtype=np.int32)
+    complete = np.ones(B, dtype=bool)
+    full_touched = np.zeros(B, dtype=np.int64)
+    slot_need = np.ones(t_pad, dtype=np.int64)
+    for b, ids in enumerate(query_term_ids):
+        terms = sorted(ids[:t_pad],
+                       key=lambda tt: -int(ssp.win_max_host[tt]))
+        for j, term in enumerate(terms):
+            tid[b, j] = term
+            full_touched[b] += int(ssp.df_host[term])
+            slot_need[j] = max(slot_need[j], int(ssp.win_max_host[term]))
+        if len(ids) > t_pad:
+            complete[b] = False
+            for term in ids[t_pad:]:
+                full_touched[b] += int(ssp.df_host[term])
+    cap = min(ssp.super_tiles * TILE, WCAP_LADDER[-1])
+
+    def _rung(need):
+        r = next((c for c in WCAP_LADDER if c >= min(int(need), cap)), cap)
+        return min(r, max(cap, WCAP_LADDER[0]))
+
+    rest = _rung(slot_need[1:].max()) if t_pad > 1 else None
+    wcaps = (_rung(slot_need[0]),) + (rest,) * (t_pad - 1)
+    return SuperQueryEnc(
+        term_ids=jnp.asarray(tid),
+        starts=jnp.zeros((B, t_pad), jnp.int32),
+        lens=jnp.zeros((B, t_pad), jnp.int32),
+        complete=complete,
+        full_touched=full_touched,
+        wcaps=wcaps,
+        t_pad=t_pad,
+    )
+
+
 class SuperQueryEnc(NamedTuple):
     """Encoded query batch against a SuperPostings build."""
 
@@ -238,6 +343,99 @@ def encode_super_queries(
         wcaps=wcaps,
         t_pad=t_pad,
     )
+
+
+def _resident_windows(sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd,
+                      wcaps, ech: int = 1024):
+    """Per-SLOT CSR windows for every (query term, probed supertile):
+    bounds from the boundary-position table (one gather — a device
+    bisection measured 35.6 ms/batch at 10M), whole-row window gathers,
+    per-slot caps (encode slots terms widest-first). Returns
+    (l_cat [B, S, TEp] local doc ids, w_cat weights, ovf [B])."""
+    B, T = term_ids.shape
+    S = sup_s.shape[1]
+    base = (sup_s * sd).astype(jnp.int32)  # [B, S]
+    ns_tab = sup_pos.shape[1] - 1  # table's n_super (pre-padding)
+    sup_c = jnp.minimum(sup_s, ns_tab - 1)
+    tab_idx = term_ids[:, :, None] * (ns_tab + 1) + sup_c[:, None, :]
+    pos_flat = sup_pos.reshape(-1)
+    lo = jnp.take(pos_flat, tab_idx)  # [B, T, S] abs CSR positions
+    hi = jnp.take(pos_flat, tab_idx + 1)
+    in_tab = (sup_s < ns_tab)[:, None, :]
+    lo = jnp.where(in_tab, lo, 0)
+    hi = jnp.where(in_tab, hi, 0)
+    M = ids_rows.shape[0]
+    ovf = jnp.zeros((B,), bool)
+    parts_l, parts_w = [], []
+    for j, wc in enumerate(wcaps):
+        lo_j, hi_j = lo[:, j], hi[:, j]  # [B, S]
+        ovf = ovf | jnp.any((hi_j - lo_j) > wc, axis=1)
+        m_j = wc // ROW + 1
+        E_j = m_j * ROW
+        row0 = lo_j // ROW
+        rows_idx = jnp.minimum(
+            row0[..., None] + jax.lax.broadcasted_iota(
+                jnp.int32, (1, 1, m_j), 2),
+            M - 1,
+        )  # [B, S, m]
+        wi = jnp.take(ids_rows, rows_idx, axis=0).reshape(B, S, E_j)
+        ww = jnp.take(ws_rows, rows_idx, axis=0).reshape(B, S, E_j)
+        gpos = (row0[..., None] * ROW
+                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, E_j), 2))
+        valid = (gpos >= lo_j[..., None]) & (gpos < hi_j[..., None])
+        w_j = jnp.where(valid, ww, 0.0)
+        l_j = wi - base[:, :, None]  # [B, S, E_j] local doc ids
+        pad_e = -(-E_j // ech) * ech - E_j
+        if pad_e:
+            l_j = jnp.pad(l_j, ((0, 0), (0, 0), (0, pad_e)),
+                          constant_values=-1)
+            w_j = jnp.pad(w_j, ((0, 0), (0, 0), (0, pad_e)))
+        parts_l.append(l_j)
+        parts_w.append(w_j)
+    return (jnp.concatenate(parts_l, axis=2),
+            jnp.concatenate(parts_w, axis=2), ovf)
+
+
+def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
+                   ech: int = 1024):
+    """[B, S, super_tiles, TILE] resident lexical buffers via the
+    factorized one-hot placement: out[b,s,r,c] += sum_e
+    (l//TILE == r) * (l%TILE == c) * w — MXU contractions instead of a
+    scatter. Out-of-range l (entries just outside the window, already
+    weight-masked anyway) match no r row."""
+    B, S, TEp = l_cat.shape
+    n_ch = TEp // ech
+    if use_pallas:
+        from hybridsearch_tpu.ops.pallas_supertile import (
+            pallas_place_windows,
+        )
+
+        return pallas_place_windows(
+            l_cat.reshape(B * S, TEp), w_cat.reshape(B * S, TEp),
+            super_tiles, TILE, ech=ech,
+        ).reshape(B, S, super_tiles, TILE)
+    r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
+    l_ch = l_cat.reshape(B, S, n_ch, ech).transpose(2, 0, 1, 3)
+    w_ch = w_cat.reshape(B, S, n_ch, ech).transpose(2, 0, 1, 3)
+
+    def per_chunk(acc, ts_in):
+        l_t, w_t = ts_in  # [B, S, ech]
+        r_hot = (l_t[..., None] // TILE == r_iota).astype(jnp.float32)
+        c_hot = ((l_t[..., None] % TILE == c_iota)
+                 & (l_t[..., None] >= 0)).astype(jnp.bfloat16)
+        contrib = jnp.einsum(
+            "bser,bsec->bsrc", r_hot * w_t[..., None], c_hot,
+            preferred_element_type=jnp.float32,
+        )
+        return acc + contrib, None
+
+    lex4, _ = jax.lax.scan(
+        per_chunk,
+        jnp.zeros((B, S, super_tiles, TILE), jnp.float32),
+        (l_ch, w_ch),
+    )
+    return lex4
 
 
 def _use_pallas_place() -> bool:
@@ -387,96 +585,10 @@ def _hybrid_super_impl(
     alive = jnp.isfinite(s_res)
 
     # -- 5. resident lexical scores: CSR windows + one-hot placement ------
-    # window bounds come from the build-time boundary-position table —
-    # one gather, not a bisection (31 serial gather steps measured
-    # 35.6 ms/batch at 10M)
-    base = (sup_s * sd).astype(jnp.int32)  # [B, S]
-    ns_tab = sup_pos.shape[1] - 1  # table's n_super (pre-padding)
-    sup_c = jnp.minimum(sup_s, ns_tab - 1)
-    tab_idx = term_ids[:, :, None] * (ns_tab + 1) + sup_c[:, None, :]
-    pos_flat = sup_pos.reshape(-1)
-    lo = jnp.take(pos_flat, tab_idx)  # [B, T, S] abs CSR positions
-    hi = jnp.take(pos_flat, tab_idx + 1)
-    in_tab = (sup_s < ns_tab)[:, None, :]
-    lo = jnp.where(in_tab, lo, 0)
-    hi = jnp.where(in_tab, hi, 0)
-    # per-SLOT windows at per-slot caps (encode slots terms widest-first
-    # and assigns each slot the smallest rung covering it): the entry
-    # stream is the concatenation of every slot's 1024-padded window —
-    # typically 3-4x shorter than T x batch-max-cap
-    ECH = 1024
-    M = ids_rows.shape[0]
-    ovf = jnp.zeros((B,), bool)
-    parts_l, parts_w = [], []
-    for j, wc in enumerate(wcaps):
-        lo_j, hi_j = lo[:, j], hi[:, j]  # [B, S]
-        ovf = ovf | jnp.any((hi_j - lo_j) > wc, axis=1)
-        m_j = wc // ROW + 1
-        E_j = m_j * ROW
-        row0 = lo_j // ROW
-        rows_idx = jnp.minimum(
-            row0[..., None] + jax.lax.broadcasted_iota(
-                jnp.int32, (1, 1, m_j), 2),
-            M - 1,
-        )  # [B, S, m]
-        wi = jnp.take(ids_rows, rows_idx, axis=0).reshape(B, S, E_j)
-        ww = jnp.take(ws_rows, rows_idx, axis=0).reshape(B, S, E_j)
-        gpos = (row0[..., None] * ROW
-                + jax.lax.broadcasted_iota(jnp.int32, (1, 1, E_j), 2))
-        valid = (gpos >= lo_j[..., None]) & (gpos < hi_j[..., None])
-        w_j = jnp.where(valid, ww, 0.0)
-        l_j = wi - base[:, :, None]  # [B, S, E_j] local doc ids
-        pad_e = -(-E_j // ECH) * ECH - E_j
-        if pad_e:
-            l_j = jnp.pad(l_j, ((0, 0), (0, 0), (0, pad_e)),
-                          constant_values=-1)
-            w_j = jnp.pad(w_j, ((0, 0), (0, 0), (0, pad_e)))
-        parts_l.append(l_j)
-        parts_w.append(w_j)
-    l_cat = jnp.concatenate(parts_l, axis=2)  # [B, S, TEp]
-    w_cat = jnp.concatenate(parts_w, axis=2)
-    TEp = l_cat.shape[2]
-    n_ch = TEp // ECH
-
-    # factorized one-hot placement: out[b,s,r,c] += sum_e
-    #   (l//TILE == r) * (l%TILE == c) * w — MXU contractions instead of
-    # a scatter. Out-of-range l (entries just outside the window, already
-    # weight-masked anyway) match no r row.
-    if _use_pallas_place():
-        from hybridsearch_tpu.ops.pallas_supertile import (
-            pallas_place_windows,
-        )
-
-        l2 = l_cat.reshape(B * S, TEp)
-        w2 = w_cat.reshape(B * S, TEp)
-        lex4 = pallas_place_windows(
-            l2, w2, super_tiles, TILE, ech=ECH,
-        ).reshape(B, S, super_tiles, TILE)
-    else:
-        r_iota = jax.lax.broadcasted_iota(jnp.int32,
-                                          (1, 1, 1, super_tiles), 3)
-        c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
-        l_ch = (l_cat.reshape(B, S, n_ch, ECH)
-                .transpose(2, 0, 1, 3))  # [n_ch, B, S, ECH]
-        w_ch = (w_cat.reshape(B, S, n_ch, ECH)
-                .transpose(2, 0, 1, 3))
-
-        def per_chunk(acc, ts_in):
-            l_t, w_t = ts_in  # [B, S, ECH]
-            r_hot = (l_t[..., None] // TILE == r_iota).astype(jnp.float32)
-            c_hot = ((l_t[..., None] % TILE == c_iota)
-                     & (l_t[..., None] >= 0)).astype(jnp.bfloat16)
-            contrib = jnp.einsum(
-                "bser,bsec->bsrc", r_hot * w_t[..., None], c_hot,
-                preferred_element_type=jnp.float32,
-            )
-            return acc + contrib, None
-
-        lex4, _ = jax.lax.scan(
-            per_chunk,
-            jnp.zeros((B, S, super_tiles, TILE), jnp.float32),
-            (l_ch, w_ch),
-        )
+    l_cat, w_cat, ovf = _resident_windows(
+        sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd, wcaps)
+    lex4 = _place_windows(l_cat, w_cat, super_tiles,
+                          use_pallas=_use_pallas_place())
     lex_res = lex4.reshape(B, R)
     lex_res = jnp.where(alive, lex_res, 0.0)
 

@@ -202,3 +202,172 @@ def sharded_hybrid_topk(
     )
     return fn(queries, docs_sharded, bm25_doc_ids, bm25_weights,
               bias_sharded, *run_arrays)
+
+
+def sharded_supertile_topk(
+    mesh: Mesh,
+    queries: jax.Array,  # [B, D] L2-normalized f32 (replicated)
+    docs_sharded: jax.Array,  # [n_pad, D] P(DATA_AXIS, None)
+    sup_max_s: jax.Array,  # [S_sh, V+1, ns_l] P(DATA_AXIS, None, None)
+    sup_pos_s: jax.Array,  # [S_sh, V+1, ns_l+1]
+    ids_rows_s: jax.Array,  # [S_sh, M_l, 128]
+    ws_rows_s: jax.Array,  # [S_sh, M_l, 128]
+    enc,  # SuperQueryEnc (encode_super_queries_sharded)
+    k: int,
+    semantic_weight,
+    lexical_weight,
+    s_probe: int = 2,
+    valid_n: int | None = None,
+    n_alive: int | None = None,
+    bias_sharded: jax.Array | None = None,
+    super_tiles: int = 128,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Supertile exact-resident hybrid over the mesh — the at-scale
+    collective serving path (the exact sharded_hybrid_topk materializes
+    [B, per] score arrays per shard; this probes s_probe supertiles PER
+    SHARD and scores only their residents, exactly).
+
+    Per shard: local dense tile stats (global min/max via pmin/pmax),
+    local supertile bounds from the shard's tables, local probes, exact
+    local residents (ops/supertile.py helpers over LOCAL doc ids), a
+    local top-k, then an all_gather of k candidates per shard. The
+    certificate is global: the merged k-th fused score must dominate
+    every shard's unprobed-supertile bound (one pmax), the resident
+    lexical max must be the true global max (one pmax), and the usual
+    completeness/lex-min-zero/overflow flags apply. Only 4 scalars per
+    query + k candidates per shard cross the ICI.
+
+    Returns (values, global indices, exact) — same contract/semantics as
+    hybrid_supertile_topk (reference core.py:199-271 fusion)."""
+    from hybridsearch_tpu.ops.dense import dense_tile_stats, gather_tile_scores
+    from hybridsearch_tpu.ops.hybrid import NEG_INF
+    from hybridsearch_tpu.ops.supertile import (
+        TILE,
+        _place_windows,
+        _resident_windows,
+    )
+
+    n_pad = docs_sharded.shape[0]
+    n_shards = mesh.shape[DATA_AXIS]
+    per = n_pad // n_shards
+    valid_n = n_pad if valid_n is None else valid_n
+    n_alive = valid_n if n_alive is None else n_alive
+    sd = super_tiles * TILE
+    B = queries.shape[0]
+    w_s = jnp.float32(semantic_weight)
+    w_l = jnp.float32(lexical_weight)
+    eps = jnp.float32(1e-12)
+    wcaps = tuple(min(w, sd) for w in enc.wcaps)
+    lmz = jnp.asarray(enc.full_touched < n_alive)
+    complete = jnp.asarray(enc.complete)
+    if bias_sharded is None:
+        bias_sharded = jax.device_put(
+            jnp.zeros((n_pad,), dtype=jnp.float32),
+            NamedSharding(mesh, P(DATA_AXIS)),
+        )
+
+    def local(q, docs_l, bias_l, smax_t, spos_t, idr, wsr, tids, comp,
+              lm):
+        shard = jax.lax.axis_index(DATA_AXIS)
+        offset = shard * per
+        sup_max = smax_t[0]
+        sup_pos = spos_t[0]
+        ids_rows = idr[0]
+        ws_rows = wsr[0]
+        n_tiles = -(-per // TILE)
+        ns = sup_max.shape[1]
+        S = min(s_probe, ns)
+
+        # 1. local dense stats; GLOBAL alive min/max over the data axis
+        tile_sem, smin_l, smax_l = dense_tile_stats(q, docs_l, bias_l)
+        smin = jax.lax.pmin(smin_l, DATA_AXIS)
+        smax = jax.lax.pmax(smax_l, DATA_AXIS)
+        pad_t = ns * super_tiles - n_tiles
+        ts_full = jnp.pad(tile_sem, ((0, 0), (0, pad_t)),
+                          constant_values=NEG_INF) if pad_t else tile_sem
+        ssem = jnp.max(ts_full.reshape(B, ns, super_tiles), axis=2)
+
+        # 2. lexical supertile bounds + GLOBAL bound normalizer
+        slex = jnp.sum(jnp.take(sup_max, tids, axis=0), axis=1)
+        L0 = jax.lax.pmax(jnp.max(slex, axis=1), DATA_AXIS)
+
+        rng_s = smax - smin
+
+        def nsem(x):
+            return jnp.where(
+                rng_s[:, None] > eps,
+                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
+                jnp.ones_like(x),
+            )
+
+        def nlex(x, L):
+            return jnp.where(L[:, None] > eps,
+                             x / jnp.maximum(L[:, None], eps),
+                             jnp.ones_like(x))
+
+        # 3. per-shard probe selection
+        bound0 = w_s * nsem(ssem) + w_l * nlex(slex, L0)
+        _, top_sup = jax.lax.top_k(bound0, S)
+        sup_s = jnp.sort(top_sup, axis=1)
+
+        # 4. exact residents (LOCAL ids), sem + lex
+        tiles_sel = (sup_s[:, :, None] * super_tiles
+                     + jax.lax.broadcasted_iota(
+                         jnp.int32, (1, 1, super_tiles), 2)
+                     ).reshape(B, S * super_tiles)
+        s_res, gidx_l = gather_tile_scores(q, docs_l, tiles_sel, bias_l)
+        R = S * sd
+        gidx = gidx_l + offset
+        in_range = (gidx_l < per) & (gidx < valid_n)
+        s_res = jnp.where(in_range, s_res, NEG_INF)
+        alive = jnp.isfinite(s_res)
+        l_cat, w_cat, ovf_l = _resident_windows(
+            sup_pos, ids_rows, ws_rows, tids, sup_s, sd, wcaps)
+        lex_res = _place_windows(l_cat, w_cat, super_tiles,
+                                 use_pallas=False).reshape(B, R)
+        lex_res = jnp.where(alive, lex_res, 0.0)
+
+        # 5. GLOBAL lexical normalizer + fusion + local top-k
+        L_res = jax.lax.pmax(jnp.max(lex_res, axis=1), DATA_AXIS)
+        fused = w_s * nsem(s_res) + w_l * nlex(lex_res, L_res)
+        fused = jnp.where(alive, fused, NEG_INF)
+        k_local = min(k, R)
+        vals, pos = jax.lax.top_k(fused, k_local)
+        g = jnp.take_along_axis(gidx, pos, axis=1)
+        g = jnp.where(jnp.isfinite(vals) & (vals > NEG_INF / 2), g, -1)
+
+        # 6. certificate pieces (global reductions)
+        probed = jnp.any(
+            jax.lax.broadcasted_iota(jnp.int32, (1, ns), 1)[:, :, None]
+            == sup_s[:, None, :], axis=2)
+        slex_un = jnp.where(probed, 0.0, slex)
+        cert_norm = L_res >= jax.lax.pmax(jnp.max(slex_un, axis=1),
+                                          DATA_AXIS)
+        bound_f = (w_s * nsem(ssem)
+                   + w_l * nlex(slex, jnp.maximum(L_res, eps)))
+        tau_l = jnp.max(jnp.where(probed, NEG_INF, bound_f), axis=1)
+        tau = jax.lax.pmax(tau_l, DATA_AXIS)
+        ovf = jax.lax.pmax(ovf_l.astype(jnp.int32), DATA_AXIS) > 0
+
+        # 7. candidate merge (replicated compute, O(shards*k) over ICI)
+        all_vals = jax.lax.all_gather(vals, DATA_AXIS, axis=1, tiled=True)
+        all_ids = jax.lax.all_gather(g, DATA_AXIS, axis=1, tiled=True)
+        mv, sel = jax.lax.top_k(all_vals, k)
+        mi = jnp.take_along_axis(all_ids, sel, axis=1)
+        kth = mv[:, -1]
+        exact = (comp & lm & cert_norm & ~ovf
+                 & ((kth >= tau) | ~jnp.isfinite(tau)))
+        return mv, mi, exact
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS, None), P(DATA_AXIS),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
+                  P(DATA_AXIS, None, None), P(DATA_AXIS, None, None),
+                  P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(queries, docs_sharded, bias_sharded, sup_max_s, sup_pos_s,
+              ids_rows_s, ws_rows_s, enc.term_ids, complete, lmz)
