@@ -391,6 +391,45 @@ class BM25:
         self._super_cache = (state, sp)  # atomic publish
         return sp
 
+    def super_postings_sharded(self, state=None, super_tiles: int = 128):
+        """Per-shard supertile structures (+ mesh-placed device arrays)
+        for the collective supertile path (parallel/collectives.py
+        sharded_supertile_topk). Returns (ShardedSuperPostings, placed)
+        or None without a sharded fit. Cached per state snapshot."""
+        state = state if state is not None else self._state
+        sh = state.sharded
+        if sh is None or state.tf_cache is None or self.mesh is None:
+            return None
+        cached = getattr(self, "_super_shard_cache", None)
+        if cached is not None and cached[0] is state:
+            return cached[1]
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from hybridsearch_tpu.ops import bm25 as bm25_ops
+        from hybridsearch_tpu.ops.supertile import (
+            build_super_postings_sharded,
+        )
+        from hybridsearch_tpu.parallel.mesh import DATA_AXIS
+
+        t_arr, d_arr, c_arr, doc_lens = state.tf_cache  # sorted at publish
+        w = bm25_ops.compute_eager_weights(
+            t_arr, d_arr, c_arr, doc_lens, state.n_docs, len(state.vocab),
+            k1=self.k1, b=self.b, variant=self.variant, delta=self.delta,
+        )
+        n_shards = self.mesh.shape[DATA_AXIS]
+        ssp = build_super_postings_sharded(
+            t_arr, d_arr, w, state.n_docs, len(state.vocab),
+            docs_per_shard=sh.docs_per_shard, n_shards=n_shards,
+            super_tiles=super_tiles,
+        )
+        spec = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        placed = tuple(jax.device_put(a, spec) for a in (
+            ssp.sup_max, ssp.sup_pos, ssp.ids_rows, ssp.ws_rows))
+        out = (ssp, placed)
+        self._super_shard_cache = (state, out)  # atomic publish
+        return out
+
     def encode_queries_super(self, queries: Sequence[str]):
         """(SuperPostings, SuperQueryEnc) for hybrid_supertile_topk — one
         state snapshot for both (copy-on-write discipline, ADVICE r2)."""

@@ -312,14 +312,27 @@ class Searcher:
             from hybridsearch_tpu.parallel.collectives import sharded_hybrid_topk
 
             with trace_span("hybrid_sharded"):
-                groups = bm25.encode_queries_bucketed(list(queries),
-                                                      bm25_state)
-                vals, idxs = sharded_hybrid_topk(
-                    self.indexer.mesh,
-                    l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32))),
-                    snap.docs, sh.doc_ids, sh.weights, groups, k,
-                    sw, lw, valid_n=snap.n, bias_sharded=snap.bias,
-                )
+                res = None
+                if (self.indexer.config.index.layout == "clustered"
+                        and n >= SPARSE_HYBRID_MIN_DOCS):
+                    # at-scale collective path: supertile exact residents
+                    # per shard instead of [B, per] score arrays; fall
+                    # back to the exact program when uncertified
+                    res = self._sharded_supertile(queries, q_vecs, snap,
+                                                  bm25, bm25_state, k,
+                                                  sw, lw)
+                if res is not None:
+                    vals, idxs = res
+                else:
+                    groups = bm25.encode_queries_bucketed(list(queries),
+                                                          bm25_state)
+                    vals, idxs = sharded_hybrid_topk(
+                        self.indexer.mesh,
+                        l2_normalize(jnp.asarray(np.asarray(q_vecs,
+                                                            np.float32))),
+                        snap.docs, sh.doc_ids, sh.weights, groups, k,
+                        sw, lw, valid_n=snap.n, bias_sharded=snap.bias,
+                    )
         elif (
             self.lexical_mode == "bm25"
             and self.semantic_mode == "exact"
@@ -384,6 +397,54 @@ class Searcher:
                     n_results=len(row), latency_ms=latency_ms,
                 )
         return results
+
+    def _sharded_supertile(self, queries, q_vecs, snap, bm25, bm25_state,
+                           k, sw, lw):
+        """Collective supertile serving on the mesh (clustered layouts):
+        escalate the per-shard probe budget while certificates can still
+        close; return None to fall back to the exact collective program
+        (parallel/collectives.py sharded_hybrid_topk)."""
+        import os as _os
+
+        if _os.environ.get("HST_SUPER_HYBRID", "1") == "0":
+            return None
+        built = bm25.super_postings_sharded(state=bm25_state)
+        if built is None:
+            return None
+        ssp, placed = built
+        from hybridsearch_tpu.ops.supertile import (
+            encode_super_queries_sharded,
+        )
+        from hybridsearch_tpu.parallel.collectives import (
+            sharded_supertile_topk,
+        )
+
+        term_lists = [bm25_state.vocab.encode(extract_tokens(q))
+                      for q in queries]
+        enc_s = encode_super_queries_sharded(ssp, term_lists)
+        q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
+        n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
+        lmz = enc_s.full_touched < n_alive
+        ns_local = ssp.sup_max.shape[-1]
+        res = None
+        for s_probe in _SUPER_LADDER:
+            res = sharded_supertile_topk(
+                self.indexer.mesh, q, snap.docs, *placed, enc_s, k=k,
+                semantic_weight=sw, lexical_weight=lw,
+                s_probe=min(s_probe, ns_local), valid_n=snap.n,
+                n_alive=n_alive, bias_sharded=snap.bias,
+            )
+            exact = np.asarray(jax.device_get(res[2]))
+            if exact.all():
+                return res[0], res[1]
+            if not np.logical_and(~exact, enc_s.complete & lmz).any():
+                break
+            if s_probe >= ns_local:
+                break
+        from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
+
+        GLOBAL_COUNTERS.inc("hybrid_sharded_uncertified")
+        return None  # exact collective program serves the batch
 
     def _sparse_hybrid(self, queries, q_vecs, snap, bm25, bm25_state, k,
                        sw, lw):

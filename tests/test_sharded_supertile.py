@@ -139,6 +139,36 @@ def test_sharded_supertile_partial_probe_soundness(mesh):
                                        rtol=1e-4, atol=1e-4)
 
 
+def test_searcher_mesh_supertile_parity(mesh, monkeypatch):
+    """search_batch through the mesh supertile route must return what
+    the exact collective program returns (same corpus, queries)."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(120)]
+    topics = [" ".join(f"z{z}t{j}" for j in range(6)) for z in range(4)]
+    texts = [f"{topics[i % 4]} " +
+             " ".join(rng.choice(vocab, size=6)) for i in range(800)]
+    queries = ["z2t1 z2t3 w7", "z0t0 z0t5", "w3 w11 w42"]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    enc = HashingEncoder(dim=64)
+    s = Searcher(encoder=enc, mesh=mesh, use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    exact_path = s.search_batch(queries, top_k=5, log=False)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    sup_path = s.search_batch(queries, top_k=5, log=False)
+    for a, b in zip(exact_path, sup_path):
+        assert [i for _v, _c, i in a] == [i for _v, _c, i in b]
+        np.testing.assert_allclose([v for v, _c, _i in a],
+                                   [v for v, _c, _i in b],
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_sharded_supertile_tombstones(mesh):
     rng = np.random.default_rng(3)
     n = 4096
