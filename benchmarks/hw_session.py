@@ -422,9 +422,8 @@ def phase_super_profile():
         pallas_super_scores,
     )
 
-    E = (enc.wcap // 128 + 1) * 128
-    n_ch = -(-E // 1024)
-    TE = T * n_ch * 1024
+    TE = sum(-(-((wc // 128 + 1) * 128) // 1024) * 1024
+             for wc in enc.wcaps)
     l_fake = jnp.asarray(
         rng.integers(-1, 2 * 16384, (512, TE)).astype(np.int32))
     w_fake = jnp.asarray(rng.random((512, TE)).astype(np.float32))
