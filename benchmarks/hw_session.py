@@ -397,6 +397,14 @@ def phase_super_profile():
     q512 = jnp.concatenate([q, q[::-1]], axis=0)
     _time("tile_stats512", lambda qq: dense_tile_stats(qq, docs, None),
           q512)
+    # sub-chunked kernel body (VMEM headroom for double buffering)
+    os.environ["HST_TILE_STATS_SUB"] = "1"
+    _time("tile_stats_sub",
+          lambda qq: dense_tile_stats(qq, docs, None, block_n=262145), q)
+    _time("tile_stats_sub512",
+          lambda qq: dense_tile_stats(qq, docs, None, block_n=262146),
+          q512)
+    os.environ.pop("HST_TILE_STATS_SUB", None)
     rng = np.random.default_rng(0)
     sup2 = jnp.asarray(np.sort(
         rng.integers(0, sp.n_super, (B, 2)).astype(np.int32), axis=1))

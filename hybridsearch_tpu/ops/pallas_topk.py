@@ -64,10 +64,43 @@ def _tile_minmax_t_body(qt_ref, d_ref, omax_ref, omin_ref, bias_ref,
                         n_valid, block_n):
     """v2 minmax: maxima see s + bias (dead -> -inf); minima see raw s
     masked to +inf on dead/padding rows (exact alive-min stats for the
-    sparse-correction hybrid, one sweep)."""
+    sparse-correction hybrid, one sweep).
+
+    HST_TILE_STATS_SUB=1 sub-chunks the dot+reduce in 1024-row pieces:
+    the single-dot variant holds ~12 MB of live f32 intermediates per
+    instance ([block_n, B] scores + two masked copies at B=256), which
+    leaves Mosaic no VMEM headroom to double-buffer the doc blocks."""
+    import os
+
     B = qt_ref.shape[1]
     tpb = block_n // TILE
     i = pl.program_id(0)
+    sub = 1024
+    if (os.environ.get("HST_TILE_STATS_SUB", "0") == "1"
+            and block_n % sub == 0 and block_n > sub):
+        spt = sub // TILE
+        for c in range(block_n // sub):
+            s = jax.lax.dot_general(
+                d_ref[c * sub:(c + 1) * sub], qt_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [sub, B]
+            row = (i * block_n + c * sub
+                   + jax.lax.broadcasted_iota(jnp.int32, (sub, 1), 0))
+            valid = row < n_valid
+            if bias_ref is not None:
+                bias = bias_ref[c * sub:(c + 1) * sub][:, None]
+                s_max = jnp.where(valid, s + bias, jnp.float32(-jnp.inf))
+                s_min = jnp.where(valid & (bias >= 0.0), s,
+                                  jnp.float32(jnp.inf))
+            else:
+                s_max = jnp.where(valid, s, jnp.float32(-jnp.inf))
+                s_min = jnp.where(valid, s, jnp.float32(jnp.inf))
+            omax_ref[0, c * spt:(c + 1) * spt] = jnp.max(
+                s_max.reshape(spt, TILE, B), axis=1)
+            omin_ref[0, c * spt:(c + 1) * spt] = jnp.min(
+                s_min.reshape(spt, TILE, B), axis=1)
+        return
     s = jax.lax.dot_general(
         d_ref[:], qt_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -87,7 +120,7 @@ def _tile_minmax_t_body(qt_ref, d_ref, omax_ref, omin_ref, bias_ref,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("block_n", "n_valid", "with_min"))
+                   static_argnames=("block_n", "n_valid", "with_min", "interpret"))
 def pallas_tile_stats_t(
     queries_t: jax.Array,  # [D, B] already in the docs' matmul dtype
     docs: jax.Array,  # [N, D] bf16/fp32, N % 128 == 0
@@ -95,6 +128,7 @@ def pallas_tile_stats_t(
     n_valid: int,
     block_n: int = 4096,
     with_min: bool = False,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, ...]:
     """Tile maxima (and optionally alive-tile minima) of docs @ queries_t
     in [nb, tpb, B] layout. Rows >= n_valid are masked in-kernel (-inf max /
@@ -159,5 +193,6 @@ def pallas_tile_stats_t(
             + n_out * B * (N // TILE) * 4,
             transcendentals=0,
         ),
+        interpret=interpret,
     )(*args)
     return tuple(out)

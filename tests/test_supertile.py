@@ -283,6 +283,39 @@ def test_pallas_super_scores_interpret_parity(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_tile_stats_subchunk_parity(rng, monkeypatch):
+    """The sub-chunked tile-stats kernel body (HST_TILE_STATS_SUB=1,
+    interpret mode) must bit-match the single-dot body and the numpy
+    oracle, including masked/dead rows."""
+    from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
+
+    D, B, N = 128, 128, 4096
+    docs = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    q_t = jnp.asarray(rng.standard_normal((D, B)).astype(np.float32))
+    bias_np = np.zeros(N, np.float32)
+    bias_np[rng.choice(N, size=300, replace=False)] = -np.inf
+    bias = jnp.asarray(bias_np)
+    n_valid = N - 100
+    outs = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("HST_TILE_STATS_SUB", flag)
+        outs[flag] = pallas_tile_stats_t(
+            q_t, docs, bias, n_valid=n_valid,
+            block_n=2048 + (0 if flag == "0" else 0), with_min=True,
+            interpret=True)
+        # distinct trace per flag: interpret + env read at trace time
+        pallas_tile_stats_t._clear_cache()
+    for a, b in zip(outs["0"], outs["1"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+    s = np.asarray(jnp.dot(docs, q_t))
+    s_max = np.where((np.arange(N) < n_valid)[:, None],
+                     s + bias_np[:, None], -np.inf)
+    ref_max = s_max.reshape(-1, 128, B).max(axis=1)
+    got_max = np.asarray(outs["1"][0]).reshape(-1, B)
+    np.testing.assert_allclose(got_max, ref_max, rtol=1e-4, atol=1e-4)
+
+
 def test_searcher_supertile_path_parity(monkeypatch, rng):
     """search_batch through the clustered supertile path must return
     exactly what the full fused path returns (same corpus, queries)."""
