@@ -1,14 +1,21 @@
 """Full hybrid benchmark at corpus scale on one chip.
 
-Measures the engine's actual at-scale serving hot path — the impact-pruned
-hybrid (ops/hybrid.py hybrid_impact_topk): one streaming dense sweep
-(Pallas fused matmul+tile-max with exact global min/max stats) + impact-run
-prefix candidates + one-hot-matmul rescore on the MXU + min-max fusion with
-a per-query exactness certificate — the path Searcher.search_batch takes
-for every corpus >= 200k docs. This is the TPU-native equivalent of the
-reference's whole Searcher.search (reference core.py:199-271: semantic +
-lexical arms, min-max normalize, weighted fusion, top-k), which the round-1
-headline bench only half-covered (dense arm alone; VERDICT.md weak #1).
+Measures the engine's at-scale serving hot paths over the same synthetic
+corpus/query generator:
+  HST_BENCH_SUPERHYB=1 (bench.py default) — the supertile exact-resident
+    hybrid (ops/supertile.py): one stats sweep, table-driven bounds,
+    every probed-supertile resident scored exactly, per-query exactness
+    certificate. The path Searcher.search_batch takes on clustered
+    corpora >= 200k docs.
+  HST_BENCH_TILEHYB=1 — the v1 tile-resident path (ops/hybrid.py
+    hybrid_tile_topk).
+  default-off both — the impact-pruned union path (hybrid_impact_topk):
+    dense sweep + impact-run prefix candidates + sort-merge rescore +
+    margin correction; serves unclustered layouts.
+All are TPU-native equivalents of the reference's whole Searcher.search
+(reference core.py:199-271: semantic + lexical arms, min-max normalize,
+weighted fusion, top-k), which the round-1 headline bench only
+half-covered (dense arm alone; VERDICT.md round-1 weak #1).
 
 The lexical corpus is synthetic but structurally realistic: term document
 frequencies follow a Zipf law over a 50k vocabulary, per-(term, doc)
