@@ -283,6 +283,32 @@ def test_pallas_super_scores_interpret_parity(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_searcher_supertile_uncertifiable_serves_best_effort(monkeypatch,
+                                                             rng):
+    """A query whose terms exceed every T rung (dropped terms: complete
+    is False at any probe budget) must terminate the ladder and still
+    serve reasonable results."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(100)]
+    texts = ["target alpha beta " + " ".join(rng.choice(vocab, size=6))
+             for _ in range(400)]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    # 40 distinct terms > SUPER_T_LADDER[-1] == 32 -> some are dropped
+    q = "target alpha " + " ".join(f"w{i}" for i in range(40))
+    out = s.search(q, top_k=5, log=False)
+    assert len(out) == 5
+    assert all(0 <= i < 400 for _v, _c, i in out)
+
+
 def test_pallas_tile_stats_subchunk_parity(rng, monkeypatch):
     """The sub-chunked tile-stats kernel body (HST_TILE_STATS_SUB=1,
     interpret mode) must bit-match the single-dot body and the numpy
