@@ -104,6 +104,7 @@ def build_super_postings(
     t = np.asarray(term_ids, dtype=np.int64)
     d = np.asarray(doc_ids, dtype=np.int64)
     w = np.asarray(weights, dtype=np.float32)
+    assert len(t) < 2**31, "int32 CSR positions (sup_pos) cap nnz at 2^31"
     V = vocab_size
     sd = super_tiles * TILE
     n_tiles = max(1, -(-n_docs // TILE))
