@@ -220,6 +220,12 @@ def main() -> None:
     ap.add_argument("--n-docs", type=int, default=5000)
     ap.add_argument("--config", type=int, default=0, help="0 = all")
     args = ap.parse_args()
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon TPU plugin wins over the env var; force via config
+        # (a CPU run otherwise hangs on a wedged tunnel)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     chosen = [args.config] if args.config else sorted(CONFIGS)
     for c in chosen:
         result = CONFIGS[c](args.n_docs)
