@@ -309,6 +309,37 @@ def test_searcher_supertile_uncertifiable_serves_best_effort(monkeypatch,
     assert all(0 <= i < 400 for _v, _c, i in out)
 
 
+def test_searcher_supertile_delete_and_add(monkeypatch, rng):
+    """Deletes (tombstones) and incremental adds must flow through the
+    supertile route: deleted docs never return, added docs are findable,
+    and the per-state super cache rebuilds."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(100)]
+    texts = ["needle alpha " + " ".join(rng.choice(vocab, size=6))
+             if i % 37 == 0 else " ".join(rng.choice(vocab, size=8))
+             for i in range(500)]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    top = s.search("needle alpha", top_k=3, log=False)
+    assert top, "needle docs must surface"
+    victim = top[0][2]
+    s.indexer.delete_documents([victim])
+    after = [r[2] for r in s.search("needle alpha", top_k=10, log=False)]
+    assert victim not in after
+    n0 = len(s.indexer.contents)
+    s.indexer.add_documents(["zzuniqueterm fresh document about needles"])
+    got = [r[2] for r in s.search("zzuniqueterm", top_k=3, log=False)]
+    assert n0 in got, "the added doc must be retrievable"
+
+
 def test_pallas_tile_stats_subchunk_parity(rng, monkeypatch):
     """The sub-chunked tile-stats kernel body (HST_TILE_STATS_SUB=1,
     interpret mode) must bit-match the single-dot body and the numpy
