@@ -145,6 +145,34 @@ def test_supertile_certificate_soundness_fuzz():
                             f"s_probe={s_probe} w_s={w_s}")
 
 
+def test_supertile_max_norm_full_probe(rng):
+    """norm='max' (the hybrid_bm25 pipeline's fusion) at full probing:
+    certified and equal to the max-norm oracle."""
+    n = 1024
+    vocab, bm25, docs = _mk_corpus(rng, n, 100)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(3)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((3, 32)).astype(np.float32)))
+    sp = _sp_from_bm25(bm25)
+    enc = encode_super_queries(sp, [
+        bm25.vocab.encode(qq.split()) for qq in queries])
+    res = hybrid_supertile_topk(q, docs, sp, enc, 5, 0.7, 0.3,
+                                s_probe=sp.n_super, norm="max")
+    sem = np.asarray(_semantic_full(q, docs))
+    lex = np.asarray(bm25.batch_scores(queries))
+
+    def mx(x):
+        m = x.max(1, keepdims=True)
+        return np.where(m > 1e-12, x / np.maximum(m, 1e-12), x)
+
+    fused = 0.7 * mx(sem) + 0.3 * mx(lex)
+    oidx = np.argsort(-fused, axis=1)[:, :5]
+    ovals = np.take_along_axis(fused, oidx, axis=1)
+    assert bool(np.asarray(res.exact).all())
+    np.testing.assert_allclose(np.asarray(res.values), ovals, rtol=1e-4,
+                               atol=1e-5)
+
+
 def test_supertile_wcap_overflow_is_flagged(rng):
     """A window cap smaller than a term's widest supertile window must
     clear the certificate (never a wrong exact claim) and never crash."""
