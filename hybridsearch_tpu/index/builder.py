@@ -328,15 +328,16 @@ def _cluster_permutation(vectors: np.ndarray, seed: int = 0) -> np.ndarray:
     so equal-cluster docs keep source order."""
     import jax
 
-    from hybridsearch_tpu.index.ivf import kmeans_fit
-    from hybridsearch_tpu.ops.dense import l2_normalize
+    from hybridsearch_tpu.index.ivf import kmeans_assign, kmeans_fit
 
     import jax.numpy as jnp
 
     n = len(vectors)
     k = max(2, int(np.sqrt(n)))
-    v = l2_normalize(jnp.asarray(np.asarray(vectors, np.float32)))
+    # Keep the corpus in its storage dtype; kmeans_fit/kmeans_assign
+    # normalize per 16k-row block internally. An eager l2_normalize +
+    # [N, k] similarity matrix here is ~126 GB at 10M docs (ADVICE r3).
+    v = jnp.asarray(np.asarray(vectors))
     cent = kmeans_fit(v, k, seed=seed)
-    assign = np.asarray(jax.device_get(
-        jnp.argmax(jnp.dot(v, cent.T), axis=1)))
+    assign = np.asarray(jax.device_get(kmeans_assign(v, cent)))
     return np.argsort(assign, kind="stable")

@@ -556,7 +556,11 @@ def _hybrid_super_impl(
     # -- 4. resident semantic scores ---------------------------------------
     R = S * sd
     CH = 1024
-    if _use_pallas_place() and N % CH == 0 and Dm % 128 == 0:
+    if (_use_pallas_place() and N % CH == 0 and Dm % 128 == 0
+            and sd % CH == 0):
+        # sd % CH mirrors pallas_super_scores' own assert: a build with
+        # super_tiles < 8 (sd < 1024) must take the XLA fallback rather
+        # than trip a trace-time assertion (ADVICE r3).
         # fused DMA+dot kernel: supertile rows stream from HBM once
         # (the XLA tile gather + einsum measured 58-120 ms/batch at 10M)
         from hybridsearch_tpu.ops.pallas_supertile import (
@@ -622,11 +626,20 @@ def _hybrid_super_impl(
     sup_iota = jax.lax.broadcasted_iota(jnp.int32, (1, n_super), 1)
     probed = jnp.any(sup_iota[:, :, None] == sup_s[:, None, :], axis=2)
     slex_un = jnp.where(probed, 0.0, slex)
-    cert_norm = L_res >= jnp.max(slex_un, axis=1)
+    # eps_num: tile maxima come from the bf16-MXU stats sweep while
+    # resident scores use f32 contractions (pallas_super_scores /
+    # placement) — same exact bf16 products, different f32 accumulation
+    # order, so they can disagree by ~D*eps_f32. Certify only when the
+    # comparison clears that noise floor (ADVICE r3).
+    eps_num = jnp.float32(1e-4)
+    max_un = jnp.max(slex_un, axis=1)
+    # max_un <= 0 is exact (no query term touches an unprobed supertile:
+    # the bound table entries are exact zeros), so no epsilon is needed.
+    cert_norm = (L_res >= max_un + eps_num) | (max_un <= 0.0)
     bound_f = w_s * nsem(ssem) + w_l * nlex(slex, jnp.maximum(L_res, eps))
     tau = jnp.max(jnp.where(probed, NEG_INF, bound_f), axis=1)
     exact = (complete & cert_norm & ~ovf
-             & ((kth >= tau) | ~jnp.isfinite(tau)))
+             & ((kth >= tau + eps_num) | ~jnp.isfinite(tau)))
     if norm == "minmax":
         exact = exact & lex_min_zero
     return HybridTopK(values=vals, indices=idxs, exact=exact)

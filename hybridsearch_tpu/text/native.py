@@ -114,6 +114,19 @@ def native_tokenize(text: str) -> List[str]:
 _STOP_HASH_CACHE: dict = {}
 
 
+def _stop_hash_array(stop_hashes: "tuple"):
+    """Sorted uint64 stop-hash array, cached by tuple VALUE. An id()
+    key can silently serve a stale set when a GC'd temporary's id is
+    reused by a different tuple (ADVICE r3)."""
+    import numpy as np
+
+    arr = _STOP_HASH_CACHE.get(stop_hashes)
+    if arr is None:
+        arr = np.sort(np.asarray(stop_hashes, dtype=np.uint64))
+        _STOP_HASH_CACHE[stop_hashes] = arr
+    return arr
+
+
 def token_hashes(text: str, stop_hashes: "tuple") -> "tuple":
     """(unigram_hashes, bigram_hashes) of lowercase word tokens with
     stopwords removed — one C pass, hash-identical to Python stable_hash
@@ -123,11 +136,7 @@ def token_hashes(text: str, stop_hashes: "tuple") -> "tuple":
     lib = _lib()
     if lib is None:
         raise ImportError("libtextops.so not built")
-    key = id(stop_hashes)
-    arr = _STOP_HASH_CACHE.get(key)
-    if arr is None:
-        arr = np.sort(np.asarray(stop_hashes, dtype=np.uint64))
-        _STOP_HASH_CACHE[key] = arr
+    arr = _stop_hash_array(stop_hashes)
     data = text.encode("utf-8", errors="replace")
     cap = max(16, len(data) // 2 + 1)
     uni = np.empty(cap, dtype=np.uint64)
@@ -152,11 +161,7 @@ def token_hashes_docs(texts, stop_hashes: "tuple"):
     lib = _lib()
     if lib is None or not hasattr(lib, "hst_token_hashes_docs"):
         raise ImportError("libtextops.so with hst_token_hashes_docs needed")
-    key = id(stop_hashes)
-    arr = _STOP_HASH_CACHE.get(key)
-    if arr is None:
-        arr = np.sort(np.asarray(stop_hashes, dtype=np.uint64))
-        _STOP_HASH_CACHE[key] = arr
+    arr = _stop_hash_array(stop_hashes)
     blobs = [t.encode("utf-8", errors="replace") for t in texts]
     offsets = np.zeros(len(blobs) + 1, dtype=np.int64)
     np.cumsum([len(b) for b in blobs], out=offsets[1:])

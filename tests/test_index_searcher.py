@@ -205,6 +205,18 @@ def test_fuzzy_lexical_mode(demo_docs, encoder):
     assert any(r[2] == 1 for r in res)
 
 
+def test_fuzzy_mode_refuses_large_corpus(demo_docs, encoder, monkeypatch):
+    """The O(B*N) host fuzzy loop is capped: flipping lexical_mode='fuzzy'
+    on a big index must raise, not take minutes per query."""
+    import pytest
+
+    s = Searcher(encoder=encoder, lexical_mode="fuzzy")
+    s.indexer.index_documents(demo_docs)
+    monkeypatch.setattr(Searcher, "FUZZY_MAX_DOCS", len(demo_docs) - 1)
+    with pytest.raises(ValueError, match="fuzzy"):
+        s.search("machine learning", top_k=3)
+
+
 def test_deleted_doc_never_surfaces(searcher):
     before = searcher.search("machine learning", top_k=12, log=False)
     target = before[0][2]
