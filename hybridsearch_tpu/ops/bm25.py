@@ -755,17 +755,26 @@ def compute_eager_weights(
     b: float = 0.75,
     variant: str = "bm25",
     delta: float = 1.0,
+    df: "Optional[np.ndarray]" = None,
+    avg_len: "Optional[float]" = None,
 ) -> np.ndarray:
     """Host-side eager weight computation from COO tf triples.
 
     idf uses the reference's smoothing: log((N - df + 0.5)/(df + 0.5) + 1)
     (reference bm25.py:81). BM25+ adds delta inside the per-term sum
     (reference bm25.py:177).
+
+    `df` / `avg_len`, when given, OVERRIDE the stats derived from the
+    triples — the epoch-frozen incremental-add path scores new docs
+    under the stats of the last full fit (bounded staleness,
+    index/sparse_index.py add_tokens).
     """
-    df = np.zeros(vocab_size, dtype=np.int64)
-    np.add.at(df, tf_term_ids, 1)
+    if df is None:
+        df = np.zeros(vocab_size, dtype=np.int64)
+        np.add.at(df, tf_term_ids, 1)
     idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
-    avg_len = float(doc_lens.mean()) if n_docs else 1.0
+    if avg_len is None:
+        avg_len = float(doc_lens.mean()) if n_docs else 1.0
     avg_len = max(avg_len, 1e-9)
     tf = tf_counts.astype(np.float64)
     len_norm = k1 * (1.0 - b + b * doc_lens[tf_doc_ids] / avg_len)

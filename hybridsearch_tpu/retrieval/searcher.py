@@ -305,6 +305,13 @@ class Searcher:
         snap = self.indexer.dense._snap
         bm25 = self.indexer.bm25
         bm25_state = bm25._state
+        if bm25_state.delta_seg is not None:
+            # adds since the last full fit sit in a delta segment (O(new)
+            # adds, index/sparse_index.py); the fused hybrid programs
+            # score ONE postings set, so fold it in first — the same
+            # rebuild cost a postings-shape change already implies here
+            bm25.compact()
+            bm25_state = bm25._state
         n = snap.n
         if n == 0:
             return [[] for _ in queries]

@@ -239,6 +239,10 @@ def test_fit_hashes_incremental_add_and_roundtrip(rng, tmp_path):
     inc.add_tokens([extract_tokens(t) for t in extra])
     full = BM25().fit_hashes(texts + extra)
     queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(5)]
+    # adds land in a delta segment under epoch-frozen stats; compaction
+    # restores exact equality with a fresh full fit (staleness bounds are
+    # pinned in test_bm25_delta.py)
+    inc.compact()
     np.testing.assert_allclose(inc.batch_scores(queries),
                                full.batch_scores(queries),
                                rtol=1e-6, atol=1e-7)
