@@ -205,10 +205,18 @@ def config_5_diversity_cache_batch(n_docs: int) -> Dict:
     t0 = time.perf_counter()
     p.searcher.search_batch(batch_qs, top_k=10, log=False)
     batch_s = time.perf_counter() - t0
+    # batched DIVERSITY (one mmr_select_batch program for all queries;
+    # warm at the SAME batch shape to exclude compile, like the other
+    # batch rows)
+    p.search_batch(batch_qs, top_k=10)
+    t0 = time.perf_counter()
+    p.search_batch(batch_qs, top_k=10)
+    div_batch_s = time.perf_counter() - t0
     state.close()
     return {"config": "5_diversity_cache_batch", "docs": n_docs,
             "cache_hit_on_repeat": bool(second.get("cached")),
-            "batch_qps": round(len(batch_qs) / batch_s, 2), **perf}
+            "batch_qps": round(len(batch_qs) / batch_s, 2),
+            "div_batch_qps": round(len(batch_qs) / div_batch_s, 2), **perf}
 
 
 CONFIGS = {1: config_1_demo, 2: config_2_bm25, 3: config_3_hybrid,

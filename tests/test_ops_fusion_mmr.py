@@ -87,3 +87,46 @@ def test_lsh_signatures_deterministic_and_locality(rng):
     assert (s_v == s_near).sum() >= (s_v == s_far).sum()
     assert s_v.shape == (1, 10)
     assert s_v.min() >= 0 and s_v.max() < 256
+
+
+def test_mmr_batch_matches_per_query(rng):
+    B, C, D, k = 4, 20, 16, 6
+    rel = rng.random((B, C)).astype(np.float32)
+    emb = rng.standard_normal((B, C, D)).astype(np.float32)
+    order_b, scores_b = mmr.mmr_select_batch(jnp.asarray(rel),
+                                             jnp.asarray(emb), k, 0.5)
+    for b in range(B):
+        order_1, scores_1 = mmr.mmr_select(jnp.asarray(rel[b]),
+                                           jnp.asarray(emb[b]), k, 0.5)
+        assert np.asarray(order_b[b]).tolist() == np.asarray(order_1).tolist()
+        np.testing.assert_allclose(np.asarray(scores_b[b]),
+                                   np.asarray(scores_1), rtol=1e-5)
+
+
+def test_mmr_batch_padding_never_selected(rng):
+    """Rows shorter than C mark the tail invalid; padded entries must not
+    appear in the selection even at lam=0 (diversity-only)."""
+    B, C, D, k = 3, 12, 8, 4
+    rel = rng.random((B, C)).astype(np.float32)
+    emb = rng.standard_normal((B, C, D)).astype(np.float32)
+    valid = np.ones((B, C), dtype=bool)
+    valid[0, 6:] = False  # row 0 has only 6 real candidates
+    valid[2, 5:] = False
+    for lam in (0.0, 0.5, 1.0):
+        order, _ = mmr.mmr_select_batch(jnp.asarray(rel), jnp.asarray(emb),
+                                        k, lam, valid=jnp.asarray(valid))
+        order = np.asarray(order)
+        assert (order[0] < 6).all() and (order[2] < 5).all()
+        assert (order[1] < C).all()
+
+
+def test_mmr_batch_per_row_lambda(rng):
+    """lam can be a [B] vector: row 0 pure-relevance, row 1 diverse."""
+    B, C, D, k = 2, 15, 8, 5
+    rel = rng.random((B, C)).astype(np.float32)
+    emb = rng.standard_normal((B, C, D)).astype(np.float32)
+    lam = jnp.asarray([1.0, 0.3], dtype=jnp.float32)
+    order, _ = mmr.mmr_select_batch(jnp.asarray(rel), jnp.asarray(emb), k,
+                                    lam)
+    want0 = np.argsort(-rel[0], kind="stable")[:k]
+    assert np.asarray(order[0]).tolist() == want0.tolist()

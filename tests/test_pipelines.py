@@ -307,3 +307,34 @@ def test_multi_stage_batched_matches_single(encoder, small_ce, demo_docs):
     for b, s in zip(batched, singles):
         assert [r[2] for r in b.results] == [r[2] for r in s.results]
         assert b.metadata["batched"] is True
+
+
+def test_diversity_search_batch_matches_single(encoder):
+    docs = [
+        "machine learning models learn from data",
+        "machine learning models learn from training data",
+        "machine learning systems learn patterns from data",
+        "learning machines model data patterns",
+        "gardens bloom with colorful spring flowers",
+        "the stock market rallied this quarter",
+        "neural networks power modern vision systems",
+        "flowers and gardens in springtime bloom",
+    ]
+    div = create_pipeline("diversity", encoder=encoder, lambda_param=0.3,
+                          candidate_multiplier=2)
+    div.index(docs)
+    queries = ["machine learning data", "spring flowers garden"]
+    batch = div.search_batch(queries, top_k=3)
+    assert len(batch) == 2
+    for q, res in zip(queries, batch):
+        single = div.search(q, top_k=3)
+        assert [r[2] for r in res.results] == [r[2] for r in single.results]
+        assert res.metadata["batched"] is True
+
+
+def test_diversity_search_batch_short_rows(encoder):
+    """Queries with <= top_k candidates skip MMR but still return."""
+    div = create_pipeline("diversity", encoder=encoder)
+    div.index(["only one document here", "and a second one"])
+    batch = div.search_batch(["document"], top_k=5)
+    assert len(batch) == 1 and len(batch[0].results) <= 2
