@@ -225,38 +225,83 @@ def encode_super_queries_sharded(
     """Encode against the GLOBAL df/window stats of a sharded build —
     same SuperQueryEnc contract (starts/lens are unused by the sharded
     path, which reads per-shard position tables)."""
+    return _encode_super_vectorized(
+        query_term_ids, ssp.df_host, ssp.win_max_host, starts_host=None,
+        cap=min(ssp.super_tiles * TILE, WCAP_LADDER[-1]), wcap=None,
+    )
+
+
+def _encode_super_vectorized(
+    query_term_ids: Sequence[Sequence[int]],
+    df_host: np.ndarray,
+    win_max_host: np.ndarray,
+    starts_host: Optional[np.ndarray],
+    cap: int,
+    wcap: Optional[int],
+) -> "SuperQueryEnc":
+    """Vectorized host encode shared by the single-device and sharded
+    paths. The per-query Python loops cost 9.3 ms per 256-query batch
+    (~6% of the whole 10M serving budget) — here the ragged id lists
+    flatten once and every lookup/sort/df-sum is a numpy batch op."""
     B = len(query_term_ids)
-    longest = max((len(ids) for ids in query_term_ids), default=1)
-    t_pad = next((t for t in SUPER_T_LADDER if t >= longest),
+    V = len(df_host)
+    lens = np.fromiter((len(ids) for ids in query_term_ids),
+                       dtype=np.int64, count=B)
+    total = int(lens.sum())
+    longest = int(lens.max()) if B else 1
+    t_pad = next((t for t in SUPER_T_LADDER if t >= max(longest, 1)),
                  SUPER_T_LADDER[-1])
-    V = len(ssp.df_host)
-    tid = np.full((B, t_pad), V, dtype=np.int32)
-    complete = np.ones(B, dtype=bool)
+    flat = np.fromiter((t for ids in query_term_ids for t in ids),
+                       dtype=np.int64, count=total)
+    row_of = np.repeat(np.arange(B, dtype=np.int64), lens)
+    off = np.zeros(B + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    pos_in_row = np.arange(total, dtype=np.int64) - off[row_of]
+
     full_touched = np.zeros(B, dtype=np.int64)
-    slot_need = np.ones(t_pad, dtype=np.int64)
-    for b, ids in enumerate(query_term_ids):
-        terms = sorted(ids[:t_pad],
-                       key=lambda tt: -int(ssp.win_max_host[tt]))
-        for j, term in enumerate(terms):
-            tid[b, j] = term
-            full_touched[b] += int(ssp.df_host[term])
-            slot_need[j] = max(slot_need[j], int(ssp.win_max_host[term]))
-        if len(ids) > t_pad:
-            complete[b] = False
-            for term in ids[t_pad:]:
-                full_touched[b] += int(ssp.df_host[term])
-    cap = min(ssp.super_tiles * TILE, WCAP_LADDER[-1])
+    np.add.at(full_touched, row_of, df_host[flat])
+    complete = lens <= t_pad
+
+    tid = np.full((B, t_pad), V, dtype=np.int64)
+    keep = pos_in_row < t_pad
+    tid[row_of[keep], pos_in_row[keep]] = flat[keep]
+
+    # widest-window-first slotting (pad entries have window 0 -> last);
+    # stable argsort keeps the original order on ties, matching the
+    # previous per-query sorted(key=-win_max)
+    win_ext = np.concatenate([win_max_host, [0]])
+    wm = win_ext[tid]  # [B, t_pad]
+    order = np.argsort(-wm, axis=1, kind="stable")
+    tid = np.take_along_axis(tid, order, axis=1)
+    wm = np.take_along_axis(wm, order, axis=1)
+
+    if starts_host is not None:
+        st_ext = np.concatenate([starts_host, [0]])
+        df_ext = np.concatenate([df_host, [0]])
+        st = st_ext[tid].astype(np.int32)
+        ln = df_ext[tid].astype(np.int32)
+    else:
+        st = np.zeros((B, t_pad), dtype=np.int32)
+        ln = np.zeros((B, t_pad), dtype=np.int32)
+
+    slot_need = np.maximum(wm.max(axis=0), 1) if B else np.ones(t_pad)
 
     def _rung(need):
         r = next((c for c in WCAP_LADDER if c >= min(int(need), cap)), cap)
         return min(r, max(cap, WCAP_LADDER[0]))
 
-    rest = _rung(slot_need[1:].max()) if t_pad > 1 else None
-    wcaps = (_rung(slot_need[0]),) + (rest,) * (t_pad - 1)
+    if wcap is None:
+        # canonical TWO-rung pattern (widest slot, rest): wcaps is a jit
+        # compile key; free-form per-slot tuples would recompile on
+        # every query mix
+        rest = _rung(slot_need[1:].max()) if t_pad > 1 else None
+        wcaps = (_rung(slot_need[0]),) + (rest,) * (t_pad - 1)
+    else:
+        wcaps = (int(wcap),) * t_pad
     return SuperQueryEnc(
-        term_ids=jnp.asarray(tid),
-        starts=jnp.zeros((B, t_pad), jnp.int32),
-        lens=jnp.zeros((B, t_pad), jnp.int32),
+        term_ids=jnp.asarray(tid.astype(np.int32)),
+        starts=jnp.asarray(st),
+        lens=jnp.asarray(ln),
         complete=complete,
         full_touched=full_touched,
         wcaps=wcaps,
@@ -295,54 +340,10 @@ def encode_super_queries(
     the placement contraction and window gather ~3-4x on typical mixed
     queries. No window can silently truncate (rungs cover the build-time
     maxima). Passing `wcap` forces one uniform rung (tests)."""
-    B = len(query_term_ids)
-    longest = max((len(ids) for ids in query_term_ids), default=1)
-    t_pad = next((t for t in SUPER_T_LADDER if t >= longest),
-                 SUPER_T_LADDER[-1])
-    V = len(sp.df_host)
-    tid = np.full((B, t_pad), V, dtype=np.int32)
-    st = np.zeros((B, t_pad), dtype=np.int32)
-    ln = np.zeros((B, t_pad), dtype=np.int32)
-    complete = np.ones(B, dtype=bool)
-    full_touched = np.zeros(B, dtype=np.int64)
-    slot_need = np.ones(t_pad, dtype=np.int64)
-    for b, ids in enumerate(query_term_ids):
-        terms = sorted(ids[:t_pad],
-                       key=lambda tt: -int(sp.win_max_host[tt]))
-        for j, term in enumerate(terms):
-            tid[b, j] = term
-            st[b, j] = int(sp.starts_host[term])
-            ln[b, j] = int(sp.df_host[term])
-            full_touched[b] += int(sp.df_host[term])
-            slot_need[j] = max(slot_need[j], int(sp.win_max_host[term]))
-        if len(ids) > t_pad:
-            complete[b] = False
-            for term in ids[t_pad:]:
-                full_touched[b] += int(sp.df_host[term])
-    cap = min(sp.super_docs, WCAP_LADDER[-1])
-
-    def _rung(need):
-        r = next((c for c in WCAP_LADDER if c >= min(int(need), cap)), cap)
-        return min(r, max(cap, WCAP_LADDER[0]))
-
-    if wcap is None:
-        # canonical TWO-rung pattern (widest slot, rest): wcaps is a jit
-        # compile key, and free-form per-slot tuples would recompile on
-        # every query mix; two rungs keep the combination count at
-        # |ladder|^2 while capturing the hot-vs-topical split that
-        # drives the savings
-        rest = _rung(slot_need[1:].max()) if t_pad > 1 else None
-        wcaps = (_rung(slot_need[0]),) + (rest,) * (t_pad - 1)
-    else:
-        wcaps = (int(wcap),) * t_pad
-    return SuperQueryEnc(
-        term_ids=jnp.asarray(tid),
-        starts=jnp.asarray(st),
-        lens=jnp.asarray(ln),
-        complete=complete,
-        full_touched=full_touched,
-        wcaps=wcaps,
-        t_pad=t_pad,
+    return _encode_super_vectorized(
+        query_term_ids, sp.df_host, sp.win_max_host,
+        starts_host=sp.starts_host,
+        cap=min(sp.super_docs, WCAP_LADDER[-1]), wcap=wcap,
     )
 
 
