@@ -542,7 +542,7 @@ def _hybrid_super_impl(
     norm: str,
     block_n: int,
     super_tiles: int,
-) -> HybridTopK:
+) -> Tuple[HybridTopK, jax.Array]:
     from hybridsearch_tpu.ops.dense import dense_tile_stats, gather_tile_scores
 
     B, Dm = q.shape
@@ -685,7 +685,7 @@ def _hybrid_super_impl(
              & ((kth >= tau + eps_num) | ~jnp.isfinite(tau)))
     if norm == "minmax":
         exact = exact & lex_min_zero
-    return HybridTopK(values=vals, indices=idxs, exact=exact)
+    return HybridTopK(values=vals, indices=idxs, exact=exact), sup_s
 
 
 def hybrid_supertile_topk(
@@ -701,16 +701,19 @@ def hybrid_supertile_topk(
     norm: str = "minmax",
     block_n: int = 262144,
     n_alive: Optional[int] = None,
-) -> HybridTopK:
+    return_probes: bool = False,
+):
     """Supertile hybrid top-k (clustered layouts). Same fused semantics
     and HybridTopK contract as hybrid_impact_topk/hybrid_tile_topk;
     `exact` is sound per-query. s_probe is the probe budget in
     supertiles (128 tiles = 16384 docs each) — callers escalate it when
-    certificates fail (retrieval/searcher.py)."""
+    certificates fail (retrieval/searcher.py). With return_probes=True,
+    returns (HybridTopK, probed supertile ids [B, S]) — the quality
+    harness uses the probes for per-arm disagreement attribution."""
     N = docs.shape[0]
     n_alive = N if n_alive is None else n_alive
     lex_min_zero = jnp.asarray(enc.full_touched < n_alive)
-    return _hybrid_super_impl(
+    out, probes = _hybrid_super_impl(
         q, docs, sp.sup_max, sp.sup_pos, sp.ids_rows, sp.ws_rows,
         enc.term_ids, jnp.asarray(enc.complete), lex_min_zero,
         jnp.float32(w_s), jnp.float32(w_l), bias,
@@ -718,3 +721,4 @@ def hybrid_supertile_topk(
         wcaps=tuple(min(w, sp.super_docs) for w in enc.wcaps),
         norm=norm, block_n=block_n, super_tiles=sp.super_tiles,
     )
+    return (out, probes) if return_probes else out

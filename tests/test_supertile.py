@@ -456,3 +456,38 @@ def test_super_postings_save_load_roundtrip(tmp_path, rng):
                                       np.asarray(getattr(sp2, name)))
     for name in ("starts_host", "df_host", "win_max_host"):
         np.testing.assert_array_equal(getattr(sp, name), getattr(sp2, name))
+
+
+def test_return_probes_surface(rng):
+    """return_probes exposes the probed supertile ids (quality-harness
+    attribution); probes are sorted, in range, and consistent with the
+    default return."""
+    from hybridsearch_tpu.ops.supertile import (
+        build_super_postings,
+        encode_super_queries,
+        hybrid_supertile_topk,
+    )
+    import jax.numpy as jnp
+
+    V, N, nnz = 300, 8192, 30000
+    t = np.sort(rng.integers(0, V, nnz))
+    d = rng.integers(0, N, nnz)
+    order = np.lexsort((d, t))
+    t, d = t[order], d[order]
+    w = rng.random(nnz).astype(np.float32)
+    sp = build_super_postings(t, d, w, N, V, super_tiles=8)
+    docs = rng.standard_normal((N, 128)).astype(np.float32)
+    docs /= np.linalg.norm(docs, axis=1, keepdims=True)
+    q = docs[:4] + 0.01
+    enc = encode_super_queries(sp, [[1, 2], [3], [5, 7], [2]])
+    res1 = hybrid_supertile_topk(jnp.asarray(q), jnp.asarray(docs), sp,
+                                 enc, 5, 0.7, 0.3, s_probe=2)
+    res2, probes = hybrid_supertile_topk(jnp.asarray(q), jnp.asarray(docs),
+                                         sp, enc, 5, 0.7, 0.3, s_probe=2,
+                                         return_probes=True)
+    probes = np.asarray(probes)
+    assert probes.shape == (4, 2)
+    assert (probes >= 0).all() and (probes < sp.n_super).all()
+    assert (np.diff(probes, axis=1) >= 0).all()  # sorted ascending
+    np.testing.assert_array_equal(np.asarray(res1.indices),
+                                  np.asarray(res2.indices))
