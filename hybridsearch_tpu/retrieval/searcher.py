@@ -406,6 +406,9 @@ class Searcher:
                  int(idxs_np[b, j]))
                 for j in range(k)
                 if 0 <= int(idxs_np[b, j]) < len(contents)
+                # top_k > alive count surfaces tombstoned rows: their
+                # index is valid but their bias-masked score is -inf
+                and np.isfinite(vals_np[b, j])
             ]
             results.append(row)
             if log and self.query_memory is not None:

@@ -90,6 +90,9 @@ class FileWatcher:
         self._stop = threading.Event()
         self._thread: Optional[threading.Thread] = None
         self._last_fired: Dict[str, float] = {}
+        self._pending: Dict[str, str] = {}  # path -> suppressed event
+        self._pending_lock = threading.Lock()
+        self._flusher: Optional[threading.Thread] = None
         self._observer = None
         self.is_running = False
 
@@ -106,6 +109,8 @@ class FileWatcher:
         else:
             self._thread = threading.Thread(target=self._poll_loop, daemon=True)
             self._thread.start()
+        self._flusher = threading.Thread(target=self._flush_loop, daemon=True)
+        self._flusher.start()
         self.is_running = True
 
     def stop(self) -> None:
@@ -117,6 +122,10 @@ class FileWatcher:
         if self._thread is not None:
             self._thread.join(timeout=self.poll_interval * 3)
             self._thread = None
+        if self._flusher is not None:
+            self._flusher.join(timeout=3)
+            self._flusher = None
+        self._flush_pending()  # don't lose suppressed final states
         self.is_running = False
 
     # -- event plumbing -------------------------------------------------------------
@@ -126,16 +135,41 @@ class FileWatcher:
 
     def _fire(self, event: str, path: str) -> None:
         """Debounced dispatch: at most one event per path per debounce window
-        (reference watcher.py:34-58)."""
+        (reference watcher.py:34-58) — but trailing-edge safe: an event
+        suppressed inside the window is re-fired once the window expires
+        (the flusher thread), so the LAST state of a path is never lost.
+        Without this, `create` (empty file) fires and the `close_write`
+        carrying the real content lands inside the window and vanishes."""
         now = time.time()
         last = self._last_fired.get(path, 0.0)
         if now - last < self.debounce:
+            with self._pending_lock:
+                self._pending[path] = event
             return
         self._last_fired[path] = now
         try:
             self.callback(event, path)
         except Exception:
             pass  # watcher must survive callback failures
+
+    def _flush_pending(self) -> None:
+        """Re-fire suppressed events whose debounce window has expired."""
+        now = time.time()
+        with self._pending_lock:
+            ready = [p for p in self._pending
+                     if now - self._last_fired.get(p, 0.0) >= self.debounce]
+            flush = [(p, self._pending.pop(p)) for p in ready]
+        for path, event in flush:
+            self._last_fired[path] = now
+            try:
+                self.callback(event, path)
+            except Exception:
+                pass
+
+    def _flush_loop(self) -> None:
+        step = min(self.poll_interval, self.debounce / 2.0, 0.5)
+        while not self._stop.wait(timeout=max(step, 0.05)):
+            self._flush_pending()
 
     # -- polling backend ---------------------------------------------------------------
 

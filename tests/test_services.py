@@ -406,6 +406,35 @@ def test_polling_watcher_detects_changes(tmp_path):
     assert "created" in kinds and "deleted" in kinds
 
 
+def test_watcher_trailing_edge_debounce(tmp_path):
+    """An event suppressed inside the debounce window must re-fire once
+    the window expires: create (empty file) followed immediately by the
+    content write must eventually deliver a second callback — otherwise
+    the indexed state is the EMPTY file forever (the bug the /verify
+    drive caught: echo > new.txt indexed nothing)."""
+    events = []
+    w = FileWatcher(str(tmp_path),
+                    lambda ev, p: events.append((ev, time.time())),
+                    poll_interval=0.05, debounce=0.3)
+    w.start()
+    try:
+        time.sleep(0.15)
+        f = tmp_path / "doc.txt"
+        f.touch()  # create event fires immediately (leading edge)
+        deadline = time.time() + 2.0
+        while not events and time.time() < deadline:
+            time.sleep(0.02)
+        assert events, "leading-edge create never fired"
+        f.write_text("real content")  # inside the window -> suppressed
+        deadline = time.time() + 3.0
+        while len(events) < 2 and time.time() < deadline:
+            time.sleep(0.05)
+    finally:
+        w.stop()
+    assert len(events) >= 2, "suppressed modify was never re-fired"
+    assert events[1][1] - events[0][1] >= 0.29  # after the window
+
+
 def test_watcher_extension_filter(tmp_path):
     events = []
     w = FileWatcher(str(tmp_path), lambda ev, p: events.append(p),
