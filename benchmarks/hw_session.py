@@ -449,12 +449,47 @@ def phase_super_profile():
     q_bf = q.astype(docs.dtype)
     _time("dmascores_s2", lambda ss: scores_red(q_bf, ss), sup2, rot=0)
 
+    # gather-fused placement (round 4, ops/pallas_supertile.py
+    # pallas_place_fused) vs the two-step staging path at the SAME
+    # serving shapes: real build, real encode, random probes
+    from hybridsearch_tpu.ops.supertile import (
+        _hybrid_super_impl,
+        _place_windows,
+        _place_windows_fused,
+        _resident_windows,
+    )
+
+    wcaps = tuple(min(wc, sp.super_docs) for wc in enc.wcaps)
+
+    @jax.jit
+    def fused_red(ss):
+        lex4, _ovf = _place_windows_fused(
+            sp.sup_pos, sp.ids_rows, sp.ws_rows, enc.term_ids, ss,
+            sp.super_docs, wcaps, 128)
+        return lex4.sum()
+
+    @jax.jit
+    def twostep_red(ss):
+        l_cat, w_cat, _ovf = _resident_windows(
+            sp.sup_pos, sp.ids_rows, sp.ws_rows, enc.term_ids, ss,
+            sp.super_docs, wcaps)
+        return _place_windows(l_cat, w_cat, 128, use_pallas=True).sum()
+
+    _time("winplace2step", twostep_red, sup2, rot=0)
+    _time("winplacefused", fused_red, sup2, rot=0)
+
     def serve(qq):
         return hybrid_supertile_topk(qq, docs, sp, enc, 10, 0.7, 0.3,
                                      s_probe=2, n_alive=n_docs)
 
     _time("full_super", serve, q, iters=6)
     _time("full_super2", serve, q, iters=6)
+    # env flag is read at trace time: drop the cached trace to A/B it
+    os.environ["HST_PLACE_FUSED"] = "1"
+    _hybrid_super_impl.clear_cache()
+    _time("full_superfus", serve, q, iters=6)
+    os.environ.pop("HST_PLACE_FUSED", None)
+    _hybrid_super_impl.clear_cache()
 
 
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,

@@ -107,6 +107,114 @@ def pallas_super_scores(
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("wcaps", "super_tiles", "tile",
+                                    "interpret"))
+def pallas_place_fused(
+    lo: jax.Array,  # [BS, T] int32 absolute CSR window starts
+    hi: jax.Array,  # [BS, T] int32 absolute CSR window ends
+    base: jax.Array,  # [BS] int32 supertile base doc id
+    ids_rows: jax.Array,  # [M, 128] int32 doc-sorted CSR ids (HBM)
+    ws_rows: jax.Array,  # [M, 128] f32 CSR weights (HBM)
+    wcaps: tuple,  # static per-slot window caps (ROW multiples)
+    super_tiles: int = 128,
+    tile: int = 128,
+    interpret: bool = False,
+) -> jax.Array:
+    """[BS, super_tiles, tile] f32 resident lexical buffers with the CSR
+    window gather FUSED into the placement: each grid step DMAs its T
+    slots' windows straight from the HBM CSR (scalar-prefetched lo/hi
+    bounds), masks validity in VMEM, and accumulates the factorized
+    one-hot MXU contraction — the [B,T,S,E] l_cat/w_cat staging arrays of
+    the two-step path (_resident_windows + pallas_place_windows) never
+    exist. HBM traffic: window rows once + output once.
+
+    Semantics match _place_windows on the windows _resident_windows
+    would have staged: entry positions p in [lo, hi) contribute
+    w_p to out[(id_p - base) // tile, (id_p - base) % tile] when
+    0 <= id_p - base < super_tiles*tile; everything else contributes 0."""
+    ROW = 128
+    BS, T = lo.shape
+    M = ids_rows.shape[0]
+    assert len(wcaps) == T and all(wc % ROW == 0 for wc in wcaps)
+    # one extra row per slot: a window of width <= wc can straddle
+    # wc//ROW + 1 CSR rows
+    ms = tuple(min(wc // ROW + 1, M) for wc in wcaps)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # lo, hi, base
+        grid=(BS,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ids_rows (HBM)
+            pl.BlockSpec(memory_space=pltpu.ANY),  # ws_rows (HBM)
+        ],
+        out_specs=pl.BlockSpec((1, super_tiles, tile),
+                               lambda b, lo, hi, base: (b, 0, 0)),
+        scratch_shapes=(
+            [pltpu.VMEM((m, ROW), jnp.int32) for m in ms]
+            + [pltpu.VMEM((m, ROW), jnp.float32) for m in ms]
+            + [pltpu.SemaphoreType.DMA((2 * T,))]
+        ),
+    )
+
+    def kernel(lo_ref, hi_ref, base_ref, ids_hbm, ws_hbm, out_ref, *scr):
+        scr_ids, scr_ws, sem = scr[:T], scr[T:2 * T], scr[2 * T]
+        bs = pl.program_id(0)
+        row0s, copies = [], []
+        for j in range(T):
+            row0 = jnp.clip(lo_ref[bs, j] // ROW, 0, M - ms[j])
+            row0s.append(row0)
+            cp_i = pltpu.make_async_copy(
+                ids_hbm.at[pl.ds(row0, ms[j])], scr_ids[j], sem.at[2 * j])
+            cp_w = pltpu.make_async_copy(
+                ws_hbm.at[pl.ds(row0, ms[j])], scr_ws[j], sem.at[2 * j + 1])
+            cp_i.start()
+            cp_w.start()
+            copies.append((cp_i, cp_w))
+        out_ref[...] = jnp.zeros_like(out_ref)
+        for j in range(T):
+            copies[j][0].wait()
+            copies[j][1].wait()
+            lo_j, hi_j, b_j = lo_ref[bs, j], hi_ref[bs, j], base_ref[bs]
+            # chunk 8 CSR rows (1024 entries) per contraction; [8, 128]
+            # collapses to [1024] with no relayout (native (8,128) tiling)
+            for c0 in range(0, ms[j], 8):
+                rows = min(8, ms[j] - c0)
+                E = rows * ROW
+                ids = scr_ids[j][pl.ds(c0, rows)].reshape(E)
+                ws = scr_ws[j][pl.ds(c0, rows)].reshape(E)
+                # 2D position iota reshaped like the data (Mosaic has no
+                # 1D iota): pos of scratch entry (u, v) is
+                # (row0 + c0 + u) * ROW + v
+                gpos = ((row0s[j] + c0) * ROW
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, ROW), 0) * ROW
+                        + jax.lax.broadcasted_iota(
+                            jnp.int32, (rows, ROW), 1)).reshape(E)
+                w = jnp.where((gpos >= lo_j) & (gpos < hi_j), ws, 0.0)
+                l = ids - b_j
+                r_io = jax.lax.broadcasted_iota(
+                    jnp.int32, (E, super_tiles), 1)
+                c_io = jax.lax.broadcasted_iota(jnp.int32, (E, tile), 1)
+                # negative l floor-divides negative -> matches no row;
+                # l >= sd gives a row >= super_tiles -> also no match
+                wh = jnp.where(l[:, None] // tile == r_io, w[:, None], 0.0)
+                c_hot = (l[:, None] % tile == c_io).astype(jnp.bfloat16)
+                out_ref[0] += jax.lax.dot_general(
+                    wh, c_hot, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((BS, super_tiles, tile),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(lo.astype(jnp.int32), hi.astype(jnp.int32), base.astype(jnp.int32),
+      ids_rows, ws_rows)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("super_tiles", "tile", "ech",
                                     "interpret"))
 def pallas_place_windows(

@@ -389,6 +389,47 @@ def encode_super_queries(
     )
 
 
+def _window_bounds(sup_pos, term_ids, sup_s):
+    """[B, T, S] (lo, hi) absolute CSR window positions for every
+    (query term slot, probed supertile) — one gather of the build-time
+    boundary-position table (a device bisection measured 35.6 ms/batch
+    at 10M). Supertiles past the table (capacity padding) get empty
+    windows."""
+    ns_tab = sup_pos.shape[1] - 1  # table's n_super (pre-padding)
+    sup_c = jnp.minimum(sup_s, ns_tab - 1)
+    tab_idx = term_ids[:, :, None] * (ns_tab + 1) + sup_c[:, None, :]
+    pos_flat = sup_pos.reshape(-1)
+    lo = jnp.take(pos_flat, tab_idx)  # [B, T, S] abs CSR positions
+    hi = jnp.take(pos_flat, tab_idx + 1)
+    in_tab = (sup_s < ns_tab)[:, None, :]
+    lo = jnp.where(in_tab, lo, 0)
+    hi = jnp.where(in_tab, hi, 0)
+    return lo, hi
+
+
+def _place_windows_fused(sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd,
+                         wcaps, super_tiles):
+    """Gather-fused placement: window bounds from the position table,
+    then ONE Pallas kernel that DMAs each slot's CSR window from HBM and
+    accumulates the one-hot placement — no [B, S, E] staging arrays
+    (pallas_place_fused). Returns (lex4 [B, S, St, TILE], ovf [B])."""
+    from hybridsearch_tpu.ops.pallas_supertile import pallas_place_fused
+
+    B, T = term_ids.shape
+    S = sup_s.shape[1]
+    lo, hi = _window_bounds(sup_pos, term_ids, sup_s)
+    ovf = jnp.any(
+        (hi - lo) > jnp.asarray(wcaps, jnp.int32)[None, :, None],
+        axis=(1, 2))
+    lo_f = lo.transpose(0, 2, 1).reshape(B * S, T)
+    hi_f = hi.transpose(0, 2, 1).reshape(B * S, T)
+    base = (sup_s * sd).astype(jnp.int32).reshape(B * S)
+    lex4 = pallas_place_fused(lo_f, hi_f, base, ids_rows, ws_rows,
+                              wcaps=tuple(wcaps),
+                              super_tiles=super_tiles, tile=TILE)
+    return lex4.reshape(B, S, super_tiles, TILE), ovf
+
+
 def _resident_windows(sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd,
                       wcaps, ech: int = 1024):
     """Per-SLOT CSR windows for every (query term, probed supertile):
@@ -399,15 +440,7 @@ def _resident_windows(sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd,
     B, T = term_ids.shape
     S = sup_s.shape[1]
     base = (sup_s * sd).astype(jnp.int32)  # [B, S]
-    ns_tab = sup_pos.shape[1] - 1  # table's n_super (pre-padding)
-    sup_c = jnp.minimum(sup_s, ns_tab - 1)
-    tab_idx = term_ids[:, :, None] * (ns_tab + 1) + sup_c[:, None, :]
-    pos_flat = sup_pos.reshape(-1)
-    lo = jnp.take(pos_flat, tab_idx)  # [B, T, S] abs CSR positions
-    hi = jnp.take(pos_flat, tab_idx + 1)
-    in_tab = (sup_s < ns_tab)[:, None, :]
-    lo = jnp.where(in_tab, lo, 0)
-    hi = jnp.where(in_tab, hi, 0)
+    lo, hi = _window_bounds(sup_pos, term_ids, sup_s)
     M = ids_rows.shape[0]
     ovf = jnp.zeros((B,), bool)
     parts_l, parts_w = [], []
@@ -480,6 +513,18 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
         (l_ch, w_ch),
     )
     return lex4
+
+
+def _use_fused_place() -> bool:
+    """Gather-fused Pallas placement (HST_PLACE_FUSED=1 to enable, TPU
+    only): DMAs CSR windows straight from HBM inside the placement
+    kernel instead of staging [B, S, E] l_cat/w_cat arrays through HBM.
+    Off by default until the hardware measurement lands
+    (benchmarks/hw_session.py phase 12)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("HST_PLACE_FUSED", "0") == "1")
 
 
 def _use_pallas_place() -> bool:
@@ -633,10 +678,15 @@ def _hybrid_super_impl(
     alive = jnp.isfinite(s_res)
 
     # -- 5. resident lexical scores: CSR windows + one-hot placement ------
-    l_cat, w_cat, ovf = _resident_windows(
-        sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd, wcaps)
-    lex4 = _place_windows(l_cat, w_cat, super_tiles,
-                          use_pallas=_use_pallas_place())
+    if _use_fused_place():
+        lex4, ovf = _place_windows_fused(
+            sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd, wcaps,
+            super_tiles)
+    else:
+        l_cat, w_cat, ovf = _resident_windows(
+            sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd, wcaps)
+        lex4 = _place_windows(l_cat, w_cat, super_tiles,
+                              use_pallas=_use_pallas_place())
     lex_res = lex4.reshape(B, R)
     lex_res = jnp.where(alive, lex_res, 0.0)
 

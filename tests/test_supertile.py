@@ -268,6 +268,56 @@ def test_supertile_build_matches_numpy_oracle(rng):
     assert (flat_ids[len(d_ids):] == n).all()
 
 
+def test_pallas_place_fused_interpret_parity(rng):
+    """The gather-fused placement kernel (interpret mode) must match the
+    two-step path (_resident_windows staging + _place_windows) on a real
+    build: same windows, same buffers, including empty/clamped windows
+    and per-slot caps."""
+    from hybridsearch_tpu.ops.pallas_supertile import pallas_place_fused
+    from hybridsearch_tpu.ops.supertile import (
+        _place_windows,
+        _resident_windows,
+        _window_bounds,
+    )
+
+    n, st = 2048, 4
+    vocab, bm25, _docs = _mk_corpus(rng, n, 120)
+    queries = [" ".join(rng.choice(vocab, size=4)) for _ in range(6)]
+    sp, enc = bm25.encode_queries_super(queries)
+    sd = sp.super_docs if sp.super_tiles == st else st * 128
+    sp = _sp_from_bm25(bm25, super_tiles=st)
+    enc = encode_super_queries(sp, [
+        [t for t in ids if t < sp.sup_max.shape[0] - 1]
+        for ids in ([bm25.vocab.get(w) for w in q.split()
+                     if bm25.vocab.get(w) is not None] for q in queries)
+    ])
+    B = len(queries)
+    S = min(3, sp.n_super)
+    sup_s = jnp.sort(jnp.stack([
+        jnp.asarray(rng.choice(sp.n_super + 1, size=S, replace=False),
+                    jnp.int32)
+        for _ in range(B)
+    ]))  # may include one past-the-table id (empty windows)
+    sd = sp.super_docs
+    wcaps = tuple(min(w, sd) for w in enc.wcaps)
+    l_cat, w_cat, ovf = _resident_windows(
+        sp.sup_pos, sp.ids_rows, sp.ws_rows, enc.term_ids, sup_s, sd,
+        wcaps)
+    want = _place_windows(l_cat, w_cat, sp.super_tiles, use_pallas=False)
+
+    lo, hi = _window_bounds(sp.sup_pos, enc.term_ids, sup_s)
+    T = enc.term_ids.shape[1]
+    got = pallas_place_fused(
+        lo.transpose(0, 2, 1).reshape(B * S, T),
+        hi.transpose(0, 2, 1).reshape(B * S, T),
+        (sup_s * sd).astype(jnp.int32).reshape(B * S),
+        sp.ids_rows, sp.ws_rows, wcaps=wcaps,
+        super_tiles=sp.super_tiles, interpret=True,
+    ).reshape(B, S, sp.super_tiles, 128)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_place_windows_interpret_parity(rng):
     """The Pallas placement kernel (interpret mode) must bit-match the
     jnp scatter oracle on random windows, including invalid ids."""
