@@ -84,6 +84,17 @@ def _timed_queries(search_fn, queries, warmup: int = 2) -> Dict[str, float]:
     }
 
 
+def _encoder_info(encoder) -> Dict:
+    """Weights provenance for a config row: pretrained is True when the
+    encoder serves real learned weights (an HF checkpoint, or the
+    in-repo contrastively trained one — scripts/train_encoder.py)."""
+    return {
+        "encoder": type(encoder).__name__,
+        "pretrained": bool(getattr(encoder, "pretrained", False)),
+        "weights_origin": getattr(encoder, "weights_origin", "hashing"),
+    }
+
+
 def config_1_demo(n_docs: int) -> Dict:
     """main.py demo: basic pipeline, bundled demo docs, top_k=5."""
     from hybridsearch_tpu.demo import SAMPLE_DOCS
@@ -95,7 +106,8 @@ def config_1_demo(n_docs: int) -> Dict:
     ids = {r[2] for r in out.results}
     return {"config": "1_basic_demo", "docs": len(SAMPLE_DOCS),
             "ml_docs_surfaced": bool(ids & {1, 3, 6, 8, 10}),
-            "results": len(out.results)}
+            "results": len(out.results),
+            **_encoder_info(p.indexer.encoder)}
 
 
 def config_2_bm25(n_docs: int) -> Dict:
@@ -157,7 +169,8 @@ def config_3_hybrid(n_docs: int) -> Dict:
     batch_qps = len(batch_qs) / (time.perf_counter() - t0)
     return {"config": "3_hybrid_bm25_0.6_0.4", "docs": n_docs,
             "jaccard_vs_oracle": round(parity["mean_jaccard"], 4),
-            "batch_qps": round(batch_qps, 2), **perf}
+            "batch_qps": round(batch_qps, 2), **perf,
+            **_encoder_info(s.indexer.encoder)}
 
 
 def config_4_multistage(n_docs: int) -> Dict:
@@ -216,7 +229,8 @@ def config_5_diversity_cache_batch(n_docs: int) -> Dict:
     return {"config": "5_diversity_cache_batch", "docs": n_docs,
             "cache_hit_on_repeat": bool(second.get("cached")),
             "batch_qps": round(len(batch_qs) / batch_s, 2),
-            "div_batch_qps": round(len(batch_qs) / div_batch_s, 2), **perf}
+            "div_batch_qps": round(len(batch_qs) / div_batch_s, 2), **perf,
+            **_encoder_info(p.indexer.encoder)}
 
 
 CONFIGS = {1: config_1_demo, 2: config_2_bm25, 3: config_3_hybrid,

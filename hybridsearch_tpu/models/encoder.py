@@ -161,13 +161,34 @@ class HashingEncoder:
 
 def default_encoder(dim: int = 384, kind: str = "auto", **kwargs) -> Encoder:
     """Pick the best available encoder: MiniLM with real weights if present,
-    else the deterministic hashing encoder."""
+    else the deterministic hashing encoder.
+
+    `HST_ENCODER` (hashing|minilm|auto) overrides an "auto" kind — tests
+    pin hashing for speed/determinism (tests/conftest.py); serving and
+    benchmarks leave it unset so real weights win when on disk. In auto
+    mode a discovered checkpoint is only served when its width matches
+    the requested `dim` — the caller's embedding space is a contract
+    with the index it was built against."""
+    import os
+
+    if kind == "auto":
+        kind = os.environ.get("HST_ENCODER", "auto")
     if kind in ("auto", "minilm"):
         try:
-            from hybridsearch_tpu.models.minilm import MiniLMEncoder, weights_available
+            from hybridsearch_tpu.models.minilm import (
+                MiniLMEncoder,
+                checkpoint_dim,
+                find_checkpoint,
+            )
 
-            if kind == "minilm" or weights_available():
-                return MiniLMEncoder(dim=dim, **kwargs)
+            ckpt = find_checkpoint("MiniLM")
+            if kind == "auto" and ckpt and checkpoint_dim(ckpt) not in (None, dim):
+                ckpt = None  # width mismatch: keep the requested space
+            if kind == "minilm" or ckpt:
+                # pass the resolved directory so a trained in-repo
+                # checkpoint (e.g. models/hst-all-MiniLM-L6-v2-synth)
+                # loads even though its dir name isn't the HF name
+                return MiniLMEncoder(dim=dim, checkpoint=ckpt, **kwargs)
         except Exception:
             if kind == "minilm":
                 raise

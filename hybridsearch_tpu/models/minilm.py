@@ -36,15 +36,88 @@ def _search_dirs() -> Tuple[str, ...]:
 
 
 def find_checkpoint(name: str) -> Optional[str]:
-    """Locate an HF checkpoint directory containing weights for `name`."""
+    """Locate a checkpoint directory containing weights for `name` — an
+    HF torch/safetensors checkpoint, or a native in-repo trained one
+    (hst_params.npz, written by save_trained_checkpoint)."""
     for base in _search_dirs():
         if not base or not os.path.isdir(base):
             continue
         for root, _dirs, files in os.walk(base):
             if name.lower() in root.lower() and (
-                "pytorch_model.bin" in files or "model.safetensors" in files
+                "pytorch_model.bin" in files
+                or "model.safetensors" in files
+                or "hst_params.npz" in files
             ):
                 return root
+    return None
+
+
+# -- native (in-repo trained) checkpoints ---------------------------------------
+
+
+def save_trained_checkpoint(params, cfg: BertConfig, path: str,
+                            note: str = "") -> None:
+    """Persist a Flax param tree + config as a native checkpoint that
+    find_checkpoint/MiniLMEncoder resolve exactly like an HF one. Written
+    by scripts/train_encoder.py after contrastive training — the real-
+    weights serving path when no HF checkpoint can be downloaded
+    (zero-egress environments; see docs/WEIGHTS_FETCH.log)."""
+    import json
+
+    from flax.core import meta as flax_meta
+    from flax.traverse_util import flatten_dict
+
+    os.makedirs(path, exist_ok=True)
+    # trainer params carry flax Partitioned boxes (mesh annotations);
+    # strip them — apply() takes plain arrays, np.savez can't box types
+    params = flax_meta.unbox(params)
+    flat = {"/".join(k): np.asarray(v)
+            for k, v in flatten_dict(jax.device_get(params)).items()}
+    np.savez(os.path.join(path, "hst_params.npz"), **flat)
+    meta = {"vocab_size": cfg.vocab_size, "hidden_dim": cfg.hidden_dim,
+            "num_layers": cfg.num_layers, "num_heads": cfg.num_heads,
+            "mlp_dim": cfg.mlp_dim, "max_position": cfg.max_position,
+            "type_vocab_size": cfg.type_vocab_size, "note": note}
+    with open(os.path.join(path, "hst_config.json"), "w") as f:
+        json.dump(meta, f, indent=1)
+
+
+def load_trained_checkpoint(ckpt_dir: str):
+    """(params, BertConfig) from a native checkpoint directory."""
+    import json
+
+    from flax.traverse_util import unflatten_dict
+
+    with open(os.path.join(ckpt_dir, "hst_config.json")) as f:
+        meta = json.load(f)
+    meta.pop("note", None)
+    cfg = BertConfig(**meta)
+    z = np.load(os.path.join(ckpt_dir, "hst_params.npz"))
+    params = unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(z[k]) for k in z.files}
+    )
+    return params, cfg
+
+
+def _is_native_checkpoint(ckpt_dir: Optional[str]) -> bool:
+    return bool(ckpt_dir) and os.path.exists(
+        os.path.join(ckpt_dir, "hst_params.npz"))
+
+
+def checkpoint_dim(ckpt_dir: str) -> Optional[int]:
+    """Embedding width of a checkpoint directory, or None if unknown.
+    Reads only the small config json — no weight load."""
+    import json
+
+    for fname, key in (("hst_config.json", "hidden_dim"),
+                       ("config.json", "hidden_size")):
+        p = os.path.join(ckpt_dir, fname)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    return int(json.load(f)[key])
+            except Exception:
+                return None
     return None
 
 
@@ -144,8 +217,19 @@ class MiniLMEncoder:
     ) -> None:
         self.name = name
         self.dim = dim
-        ckpt = checkpoint or find_checkpoint(name)
-        vocab_path = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        # an explicit cfg pins the architecture (tests/benchmarks want
+        # THAT model, deterministically initialized) — never override it
+        # with a discovered checkpoint's weights/width
+        ckpt = checkpoint or (None if cfg is not None
+                              else find_checkpoint(name))
+        native = _is_native_checkpoint(ckpt)
+        native_params = None
+        if native:
+            native_params, cfg = load_trained_checkpoint(ckpt)
+            self.dim = dim = cfg.hidden_dim  # weights define the width
+        vocab_file = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        vocab_path = vocab_file if vocab_file and os.path.exists(
+            vocab_file) else None
         self.tokenizer = BertTokenizer(
             vocab_path=vocab_path,
             vocab_size=cfg.vocab_size if cfg else 30522,
@@ -154,16 +238,22 @@ class MiniLMEncoder:
             vocab_size=self.tokenizer.vocab_size, hidden_dim=dim,
             max_position=max(512, max_seq_len),
         )
-        self.max_seq_len = max_seq_len
+        self.max_seq_len = min(max_seq_len, self.cfg.max_position)
         self.model = BiEncoder(self.cfg)
-        if ckpt:
+        if native:
+            self.params = native_params
+            self.pretrained = True
+            self.weights_origin = "in-repo-trained"
+        elif ckpt:
             self.params = {"params": load_checkpoint_params(ckpt, self.cfg)}
             self.pretrained = True
+            self.weights_origin = "hf"
         else:
             ids = jnp.zeros((1, 8), jnp.int32)
             mask = jnp.ones((1, 8), jnp.int32)
             self.params = self.model.init(jax.random.PRNGKey(seed), ids, mask)
             self.pretrained = False
+            self.weights_origin = "random"
         self._fwd = jax.jit(self.model.apply)
 
     def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
@@ -200,8 +290,16 @@ class MiniLMCrossEncoder:
         checkpoint: Optional[str] = None,
     ) -> None:
         self.name = name
-        ckpt = checkpoint or find_checkpoint(name)
-        vocab_path = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        # explicit cfg pins the architecture — see MiniLMEncoder
+        ckpt = checkpoint or (None if cfg is not None
+                              else find_checkpoint(name))
+        native = _is_native_checkpoint(ckpt)
+        native_params = None
+        if native:
+            native_params, cfg = load_trained_checkpoint(ckpt)
+        vocab_file = os.path.join(ckpt, "vocab.txt") if ckpt else None
+        vocab_path = vocab_file if vocab_file and os.path.exists(
+            vocab_file) else None
         self.tokenizer = BertTokenizer(
             vocab_path=vocab_path,
             vocab_size=cfg.vocab_size if cfg else 30522,
@@ -210,13 +308,18 @@ class MiniLMCrossEncoder:
             vocab_size=self.tokenizer.vocab_size, hidden_dim=dim,
             max_position=max(512, max_seq_len),
         )
-        self.max_seq_len = max_seq_len
+        self.max_seq_len = min(max_seq_len, self.cfg.max_position)
         self.model = CrossEncoder(self.cfg)
-        if ckpt:
+        if native:
+            self.params = native_params
+            self.pretrained = True
+            self.weights_origin = "in-repo-trained"
+        elif ckpt:
             self.params = {
                 "params": load_checkpoint_params(ckpt, self.cfg, head="cross")
             }
             self.pretrained = True
+            self.weights_origin = "hf"
         else:
             ids = jnp.zeros((1, 8), jnp.int32)
             one = jnp.ones((1, 8), jnp.int32)
@@ -224,6 +327,7 @@ class MiniLMCrossEncoder:
                 jax.random.PRNGKey(seed), ids, one, jnp.zeros((1, 8), jnp.int32)
             )
             self.pretrained = False
+            self.weights_origin = "random"
         self._fwd = jax.jit(self.model.apply)
 
     def predict(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 32) -> np.ndarray:

@@ -1,5 +1,7 @@
 """Flax MiniLM trunk, tokenizer, and wrapper tests."""
 
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -138,3 +140,91 @@ def test_hf_conversion_shapes():
     out = model.apply(params, ids, mask)
     assert out.shape == (1, 32)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# -- native (in-repo trained) checkpoints ---------------------------------------
+
+
+def test_native_checkpoint_roundtrip(tmp_path):
+    """save_trained_checkpoint -> find_checkpoint -> MiniLMEncoder must
+    serve the exact trained params (the real-weights path when no HF
+    checkpoint can be downloaded; scripts/train_encoder.py)."""
+    from hybridsearch_tpu.models.bert import BertConfig, BiEncoder
+    from hybridsearch_tpu.models.minilm import (
+        MiniLMEncoder,
+        find_checkpoint,
+        save_trained_checkpoint,
+    )
+
+    cfg = BertConfig(vocab_size=512, hidden_dim=64, num_layers=1,
+                     num_heads=2, mlp_dim=128, max_position=64)
+    model = BiEncoder(cfg)
+    params = model.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.ones((1, 4), jnp.int32))
+    ckpt = str(tmp_path / "hst-MiniLM-tiny")
+    save_trained_checkpoint(params, cfg, ckpt, note="test")
+
+    import os
+
+    os.environ["HST_MODEL_DIR"] = str(tmp_path)
+    try:
+        assert find_checkpoint("MiniLM-tiny") == ckpt
+        enc = MiniLMEncoder(name="MiniLM-tiny", checkpoint=ckpt)
+        assert enc.pretrained and enc.weights_origin == "in-repo-trained"
+        assert enc.dim == 64  # weights define the width
+        emb = enc.encode(["hello there", "general kenobi"])
+        assert emb.shape == (2, 64)
+        # same params -> same outputs as a direct apply through the
+        # loaded tree
+        leaves_a = jax.tree_util.tree_leaves(params)
+        leaves_b = jax.tree_util.tree_leaves(enc.params)
+        assert all(np.allclose(np.asarray(a), np.asarray(b))
+                   for a, b in zip(leaves_a, leaves_b))
+    finally:
+        os.environ.pop("HST_MODEL_DIR", None)
+
+
+def test_default_encoder_resolution_gates(tmp_path, monkeypatch):
+    """default_encoder: HST_ENCODER pins the kind; auto only serves a
+    discovered checkpoint whose width matches the requested dim."""
+    from hybridsearch_tpu.models.bert import BertConfig, BiEncoder
+    from hybridsearch_tpu.models.encoder import HashingEncoder, default_encoder
+    from hybridsearch_tpu.models.minilm import (
+        MiniLMEncoder,
+        save_trained_checkpoint,
+    )
+
+    cfg = BertConfig(vocab_size=512, hidden_dim=64, num_layers=1,
+                     num_heads=2, mlp_dim=128, max_position=64)
+    model = BiEncoder(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.ones((1, 4), jnp.int32))
+    save_trained_checkpoint(params, cfg, str(tmp_path / "hst-MiniLM-g"))
+
+    monkeypatch.setenv("HST_MODEL_DIR", str(tmp_path))
+    # auto + matching dim -> serves the checkpoint
+    monkeypatch.setenv("HST_ENCODER", "auto")
+    enc = default_encoder(dim=64)
+    assert isinstance(enc, MiniLMEncoder) and enc.pretrained
+    # auto + mismatched dim -> the requested space wins (hashing)
+    assert isinstance(default_encoder(dim=384), HashingEncoder)
+    # explicit hashing pin beats an available checkpoint
+    monkeypatch.setenv("HST_ENCODER", "hashing")
+    assert isinstance(default_encoder(dim=64), HashingEncoder)
+
+
+def test_explicit_cfg_pins_architecture(tmp_path):
+    """An explicit cfg must NEVER be overridden by a discovered
+    checkpoint: the caller asked for THAT architecture (the repo ships a
+    trained 384-dim checkpoint under ./models, and tests/benches that
+    build tiny deterministic models must stay tiny)."""
+    from hybridsearch_tpu.models.bert import BertConfig
+    from hybridsearch_tpu.models.minilm import MiniLMEncoder
+
+    cfg = BertConfig(vocab_size=500, hidden_dim=32, num_layers=1,
+                     num_heads=2, mlp_dim=64)
+    enc = MiniLMEncoder(dim=32, cfg=cfg, max_seq_len=32)
+    assert not enc.pretrained
+    assert enc.encode(["x"]).shape == (1, 32)
