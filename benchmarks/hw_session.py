@@ -492,11 +492,44 @@ def phase_super_profile():
     _hybrid_super_impl.clear_cache()
 
 
+def phase_super_ab():
+    """Round-4 serving A/B at 10M through bench_hybrid.run: baseline vs
+    gather-fused placement (HST_PLACE_FUSED) vs batch probe dedup
+    (HST_SCORES_DEDUP) vs both, at SP4 B=256 then B=512. Env flags are
+    read at trace time — the impl cache is dropped per variant."""
+    os.environ["HST_BENCH_SUPERHYB"] = "1"
+    import importlib
+
+    import benchmarks.bench_hybrid as bh
+
+    importlib.reload(bh)
+    from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
+
+    n = int(os.environ.get("HST_BENCH_N", "10000000"))
+    os.environ["HST_BENCH_SP"] = "4"
+    variants = (("base", {}),
+                ("fusedplace", {"HST_PLACE_FUSED": "1"}),
+                ("dedup", {"HST_SCORES_DEDUP": "1"}),
+                ("both", {"HST_PLACE_FUSED": "1",
+                          "HST_SCORES_DEDUP": "1"}))
+    for batch in (256, 512):
+        for name, env in variants:
+            for k_, v in env.items():
+                os.environ[k_] = v
+            _hybrid_super_impl.clear_cache()
+            print(json.dumps({"variant": name, "batch": batch,
+                              **bh.run(n, batch=batch, iters=6)}),
+                  flush=True)
+            for k_ in env:
+                os.environ.pop(k_, None)
+    _hybrid_super_impl.clear_cache()
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
           "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m,
           "7": phase_tile_hybrid, "8": phase_tile_jaccard,
           "9": phase_tile_profile, "10": phase_super,
-          "11": phase_super_profile}
+          "11": phase_super_profile, "12": phase_super_ab}
 
 
 def main():

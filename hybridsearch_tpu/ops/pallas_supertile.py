@@ -106,6 +106,109 @@ def pallas_super_scores(
     return out[:B] if bp != B else out
 
 
+@functools.partial(jax.jit, static_argnames=("sd", "ch", "interpret"))
+def pallas_super_scores_dedup(
+    qp: jax.Array,  # [P, D] query row PER PAIR (q[qid], pre-gathered:
+    #                  static-row VMEM reads beat dynamic sublane starts)
+    docs: jax.Array,  # [N, D], N % ch == 0, D % 128 == 0
+    tid: jax.Array,  # [P] int32 supertile id per (query, probe) pair,
+    #                  SORTED ascending across the whole batch
+    rep: jax.Array,  # [P] int32 index of the FIRST pair in p's 8-group
+    #                  with the same tid (rep[p] == p -> p owns the DMA)
+    sd: int,  # docs per supertile; sd % ch == 0
+    ch: int = 1024,
+    interpret: bool = False,
+) -> jax.Array:
+    """[P, sd] raw dot scores with the batch probe union DEDUPED: pairs
+    are pre-sorted by supertile id, so duplicates (topic-correlated
+    queries probing the same supertile) sit adjacent; within each
+    8-pair grid group only the first pair of a run DMAs the supertile's
+    row chunk and the rest dot against the owner's scratch buffer. HBM
+    traffic drops from P x sd x D to ~(unique supertiles) x sd x D —
+    pallas_super_scores re-reads every duplicated supertile.
+
+    Callers build (tid, rep, inv) with `dedup_pairs`, pre-gather
+    qp = q[qid], and unpermute the result back to [B, S*sd]
+    (ops/supertile.py)."""
+    P, D = qp.shape
+    N = docs.shape[0]
+    _R = 8
+    assert N % ch == 0 and sd % ch == 0 and D % 128 == 0 and P % _R == 0
+    nch = sd // ch
+    last = N // ch - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # tid, rep
+        grid=(P // _R, nch),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),  # docs (HBM)
+            pl.BlockSpec((_R, D), lambda g, c, tid, rep: (g, 0)),
+        ],
+        out_specs=pl.BlockSpec((_R, ch), lambda g, c, tid, rep: (g, c)),
+        scratch_shapes=[
+            pltpu.VMEM((_R, ch, D), docs.dtype),
+            pltpu.SemaphoreType.DMA((_R,)),
+        ],
+    )
+
+    def kernel(tid_ref, rep_ref, docs_hbm, q_ref, out_ref, scr, sem):
+        g = pl.program_id(0)
+        c = pl.program_id(1)
+        for r in range(_R):
+            p = g * _R + r
+            own = rep_ref[p] == p
+
+            @pl.when(own)
+            def _start(r=r, p=p):
+                idx = jnp.minimum(tid_ref[p] * nch + c, last)
+                pltpu.make_async_copy(
+                    docs_hbm.at[pl.ds(idx * ch, ch)], scr.at[r],
+                    sem.at[r]).start()
+        for r in range(_R):
+            p = g * _R + r
+            own = rep_ref[p] == p
+
+            @pl.when(own)
+            def _wait(r=r, p=p):
+                idx = jnp.minimum(tid_ref[p] * nch + c, last)
+                pltpu.make_async_copy(
+                    docs_hbm.at[pl.ds(idx * ch, ch)], scr.at[r],
+                    sem.at[r]).wait()
+        for r in range(_R):
+            p = g * _R + r
+            src = rep_ref[p] - g * _R  # 0..r: the run owner's scratch row
+            rows = scr[pl.ds(src, 1)][0]  # [ch, D] dynamic VMEM read
+            qv = q_ref[pl.ds(r, 1)]  # [1, D] static row
+            prod = rows.astype(jnp.float32) * qv.astype(jnp.float32)
+            out_ref[r, :] = jnp.sum(prod, axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, sd), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(tid.astype(jnp.int32), rep.astype(jnp.int32), docs, qp)
+
+
+def dedup_pairs(sup_s: jax.Array, group: int = 8):
+    """(tid, qid, rep, inv) for pallas_super_scores_dedup from the
+    per-query probe table `sup_s` [B, S]: pairs sorted by supertile id,
+    rep = first pair of each equal-tid run clamped into the pair's
+    `group`-sized grid block, inv = inverse permutation such that
+    out_sorted[inv].reshape(B, S*sd) restores query-major order."""
+    B, S = sup_s.shape
+    P = B * S
+    flat = sup_s.reshape(-1).astype(jnp.int32)
+    order = jnp.argsort(flat, stable=True).astype(jnp.int32)
+    tid = jnp.take(flat, order)
+    qid = order // S
+    run0 = jnp.searchsorted(tid, tid, side="left").astype(jnp.int32)
+    grp0 = (jnp.arange(P, dtype=jnp.int32) // group) * group
+    rep = jnp.maximum(run0, grp0)
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    return tid, qid, rep, inv
+
+
 @functools.partial(jax.jit,
                    static_argnames=("wcaps", "super_tiles", "tile",
                                     "interpret"))

@@ -527,6 +527,18 @@ def _use_fused_place() -> bool:
             and os.environ.get("HST_PLACE_FUSED", "0") == "1")
 
 
+def _use_scores_dedup() -> bool:
+    """Batch probe-union dedup in the resident-scores kernel
+    (HST_SCORES_DEDUP=1 to enable, TPU only): pairs sorted by supertile
+    id share one DMA per 8-pair group, so topic-correlated batches read
+    each hot supertile from HBM once instead of once per probing query.
+    Off by default until the hardware A/B lands (hw_session phase 12)."""
+    import os
+
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("HST_SCORES_DEDUP", "0") == "1")
+
+
 def _use_pallas_place() -> bool:
     """Pallas VMEM-resident placement on TPU (HST_PALLAS_SUPER=0 to
     disable): the jnp scan materializes its one-hot factors in HBM every
@@ -652,11 +664,19 @@ def _hybrid_super_impl(
         # fused DMA+dot kernel: supertile rows stream from HBM once
         # (the XLA tile gather + einsum measured 58-120 ms/batch at 10M)
         from hybridsearch_tpu.ops.pallas_supertile import (
+            dedup_pairs,
             pallas_super_scores,
+            pallas_super_scores_dedup,
         )
 
         q3 = q.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else q
-        s_res = pallas_super_scores(q3, docs, sup_s, sd, ch=CH)
+        if _use_scores_dedup() and (B * S) % 8 == 0:
+            tid, qid, rep, inv = dedup_pairs(sup_s)
+            out_sorted = pallas_super_scores_dedup(
+                jnp.take(q3, qid, axis=0), docs, tid, rep, sd, ch=CH)
+            s_res = jnp.take(out_sorted, inv, axis=0).reshape(B, R)
+        else:
+            s_res = pallas_super_scores(q3, docs, sup_s, sd, ch=CH)
         gidx = (sup_s[:, :, None] * sd
                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sd), 2)
                 ).reshape(B, R)

@@ -361,6 +361,56 @@ def test_pallas_super_scores_interpret_parity(rng):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-4)
 
 
+def test_dedup_pairs_invariants(rng):
+    """dedup_pairs: sorted tids, rep = first of each equal-tid run
+    clamped to the 8-group start, inv restores query-major order."""
+    from hybridsearch_tpu.ops.pallas_supertile import dedup_pairs
+
+    B, S, n_super = 16, 4, 6  # heavy duplication across the batch
+    sup = jnp.asarray(np.sort(rng.integers(0, n_super, (B, S)), axis=1)
+                      .astype(np.int32))
+    tid, qid, rep, inv = dedup_pairs(sup)
+    t, q_, r_, iv = (np.asarray(x) for x in (tid, qid, rep, inv))
+    P = B * S
+    assert (np.diff(t) >= 0).all()
+    for p in range(P):
+        g0 = (p // 8) * 8
+        assert g0 <= r_[p] <= p
+        assert t[r_[p]] == t[p]
+        # rep is the FIRST same-tid pair at or after the group start
+        assert r_[p] == g0 or t[r_[p] - 1] != t[p] or r_[p] - 1 < g0
+    # inverse permutation restores (query, slot) order
+    flat = np.asarray(sup).reshape(-1)
+    assert (t[iv] == flat).all()
+    assert (q_[iv] == np.arange(P) // S).all()
+
+
+def test_pallas_super_scores_dedup_interpret_parity(rng):
+    """The batch-deduped scores kernel (interpret mode) must match
+    pallas_super_scores after unpermutation — including duplicated
+    probes across queries and clamped out-of-range chunks."""
+    from hybridsearch_tpu.ops.pallas_supertile import (
+        dedup_pairs,
+        pallas_super_scores,
+        pallas_super_scores_dedup,
+    )
+
+    B, D, sd, S = 8, 128, 512, 2
+    N = 2048  # 4 supertiles: forced duplication across 16 pairs
+    docs = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    sup = jnp.asarray(np.sort(rng.integers(0, N // sd, (B, S)), axis=1)
+                      .astype(np.int32))
+    ref = np.asarray(
+        pallas_super_scores(q, docs, sup, sd, ch=256, interpret=True))
+    tid, qid, rep, inv = dedup_pairs(sup)
+    out = pallas_super_scores_dedup(
+        jnp.take(q, qid, axis=0), docs, tid, rep, sd, ch=256,
+        interpret=True)
+    got = np.asarray(jnp.take(out, inv, axis=0).reshape(B, S * sd))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
 def test_searcher_supertile_uncertifiable_serves_best_effort(monkeypatch,
                                                              rng):
     """A query whose terms exceed every T rung (dropped terms: complete
