@@ -107,6 +107,7 @@ class IndexConfig:
     ann: str = "flat"
     ivf_clusters: int = 0  # 0 = sqrt(N)
     ivf_nprobe: int = 8
+    ivf_chunk_cap: int = 0  # 0 = 4N/clusters (IVF list slice width)
 
 
 @dataclass

@@ -105,6 +105,7 @@ class Indexer:
         docs = [preprocess_text(d) for d in documents]
         paths = list(paths) if paths is not None else None
         vectors = None
+        cluster_cent = cluster_assign = None
         if self.config.index.layout == "clustered" and len(docs) > 256:
             # semantic layout clustering: embed first, order the corpus by
             # k-means cluster so semantically-similar docs share 128-doc
@@ -114,11 +115,25 @@ class Indexer:
             # probe_tiles budget in ops/dense.py covers with ~8x fewer
             # tile gathers) and per-tile certificates tighten.
             vectors = self.embed(docs)
-            perm = _cluster_permutation(vectors)
+            want_ivf = self._want_ivf(len(docs))
+            # ONE k-means serves both the layout and (when IVF is on)
+            # the coarse quantizer — the IVF cluster count pins k so the
+            # quantizer granularity matches the config.
+            perm, cluster_cent, cluster_assign = _cluster_permutation(
+                vectors,
+                k=self.config.index.ivf_clusters if want_ivf else 0,
+            )
             vectors = vectors[perm]
             docs = [docs[i] for i in perm]
             if paths is not None:
                 paths = [paths[i] for i in perm]
+            if want_ivf and self.mesh is None:
+                # reserve IVF slice overhang INSIDE the dense capacity so
+                # the IVF chunk slices never clamp on the shared buffer
+                C = len(cluster_cent)
+                self.dense.reserve_rows = (
+                    self.config.index.ivf_chunk_cap
+                    or max(8, (4 * len(docs)) // max(C, 1)))
         # bulk BM25 tokenization: one native C call for the whole corpus
         # (token hashes, no Python token strings — the <=100 us/doc path);
         # falls back to Python extract_tokens without the library
@@ -140,11 +155,22 @@ class Indexer:
         if self._want_ivf(len(vectors)):
             from hybridsearch_tpu.index.ivf import IVFIndex
 
-            self.ivf = IVFIndex(
+            ivf = IVFIndex(
                 dim=self.config.index.dim,
                 n_clusters=self.config.index.ivf_clusters,
                 nprobe=self.config.index.ivf_nprobe,
-            ).build(vectors)
+                chunk_cap=self.config.index.ivf_chunk_cap,
+            )
+            if cluster_cent is not None and self.mesh is None:
+                # unified layout: the corpus is already cluster-ordered
+                # and the dense snapshot already holds it normalized on
+                # device — adopt that buffer (zero copies) and the one
+                # k-means' centroids instead of re-fitting + re-uploading
+                ivf.from_layout(self.dense._snap.docs, len(docs),
+                                cluster_cent, cluster_assign)
+            else:
+                ivf.build(vectors)
+            self.ivf = ivf
         self._align_bm25_shards()
         if hash_data is not None:
             self.bm25.fit_coo_from_hashes(*hash_data)
@@ -322,10 +348,16 @@ class Indexer:
         return len(docs)
 
 
-def _cluster_permutation(vectors: np.ndarray, seed: int = 0) -> np.ndarray:
-    """Permutation ordering docs by spherical k-means cluster (device
-    k-means from index/ivf.py; sqrt(N) clusters). Stable within clusters
-    so equal-cluster docs keep source order."""
+def _cluster_permutation(
+    vectors: np.ndarray, seed: int = 0, k: int = 0
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(perm, centroids, sorted_assign) ordering docs by spherical
+    k-means cluster (device k-means from index/ivf.py; sqrt(N) clusters
+    unless `k` pins it). Stable within clusters so equal-cluster docs
+    keep source order. The centroids/assignment are returned so ONE
+    k-means serves both the supertile layout and the IVF coarse
+    quantizer (IVFIndex.from_layout) — the reference runs FAISS
+    training separately from any layout decision."""
     import jax
 
     from hybridsearch_tpu.index.ivf import kmeans_assign, kmeans_fit
@@ -333,11 +365,12 @@ def _cluster_permutation(vectors: np.ndarray, seed: int = 0) -> np.ndarray:
     import jax.numpy as jnp
 
     n = len(vectors)
-    k = max(2, int(np.sqrt(n)))
+    k = k or max(2, int(np.sqrt(n)))
     # Keep the corpus in its storage dtype; kmeans_fit/kmeans_assign
     # normalize per 16k-row block internally. An eager l2_normalize +
     # [N, k] similarity matrix here is ~126 GB at 10M docs (ADVICE r3).
     v = jnp.asarray(np.asarray(vectors))
     cent = kmeans_fit(v, k, seed=seed)
     assign = np.asarray(jax.device_get(kmeans_assign(v, cent)))
-    return np.argsort(assign, kind="stable")
+    perm = np.argsort(assign, kind="stable")
+    return perm, np.asarray(cent), assign[perm]

@@ -62,6 +62,11 @@ class DenseIndex:
         self.mesh = mesh
         self.block_n = block_n
         self.capacity_round = capacity_round
+        # extra zero rows kept beyond n in every snapshot: a clustered
+        # build sets this to the IVF chunk width so IVFIndex.from_layout
+        # can slice chunks off the SHARED buffer without dynamic_slice
+        # ever clamping (index/builder.py)
+        self.reserve_rows = 0
         self._lock = threading.Lock()  # writers only; readers are lock-free
         self._snap = self._make_snapshot(np.zeros((0, dim), np.float32), None, 0)
         self.deleted_count = 0
@@ -86,7 +91,7 @@ class DenseIndex:
 
     def _round_capacity(self, n: int) -> int:
         shards = self._n_shards()
-        per = -(-max(n, 1) // shards)
+        per = -(-max(n + self.reserve_rows, 1) // shards)
         per = ((per + self.capacity_round - 1) // self.capacity_round) * self.capacity_round
         return per * shards
 

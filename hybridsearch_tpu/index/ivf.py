@@ -315,6 +315,49 @@ class IVFIndex:
         self._built = True
         return self
 
+    def from_layout(
+        self,
+        docs_dev: jax.Array,  # [cap_pad, D] cluster-ordered, L2-normalized
+        n_docs: int,
+        centroids: np.ndarray,  # [C, D] the layout k-means' centroids
+        sorted_assign: np.ndarray,  # [n_docs] cluster id per (permuted) row
+    ) -> "IVFIndex":
+        """Adopt an existing cluster-ordered device matrix — the
+        DenseIndex snapshot of a layout="clustered" build — instead of
+        fitting a second k-means and uploading a second corpus copy.
+        One quantizer then serves both the supertile/tile probes and
+        IVF, the build runs one k-means instead of two, and device
+        memory holds ONE corpus (the reference trains FAISS's quantizer
+        separately from any layout decision). Row ids ARE doc ids
+        (the builder assigns ids after the permutation), so
+        perm_to_orig is identity. Single-device only — the sharded
+        build rebalances rows itself."""
+        if self.mesh is not None:
+            raise ValueError("from_layout is single-device; use build()")
+        n = int(n_docs)
+        sorted_assign = np.asarray(sorted_assign)
+        C = int(np.asarray(centroids).shape[0])
+        cap = self.chunk_cap or max(8, (4 * n) // max(C, 1))
+        if int(docs_dev.shape[0]) < n + cap:
+            # dynamic_slice would CLAMP the last chunks' starts and
+            # misalign scores with row ids — refuse the shared buffer
+            raise ValueError(
+                f"shared buffer too small: need >= {n + cap} rows "
+                f"(n + chunk overhang), got {docs_dev.shape[0]}")
+        self.n_docs = n
+        self.dim = int(docs_dev.shape[1])
+        self._cap = cap
+        starts, lens, cids = self._chunkify(sorted_assign, cap)
+        self._centroids = jnp.asarray(np.asarray(centroids)[cids])
+        self._docs_perm = docs_dev
+        self._chunk_starts = jnp.asarray(starts.astype(np.int32))
+        self._chunk_lens = jnp.asarray(lens.astype(np.int32))
+        ids = np.full(int(docs_dev.shape[0]), -1, dtype=np.int32)
+        ids[:n] = np.arange(n, dtype=np.int32)
+        self._perm_to_orig = jnp.asarray(ids)
+        self._built = True
+        return self
+
     def _build_sharded(self, v_norm, order, starts, lens, chunk_cent):
         """Round-robin chunks over shards (balances rows for equal-size
         chunks), stack per-shard arrays, place with P(DATA_AXIS)."""

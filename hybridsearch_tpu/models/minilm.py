@@ -38,7 +38,14 @@ def _search_dirs() -> Tuple[str, ...]:
 def find_checkpoint(name: str) -> Optional[str]:
     """Locate a checkpoint directory containing weights for `name` — an
     HF torch/safetensors checkpoint, or a native in-repo trained one
-    (hst_params.npz, written by save_trained_checkpoint)."""
+    (hst_params.npz, written by save_trained_checkpoint).
+
+    HST_CKPT_DISCOVERY=0 disables discovery (returns None): the test
+    suite pins it so engine-building tests stay on fast deterministic
+    models while the repo ships trained checkpoints under ./models;
+    explicit `checkpoint=` paths bypass discovery entirely."""
+    if os.environ.get("HST_CKPT_DISCOVERY", "1") == "0":
+        return None
     for base in _search_dirs():
         if not base or not os.path.isdir(base):
             continue

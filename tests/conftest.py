@@ -14,12 +14,14 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
-# Pin the suite to the deterministic hashing encoder: the repo ships a
-# trained MiniLM checkpoint under ./models that default_encoder("auto")
-# would otherwise serve, turning every engine-building test into real
-# transformer forwards (slow) and shifting pinned score expectations.
-# The pretrained path has dedicated tests (tests/test_models.py).
+# Pin the suite to fast deterministic models: the repo ships trained
+# MiniLM bi-/cross-encoder checkpoints under ./models that
+# default_encoder("auto") / CrossEncoderReranker would otherwise serve,
+# turning every engine-building test into real transformer forwards
+# (slow) and shifting pinned score expectations. The pretrained paths
+# have dedicated tests (tests/test_models.py re-enables discovery).
 os.environ.setdefault("HST_ENCODER", "hashing")
+os.environ.setdefault("HST_CKPT_DISCOVERY", "0")
 
 import jax  # noqa: E402
 import numpy as np  # noqa: E402

@@ -183,6 +183,7 @@ def test_mean_pool_masking_respected(bi_checkpoint):
 def test_find_checkpoint_discovers_model_dir(bi_checkpoint, monkeypatch, tmp_path):
     ckpt, _ = bi_checkpoint
     monkeypatch.setenv("HST_MODEL_DIR", str(tmp_path))
+    monkeypatch.setenv("HST_CKPT_DISCOVERY", "1")
     assert find_checkpoint("all-MiniLM-L6-v2") == ckpt
     assert find_checkpoint("no-such-model") is None
 

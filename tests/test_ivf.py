@@ -130,3 +130,54 @@ def test_ann_auto_policy(monkeypatch):
     ix.index_documents([f"doc number {i} about topic {i % 5}"
                         for i in range(80)])
     assert ix.ivf is not None  # above crossover: IVF built
+
+
+def test_unified_layout_shares_dense_buffer(rng):
+    """layout='clustered' + ann='ivf': ONE k-means serves both — the IVF
+    index must adopt the dense snapshot's device buffer (zero extra
+    corpus copies), row ids must be doc ids (identity perm), and search
+    at full probe depth must equal the exact oracle."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.index.builder import Indexer
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+
+    vocab = [f"w{i}" for i in range(60)]
+    docs = [" ".join(rng.choice(vocab, size=8)) for _ in range(400)]
+    cfg = EngineConfig()
+    cfg.index.dim = 64
+    cfg.index.layout = "clustered"
+    cfg.index.ann = "ivf"
+    cfg.index.ivf_clusters = 8
+    cfg.index.ivf_nprobe = 8
+    idx = Indexer(encoder=HashingEncoder(dim=64), config=cfg)
+    idx.index_documents(docs)
+    assert idx.ivf is not None and idx.ivf._built
+    # the SAME device buffer, not a copy
+    assert idx.ivf._docs_perm is idx.dense._snap.docs
+    assert idx.dense.capacity >= idx.ivf.n_docs + idx.ivf._cap
+    # full probe depth = exact: every (query, k) hit matches brute force
+    q = idx.embed([" ".join(rng.choice(vocab, size=4)) for _ in range(8)])
+    n_chunks = int(idx.ivf._chunk_starts.shape[0])
+    vals, ids = idx.ivf.search(q, k=5, nprobe=n_chunks)
+    import jax.numpy as jnp
+
+    from hybridsearch_tpu.ops.dense import l2_normalize
+
+    mat = np.asarray(idx.dense._snap.docs)[: idx.ivf.n_docs]
+    qn = np.asarray(l2_normalize(jnp.asarray(q)))
+    exact = np.argsort(-(qn @ mat.T), axis=1)[:, :5]
+    for b in range(len(q)):
+        assert set(ids[b].tolist()) == set(exact[b].tolist())
+
+
+def test_from_layout_rejects_clamping_buffer(rng):
+    """A shared buffer without the chunk-slice overhang must be refused
+    (dynamic_slice clamping silently misaligns scores with row ids)."""
+    import jax.numpy as jnp
+
+    docs = rng.standard_normal((100, 16)).astype(np.float32)
+    cent = rng.standard_normal((4, 16)).astype(np.float32)
+    assign = np.sort(rng.integers(0, 4, 100))
+    ivf = IVFIndex(dim=16, n_clusters=4, chunk_cap=64)
+    with pytest.raises(ValueError, match="shared buffer too small"):
+        ivf.from_layout(jnp.asarray(docs), 100, cent, assign)

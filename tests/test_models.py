@@ -168,6 +168,7 @@ def test_native_checkpoint_roundtrip(tmp_path):
     import os
 
     os.environ["HST_MODEL_DIR"] = str(tmp_path)
+    os.environ["HST_CKPT_DISCOVERY"] = "1"
     try:
         assert find_checkpoint("MiniLM-tiny") == ckpt
         enc = MiniLMEncoder(name="MiniLM-tiny", checkpoint=ckpt)
@@ -183,6 +184,7 @@ def test_native_checkpoint_roundtrip(tmp_path):
                    for a, b in zip(leaves_a, leaves_b))
     finally:
         os.environ.pop("HST_MODEL_DIR", None)
+        os.environ["HST_CKPT_DISCOVERY"] = "0"
 
 
 def test_default_encoder_resolution_gates(tmp_path, monkeypatch):
@@ -204,6 +206,7 @@ def test_default_encoder_resolution_gates(tmp_path, monkeypatch):
     save_trained_checkpoint(params, cfg, str(tmp_path / "hst-MiniLM-g"))
 
     monkeypatch.setenv("HST_MODEL_DIR", str(tmp_path))
+    monkeypatch.setenv("HST_CKPT_DISCOVERY", "1")
     # auto + matching dim -> serves the checkpoint
     monkeypatch.setenv("HST_ENCODER", "auto")
     enc = default_encoder(dim=64)
