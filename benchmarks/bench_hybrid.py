@@ -460,6 +460,54 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     }
 
 
+def prebuild(n_docs: int) -> dict:
+    """Build + persist the HOST-side bench artifacts — the v2 COO npz
+    and the supertile directory — without touching the device, so the
+    driver's bench window loads and measures instead of rebuilding
+    (VERDICT r3 missing #3). Safe to run on the CPU backend while the
+    tunnel is down; run() finds the caches and skips every build step."""
+    from hybridsearch_tpu.ops.impact import default_align
+
+    align = default_align()
+    cache = f"/tmp/hst_hybridbench_v2_{n_docs}_a{align}_cl.npz"
+    t0 = time.time()
+    if os.path.exists(cache):
+        z = np.load(cache)
+        topic_of, d_ids, w, df = z["topic_of"], z["d"], z["w"], z["df"]
+        vocab = int(z["vocab"])
+    else:
+        from hybridsearch_tpu.ops.impact import build_impact_postings
+
+        topic_of, t_ids, d_ids, w, vocab, df = synth_correlated(
+            n_docs, cluster_order=True)
+        imp = build_impact_postings(t_ids, d_ids, w, n_docs, vocab,
+                                    p_max=P_MAX, align=align)
+        d_ids = d_ids.astype(np.int32)
+        topic_of = topic_of.astype(np.int16)
+        np.savez(cache, topic_of=topic_of, d=d_ids, w=w, df=df,
+                 vocab=vocab, imp_ids=np.asarray(imp.doc_ids),
+                 imp_ws=np.asarray(imp.weights),
+                 imp_starts=imp.starts_host, imp_lens=imp.lengths_host,
+                 imp_slack=imp.slack_host, imp_wh=imp.weights_host)
+        del imp
+    coo_s = time.time() - t0
+    from hybridsearch_tpu.ops.supertile import (
+        build_super_postings,
+        save_super_postings,
+    )
+
+    t1 = time.time()
+    sp_cache = cache[:-4] + "_super"
+    if not os.path.isdir(sp_cache):
+        t_full = np.repeat(np.arange(vocab, dtype=np.int64), df)
+        sp = build_super_postings(t_full, d_ids.astype(np.int64), w,
+                                  n_docs, vocab)
+        save_super_postings(sp, sp_cache)
+    return {"n_docs": n_docs, "coo_s": round(coo_s, 1),
+            "super_s": round(time.time() - t1, 1),
+            "cache": cache, "super_dir": sp_cache}
+
+
 def jaccard_vs_oracle(n_docs: int = 200_000, batch: int = 32) -> dict:
     """Top-10 Jaccard of the impact hybrid vs a NumPy full-fusion oracle
     at a host-feasible corpus size, same generator as the QPS run."""
