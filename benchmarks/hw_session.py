@@ -525,11 +525,30 @@ def phase_super_ab():
     _hybrid_super_impl.clear_cache()
 
 
+def phase_configs():
+    """Chip rows for the BASELINE configs: the batched 100->20->5 funnel
+    with the real (trained) cross-encoder + recompile audit
+    (bench_funnel), then run_configs 2-5. Each runs as its OWN
+    subprocess so this phase never holds the tunnel itself (single
+    client at a time)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n = os.environ.get("HST_CONFIG_N", "100000")
+    for cmd in ([sys.executable, os.path.join(here, "bench_funnel.py")],
+                *([sys.executable, os.path.join(here, "run_configs.py"),
+                   "--config", c, "--n-docs", n] for c in "2345")):
+        rc = subprocess.call(cmd)
+        print(f"# {os.path.basename(cmd[1])} {cmd[2:]} rc={rc}",
+              flush=True)
+
+
 PHASES = {"1": phase_rescore, "2": phase_hybrid, "3": phase_dense,
           "4": phase_ivf, "5": phase_profile, "6": phase_ivf10m,
           "7": phase_tile_hybrid, "8": phase_tile_jaccard,
           "9": phase_tile_profile, "10": phase_super,
-          "11": phase_super_profile, "12": phase_super_ab}
+          "11": phase_super_profile, "12": phase_super_ab,
+          "13": phase_configs}
 
 
 def main():
@@ -546,9 +565,12 @@ def main():
                 [sys.executable, os.path.abspath(__file__), p])
             print(f"# phase {p} subprocess rc={rc}", flush=True)
         return
-    backend = jax.default_backend()
-    print(f"# backend={backend}", flush=True)
-    assert backend == "tpu", "tunnel not available — aborting session"
+    if want != ["13"]:
+        # phase 13 only SPAWNS tunnel clients; initializing the backend
+        # here would hold the single-client tunnel and starve them
+        backend = jax.default_backend()
+        print(f"# backend={backend}", flush=True)
+        assert backend == "tpu", "tunnel not available — aborting session"
     for p in want:
         t0 = time.time()
         try:
