@@ -517,11 +517,18 @@ def phase_super_ab():
             for k_, v in env.items():
                 os.environ[k_] = v
             _hybrid_super_impl.clear_cache()
-            print(json.dumps({"variant": name, "batch": batch,
-                              **bh.run(n, batch=batch, iters=6)}),
-                  flush=True)
-            for k_ in env:
-                os.environ.pop(k_, None)
+            try:
+                print(json.dumps({"variant": name, "batch": batch,
+                                  **bh.run(n, batch=batch, iters=6)}),
+                      flush=True)
+            except Exception as e:
+                # a Mosaic lowering failure on one gated variant must
+                # not kill the rest of the A/B grid
+                print(f"# variant {name} b{batch} FAILED: "
+                      f"{type(e).__name__}: {e}", flush=True)
+            finally:
+                for k_ in env:
+                    os.environ.pop(k_, None)
     _hybrid_super_impl.clear_cache()
 
 
