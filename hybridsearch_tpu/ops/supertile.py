@@ -715,14 +715,35 @@ def _hybrid_super_impl(
     fused = w_s * nsem(s_res) + w_l * nlex(lex_res, L_res)
     fused = jnp.where(alive, fused, NEG_INF)
     k_eff = min(k, R)
+    M = min(4 * k_eff, R)  # final-rescore candidate margin
     if R > 4096:
         from hybridsearch_tpu.ops.dense import tiled_matrix_topk
 
-        vals, pos = tiled_matrix_topk(fused, k_eff)
-        pos = jnp.maximum(pos, 0)
+        vals_m, pos_m = tiled_matrix_topk(fused, M)
+        pos_m = jnp.maximum(pos_m, 0)
     else:
-        vals, pos = jax.lax.top_k(fused, k_eff)
-    idxs = jnp.take_along_axis(gidx, pos, axis=1)
+        vals_m, pos_m = jax.lax.top_k(fused, M)
+    # f32 tie-break rescore: the kernel scores accumulate f32 in a
+    # DIFFERENT order than a plain XLA dot (pallas VPU chunk reduce vs
+    # dot_general), so near-ties can order-swap vs the oracle. Rescore
+    # the M finalists' semantic dots with the oracle's own contraction
+    # (one [B, M, D] gather + einsum — M = 4k rows/query, sub-ms) and
+    # re-rank. Resident lex scores are already exact f32 placements.
+    idxs_m = jnp.take_along_axis(gidx, pos_m, axis=1)  # [B, M]
+    safe = jnp.clip(idxs_m, 0, N - 1)
+    docs_m = jnp.take(docs, safe, axis=0)  # [B, M, D]
+    s_m = jnp.einsum("bmd,bd->bm", docs_m.astype(jnp.float32),
+                     q.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    if bias is not None:
+        s_m = s_m + jnp.take(bias.astype(jnp.float32), safe)
+    lex_m = jnp.take_along_axis(lex_res, pos_m, axis=1)
+    alive_m = jnp.take_along_axis(alive, pos_m, axis=1)
+    fused_m = w_s * nsem(s_m) + w_l * nlex(lex_m, L_res)
+    fused_m = jnp.where(alive_m & (vals_m > NEG_INF / 2), fused_m,
+                        NEG_INF)
+    vals, sel = jax.lax.top_k(fused_m, k_eff)
+    idxs = jnp.take_along_axis(idxs_m, sel, axis=1)
     ok = jnp.isfinite(vals) & (vals > NEG_INF / 2)
     idxs = jnp.where(ok, idxs, -1)
 
