@@ -732,8 +732,11 @@ def _hybrid_super_impl(
     idxs_m = jnp.take_along_axis(gidx, pos_m, axis=1)  # [B, M]
     safe = jnp.clip(idxs_m, 0, N - 1)
     docs_m = jnp.take(docs, safe, axis=0)  # [B, M, D]
-    s_m = jnp.einsum("bmd,bd->bm", docs_m.astype(jnp.float32),
-                     q.astype(jnp.float32),
+    # SAME operand precision as the kernel/oracle contraction: bf16
+    # products (q cast to the docs' dtype), f32 accumulation via
+    # dot_general — bit-aligned with a plain XLA dot over the corpus
+    q_m = q.astype(docs.dtype) if docs.dtype == jnp.bfloat16 else q
+    s_m = jnp.einsum("bmd,bd->bm", docs_m, q_m,
                      preferred_element_type=jnp.float32)
     if bias is not None:
         s_m = s_m + jnp.take(bias.astype(jnp.float32), safe)
