@@ -116,19 +116,44 @@ def main() -> int:
 
     out = {"cfg": {"layers": cfg.num_layers, "dim": cfg.hidden_dim,
                    "vocab": cfg.vocab_size}}
+    # generic lexical-overlap pairs over random pseudo-words (same
+    # augmentation as scripts/train_cross_encoder.py): query = a few of
+    # the doc's words. The hashed wordpiece vocab maps ANY text into the
+    # same bucket space, so InfoNCE on these teaches "token overlap ->
+    # closeness" for arbitrary out-of-distribution text — planted-topic
+    # pairs alone leave OOD embeddings unshaped.
+    _lex_vocab = [f"{a}{b}{c}" for a in "bcdfgklmnprstvz"
+                  for b in "aeiou" for c in "bcdfgklmnprstvz"][:1500]
+
+    def lexical_pair():
+        qw = list(rng.choice(_lex_vocab, size=int(rng.integers(2, 4)),
+                             replace=False))
+        body = qw + list(rng.choice(_lex_vocab,
+                                    size=int(rng.integers(6, 14))))
+        rng.shuffle(body)
+        return " ".join(rng.permutation(qw)), " ".join(body)
+
     if not args.eval_only:
         trainer = ContrastiveTrainer(cfg=cfg, learning_rate=args.lr)
         # batches: query = a fresh topic query string, positive = a doc
         # of the same topic; in-batch negatives come from other topics
-        # (the planted analog of MS MARCO (query, passage) pairs)
+        # (the planted analog of MS MARCO (query, passage) pairs).
+        # Half of each batch is generic lexical-overlap pairs.
         by_topic = {t: np.flatnonzero(topic_of == t)
                     for t in np.unique(topic_of)}
         t0 = time.time()
         losses = []
         for step in range(args.steps):
             qi = rng.integers(0, len(queries), args.batch)
-            q_texts = [queries[i] for i in qi]
-            d_texts = [docs[rng.choice(by_topic[q_topic[i]])] for i in qi]
+            q_texts, d_texts = [], []
+            for j, i in enumerate(qi):
+                if j % 2:
+                    lq, ld = lexical_pair()
+                    q_texts.append(lq)
+                    d_texts.append(ld)
+                else:
+                    q_texts.append(queries[i])
+                    d_texts.append(docs[rng.choice(by_topic[q_topic[i]])])
             q_ids, q_mask = tok.batch_encode(q_texts, args.seq)
             d_ids, d_mask = tok.batch_encode(d_texts, args.seq)
             loss = trainer.train_step((q_ids, q_mask, d_ids, d_mask))
@@ -163,6 +188,33 @@ def main() -> int:
         semantic_generalization_eval(enc.encode), 4)
     out["hashing_semgen_p@10"] = round(
         semantic_generalization_eval(hashing.encode), 4)
+    # OOD sanity: real-English triples far from the synthetic training
+    # text — cosine must rank the overlapping doc first
+    ood = [
+        ("machine learning patterns",
+         "machine learning models learn patterns from training data",
+         "boiling pasta requires salted water"),
+        ("stock market earnings",
+         "the stock market rallied after the earnings report",
+         "gardening in spring brings colorful flowers"),
+        ("neural network layers",
+         "deep neural networks stack many layers of neurons",
+         "the recipe calls for two cups of flour"),
+        ("database index performance",
+         "a database index speeds up query performance",
+         "the violin section rehearsed the symphony"),
+        ("solar panel efficiency",
+         "solar panel efficiency improves with new materials",
+         "the goalkeeper saved the penalty kick"),
+        ("python error handling",
+         "python error handling uses try and except blocks",
+         "autumn leaves turned red and gold"),
+    ]
+    qe = enc.encode([q for q, _p, _n in ood])
+    pe = enc.encode([p for _q, p, _n in ood])
+    ne = enc.encode([n for _q, _p, n in ood])
+    out["ood_pairwise_acc"] = round(
+        float(np.mean(np.sum(qe * pe, 1) > np.sum(qe * ne, 1))), 4)
     out["checkpoint"] = args.out
     print(json.dumps(out))
     return 0
