@@ -181,19 +181,36 @@ def config_4_multistage(n_docs: int) -> Dict:
     from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
 
     docs, topics = synthetic_corpus(min(n_docs, 2000))
-    cfg = BertConfig(vocab_size=4096, hidden_dim=128, num_layers=2,
-                     num_heads=4, mlp_dim=256)
-    rr = CrossEncoderReranker(model=MiniLMCrossEncoder(cfg=cfg, dim=128,
-                                                       max_seq_len=64))
+    from hybridsearch_tpu.models.minilm import find_checkpoint
+
+    ce_ckpt = find_checkpoint("ms-marco-MiniLM-L-6-v2")
+    if ce_ckpt:
+        # the in-repo trained reranker (scripts/train_cross_encoder.py)
+        ce = MiniLMCrossEncoder(checkpoint=ce_ckpt)
+    else:
+        cfg = BertConfig(vocab_size=4096, hidden_dim=128, num_layers=2,
+                         num_heads=4, mlp_dim=256)
+        ce = MiniLMCrossEncoder(cfg=cfg, dim=128, max_seq_len=64)
+    rr = CrossEncoderReranker(model=ce)
     p = create_pipeline("multi_stage", reranker=rr, stage1_k=100,
                         stage2_k=20, final_k=5)
     p.index(docs)
     qs = queries_for(list(range(len(TOPICS))), 12)
     perf = _timed_queries(lambda q: p.search(q), qs)
     out = p.search(qs[0][0])
+    # post-rerank relevance: fraction of final-5 docs in the query topic
+    hits = tot = 0
+    for q, t in qs:
+        for _s, _c, did in p.search(q).results:
+            hits += int(topics[did] == t)
+            tot += 1
     return {"config": "4_multistage_100_20_5", "docs": len(docs),
+            "topic_precision@5": round(hits / max(tot, 1), 4),
             "funnel": [out.metadata["stage1_k"], out.metadata["stage2_k"],
-                       len(out.results)], **perf}
+                       len(out.results)], **perf,
+            "ce_pretrained": bool(getattr(ce, "pretrained", False)),
+            "ce_weights_origin": getattr(ce, "weights_origin", "random"),
+            **_encoder_info(p.indexer.encoder)}
 
 
 def config_5_diversity_cache_batch(n_docs: int) -> Dict:
