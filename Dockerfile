@@ -12,6 +12,9 @@ COPY pyproject.toml README.md ./
 COPY hybridsearch_tpu ./hybridsearch_tpu
 COPY native ./native
 COPY bench.py ./
+# trained bi-/cross-encoder checkpoints (models/minilm.py resolves
+# ./models at runtime) — serving starts on real learned weights
+COPY models ./models
 
 # CPU jax by default; swap for the TPU wheel on TPU VMs:
 #   pip install 'jax[tpu]' -f https://storage.googleapis.com/jax-releases/libtpu_releases.html
