@@ -76,6 +76,12 @@ def test_benchmark_configs_run():
     assert r2["topic_precision@10"] > 0.8
     r3 = CONFIGS[3](200)
     assert r3["jaccard_vs_oracle"] >= 0.99
+    # funnel smoke (tiny deterministic CE under HST_CKPT_DISCOVERY=0):
+    # shape preserved end-to-end and the row carries CE provenance
+    r4 = CONFIGS[4](200)
+    assert r4["funnel"] == [100, 20, 5]
+    assert r4["ce_weights_origin"] == "random"
+    assert 0.0 <= r4["topic_precision@5"] <= 1.0
 
 
 def test_cross_encoder_training_learns_separation():
