@@ -122,14 +122,19 @@ def main() -> int:
     # same bucket space, so InfoNCE on these teaches "token overlap ->
     # closeness" for arbitrary out-of-distribution text — planted-topic
     # pairs alone leave OOD embeddings unshaped.
-    _lex_vocab = [f"{a}{b}{c}" for a in "bcdfgklmnprstvz"
-                  for b in "aeiou" for c in "bcdfgklmnprstvz"][:1500]
+    # words generated FRESH per pair (unbounded vocabulary): a fixed
+    # word list gets memorized per hash bucket instead of forcing the
+    # bucket-agnostic overlap solution (measured on the cross-encoder:
+    # fixed 1500-word list -> OOD accuracy collapse; and here: synth-
+    # BEIR ndcg 0.872 vs 0.966 for pure hashing before this fix)
+    _alpha = list("abcdefghijklmnopqrstuvwxyz")
+
+    def _word():
+        return "".join(rng.choice(_alpha, size=rng.integers(3, 10)))
 
     def lexical_pair():
-        qw = list(rng.choice(_lex_vocab, size=int(rng.integers(2, 4)),
-                             replace=False))
-        body = qw + list(rng.choice(_lex_vocab,
-                                    size=int(rng.integers(6, 14))))
+        qw = [_word() for _ in range(int(rng.integers(2, 4)))]
+        body = qw + [_word() for _ in range(int(rng.integers(6, 14)))]
         rng.shuffle(body)
         return " ".join(rng.permutation(qw)), " ".join(body)
 
