@@ -215,6 +215,42 @@ def main() -> int:
         ("python error handling",
          "python error handling uses try and except blocks",
          "autumn leaves turned red and gold"),
+        ("electric vehicle battery range",
+         "battery chemistry determines an electric vehicle's range",
+         "the bakery sells sourdough every morning"),
+        ("kubernetes pod scheduling",
+         "the kubernetes scheduler assigns pods to cluster nodes",
+         "whales migrate thousands of miles each year"),
+        ("mortgage interest rates",
+         "rising interest rates cool the mortgage market",
+         "the art museum opened a sculpture wing"),
+        ("protein folding structure",
+         "a protein's function follows from its folded structure",
+         "the marathon route crosses two bridges"),
+        ("wifi signal interference",
+         "microwave ovens cause wifi signal interference",
+         "her poetry collection won a national prize"),
+        ("compiler optimization passes",
+         "the compiler applies optimization passes before codegen",
+         "tomatoes grow best in full summer sun"),
+        ("ocean plastic pollution",
+         "plastic pollution accumulates in ocean gyres",
+         "the orchestra tuned before the overture"),
+        ("vaccine immune response",
+         "vaccines train the immune response against pathogens",
+         "vintage cars gathered at the county fair"),
+        ("quantum error correction",
+         "quantum error correction protects fragile qubit states",
+         "the chef plated the dessert with berries"),
+        ("supply chain logistics",
+         "logistics software tracks inventory across the supply chain",
+         "the hikers reached the summit at dawn"),
+        ("renewable energy grid storage",
+         "grid storage smooths renewable energy's variable output",
+         "the library extended its weekend hours"),
+        ("speech recognition accuracy",
+         "background noise degrades speech recognition accuracy",
+         "the tailor hemmed the wedding dress"),
     ]
     sp_o = ce.predict([(q, p) for q, p, _n in ood])
     sn_o = ce.predict([(q, n) for q, _p, n in ood])
