@@ -140,6 +140,34 @@ def _supervised_main() -> None:
 
     budget = int(os.environ.get("HST_BENCH_DEADLINE_S", "1100"))
     env = dict(os.environ, HST_BENCH_CHILD="1")
+
+    # Fast pre-probe: when the local relay is dead (no listener on the
+    # axon ports) or the remote worker is wedged, backend init hangs in a
+    # non-interruptible C retry loop and the child would burn the whole
+    # budget. Probe with a tiny matmul under a short deadline first and
+    # emit the fallback line within ~probe seconds instead of ~budget.
+    probe_s = int(os.environ.get("HST_BENCH_PROBE_S", "90"))
+    if env.get("JAX_PLATFORMS") != "cpu" and probe_s > 0:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp;"
+                 "x = jnp.ones((256, 256));"
+                 "print('PROBE_OK', jax.default_backend(),"
+                 " float((x @ x).sum()))"],
+                env=dict(os.environ), capture_output=True, text=True,
+                timeout=probe_s, cwd="/tmp",
+            )
+            ok = any(ln.startswith("PROBE_OK") for ln
+                     in probe.stdout.splitlines())
+        except subprocess.TimeoutExpired:
+            ok = False
+        if not ok:
+            print(f"# device probe failed within {probe_s}s "
+                  "(dead relay / wedged tunnel); skipping bench child",
+                  file=sys.stderr)
+            _emit_fallback()
+            return
     try:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,
@@ -154,6 +182,10 @@ def _supervised_main() -> None:
     except subprocess.TimeoutExpired:
         print(f"# bench child exceeded {budget}s (wedged tunnel?); killed",
               file=sys.stderr)
+    _emit_fallback()
+
+
+def _emit_fallback() -> None:
     line = {
         "metric": "bench_unavailable",
         "value": 0.0,
