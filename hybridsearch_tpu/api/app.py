@@ -384,13 +384,39 @@ def h_rerank(state, params, body, query):
     return 200, {"query": q, "results": _result_rows(ranked)}
 
 
+def _normalize_documents(docs):
+    """Accept the reference's two request shapes for a document
+    (reference api.py:26-32 `Document`): a plain string, or an object
+    with required `content` and optional `source_path`. Returns
+    (texts, paths); raises ValueError on anything else so the caller
+    can surface a 400 instead of a 500."""
+    texts, paths = [], []
+    for d in docs:
+        if isinstance(d, str):
+            texts.append(d)
+            paths.append(None)
+        elif isinstance(d, dict) and isinstance(d.get("content"), str):
+            texts.append(d["content"])
+            sp = d.get("source_path")
+            paths.append(sp if isinstance(sp, str) else None)
+        else:
+            raise ValueError(
+                "each document must be a string or an object with a "
+                "string 'content' field")
+    return texts, paths
+
+
 def h_index(state, params, body, query):
     """POST /index — destructive full reindex (reference api.py:171-196)."""
-    docs = body.get("documents", [])
-    if not docs:
+    raw = body.get("documents", [])
+    if not raw:
         return 400, {"detail": "documents is required"}
+    try:
+        docs, paths = _normalize_documents(raw)
+    except ValueError as e:
+        return 400, {"detail": str(e)}
     with state._mutate_lock:
-        stats = state.indexer.index_documents(docs)
+        stats = state.indexer.index_documents(docs, paths=paths)
         state.autocomplete.index_content(docs)
         for i, d in enumerate(docs):
             state.dedup.add_document(str(i), d)
@@ -421,9 +447,13 @@ def h_index_directory(state, params, body, query):
 def h_index_add(state, params, body, query):
     """POST /index/add — incremental, consistent across BOTH indexes
     (reference api.py:230-247 merges into globals without refitting)."""
-    docs = body.get("documents", [])
-    if not docs:
+    raw = body.get("documents", [])
+    if not raw:
         return 400, {"detail": "documents is required"}
+    try:
+        docs, _ = _normalize_documents(raw)
+    except ValueError as e:
+        return 400, {"detail": str(e)}
     dedup_action = body.get("dedup", None)
     skipped = []
     to_add = []
@@ -630,9 +660,13 @@ def h_language_detect(state, params, body, query):
 
 def h_jobs_index(state, params, body, query):
     """POST /jobs/index — async indexing job (reference api.py:822-864)."""
-    docs = body.get("documents", [])
-    if not docs:
+    raw = body.get("documents", [])
+    if not raw:
         return 400, {"detail": "documents is required"}
+    try:
+        docs, _ = _normalize_documents(raw)
+    except ValueError as e:
+        return 400, {"detail": str(e)}
     job_id = state.jobs.enqueue("index", {"documents": docs},
                                 webhook_url=body.get("webhook_url"))
     return 202, {"job_id": job_id, "state": "pending"}

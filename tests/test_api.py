@@ -353,3 +353,34 @@ def test_delete_document_route(demo_docs):
     code, _, _ = r.dispatch("DELETE", "/documents/999")
     assert code == 404
     st.close()
+
+
+def test_index_accepts_reference_document_objects():
+    """The reference's IndexRequest documents are objects with `content`
+    and optional `source_path` (reference api.py:26-32, 177-178); plain
+    strings must keep working, and malformed entries get a 400 (not a
+    TypeError 500)."""
+    st = EngineState(encoder=HashingEncoder(dim=64), use_semantic_cache=False)
+    r = build_router(st)
+    code, payload, _ = r.dispatch("POST", "/index", {"documents": [
+        {"content": "JAX compiles programs for TPU hardware",
+         "source_path": "/data/a.txt"},
+        {"content": "BM25 ranks documents by term frequency"},
+        "plain string document about cats and dogs",
+    ]})
+    assert code == 200 and payload["indexed"] == 3
+    code, res, _ = r.dispatch("POST", "/search",
+                              {"query": "TPU hardware", "top_k": 1})
+    assert code == 200 and res["results"]
+
+    code, payload, _ = r.dispatch("POST", "/index/add", {"documents": [
+        {"content": "incremental object add"}]})
+    assert code == 200 and payload["added"] == 1
+
+    code, payload, _ = r.dispatch("POST", "/index",
+                                  {"documents": [{"text": "no content key"}]})
+    assert code == 400
+    code, payload, _ = r.dispatch("POST", "/jobs/index",
+                                  {"documents": [123]})
+    assert code == 400
+    st.close()
