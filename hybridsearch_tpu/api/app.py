@@ -232,30 +232,38 @@ def h_search(state, params, body, query):
         return 400, {"detail": "query is required"}
     top_k = int(body.get("top_k", 5))
     sw, lw = _validated_weights(body)
+    use_learned = bool(body.get("use_learned_weights", False))
+    # resolve up front so the cache key and the reported weights_used both
+    # reflect what the kernel actually fused (reference api.py:287-296
+    # echoes weights_used in every response)
+    rsw, rlw = state.searcher.resolve_weights(sw, lw, use_learned)
     cache_key_vec = None
     if state.semantic_cache is not None:
         cache_key_vec = state.indexer.encoder.encode([q])[0]
         hit = state.semantic_cache.get(cache_key_vec)
         if hit is not None and hit.get("top_k", -1) >= top_k and (
-            hit.get("weights") == [sw, lw]
+            hit.get("weights") == [rsw, rlw]
         ):
             state.autocomplete.record_query(q)
             return 200, {**hit["response"], "cached": True}
     t0 = time.perf_counter()
-    results = state.searcher.search(q, top_k=top_k, semantic_weight=sw,
-                                    lexical_weight=lw)
+    results = state.searcher.search(q, top_k=top_k, semantic_weight=rsw,
+                                    lexical_weight=rlw)
     latency_ms = (time.perf_counter() - t0) * 1e3
     state.autocomplete.record_query(q)
     resp = {
         "query": q,
+        "query_id": state.searcher.last_query_id,
         "results": _result_rows(results),
+        "weights_used": {"semantic": rsw, "lexical": rlw,
+                         "learned": use_learned},
         "latency_ms": round(latency_ms, 3),
         "cached": False,
     }
     if state.semantic_cache is not None and cache_key_vec is not None:
         state.semantic_cache.set(
             cache_key_vec,
-            {"response": resp, "top_k": top_k, "weights": [sw, lw]},
+            {"response": resp, "top_k": top_k, "weights": [rsw, rlw]},
         )
     return 200, resp
 
@@ -311,21 +319,30 @@ def h_search_funnel(state, params, body, query):
 
 
 def h_search_highlighted(state, params, body, query):
-    """POST /search/highlighted (reference api.py:449-489)."""
+    """POST /search/highlighted (reference api.py:449-485): inherits the
+    SearchRequest fields plus `highlight` and `snippet_length`."""
     q = body.get("query", "")
     if not q:
         return 400, {"detail": "query is required"}
     style = body.get("style", "html")
     top_k = int(body.get("top_k", 5))
-    results = state.searcher.search(q, top_k=top_k)
+    sw, lw = _validated_weights(body)
+    snippet_length = int(body.get("snippet_length", 150))
+    do_highlight = bool(body.get("highlight", True))
+    results = state.searcher.search(q, top_k=top_k, semantic_weight=sw,
+                                    lexical_weight=lw)
     hl = get_highlighter(style)
     rows = []
     for s, c, i in results:
-        rows.append({
-            "score": float(s), "doc_id": int(i), "content": c,
-            "highlighted": hl.highlight_text(c, q),
-            "snippets": hl.extract_snippets(c, q),
-        })
+        row = {"score": float(s), "doc_id": int(i), "content": c}
+        if do_highlight:
+            row["highlighted"] = hl.highlight_text(c, q)
+        # the reference's snippet_length is the full window around a
+        # match (api.py:410, highlighter.py:68-145); ours is a half-width
+        row["snippets"] = hl.extract_snippets(
+            c, q, window=max(1, snippet_length // 2),
+            highlight=do_highlight)
+        rows.append(row)
     return 200, {"query": q, "results": rows}
 
 
@@ -363,24 +380,49 @@ def h_ask(state, params, body, query):
         return 400, {"detail": "question is required"}
     from hybridsearch_tpu.retrieval.rag import RAGAnswerer
 
-    provider = body.get("provider", "local")
-    answerer = RAGAnswerer(state.searcher, provider=provider)
+    # the reference's field is llm_provider with a model override
+    # (api.py:413-418); `provider` is kept as an alias
+    provider = body.get("llm_provider") or body.get("provider", "local")
+    kw = {}
+    if body.get("model"):
+        kw["model"] = body["model"]
+    answerer = RAGAnswerer(state.searcher, provider=provider, **kw)
     resp = answerer.ask(q, top_k=int(body.get("top_k", 5)))
     return 200, {"question": q, "answer": resp.answer, "sources": resp.sources,
                  "provider": resp.provider, "tokens_used": resp.tokens_used}
 
 
 def h_rerank(state, params, body, query):
-    """POST /rerank (reference api.py /rerank route)."""
-    q = body.get("query", "")
-    documents = body.get("documents", [])
-    if not q or not documents:
-        return 400, {"detail": "query and documents are required"}
+    """POST /rerank (reference api.py:521-555): the reference takes
+    query params `query`, repeated `doc_ids` (resolved from the store)
+    and `top_k`; raw `documents` in the body is kept as an extension."""
+    q = body.get("query") or query.get("query", "")
+    if not q:
+        return 400, {"detail": "query is required"}
     from hybridsearch_tpu.retrieval.reranker import CrossEncoderReranker
 
+    documents = body.get("documents", [])
+    doc_ids = body.get("doc_ids", query.get("doc_ids", []))
+    if isinstance(doc_ids, str):
+        doc_ids = [x for x in doc_ids.split(",") if x]
+    elif not isinstance(doc_ids, list):
+        doc_ids = [doc_ids]
+    if documents:
+        results = [(0.0, d, i) for i, d in enumerate(documents)]
+    elif doc_ids:
+        contents = state.indexer.contents
+        results = []
+        for did in doc_ids:
+            did = int(did)
+            if 0 <= did < len(contents):
+                results.append((0.0, contents[did], did))
+        if not results:
+            return 404, {"detail": "No matching documents found"}
+    else:
+        return 400, {"detail": "doc_ids or documents is required"}
+    top_k = int(body.get("top_k", query.get("top_k", len(results))))
     rr = CrossEncoderReranker()
-    results = [(0.0, d, i) for i, d in enumerate(documents)]
-    ranked = rr.rerank(q, results, top_k=int(body.get("top_k", len(documents))))
+    ranked = rr.rerank(q, results, top_k=top_k)
     return 200, {"query": q, "results": _result_rows(ranked)}
 
 
@@ -492,12 +534,26 @@ def h_delete_document(state, params, body, query):
 
 
 def h_feedback(state, params, body, query):
-    """POST /feedback (reference api.py:304-320)."""
-    q = body.get("query", "")
+    """POST /feedback — accepts the reference's FeedbackRequest form
+    (query_id/relevance_score/clicked, reference api.py:48-53, 304-320)
+    and the query-string form."""
     doc_id = body.get("doc_id")
-    rating = body.get("rating")
-    if not q or doc_id is None or rating is None:
-        return 400, {"detail": "query, doc_id, rating are required"}
+    if doc_id is None:
+        return 400, {"detail": "doc_id is required"}
+    if "query_id" in body:
+        try:
+            state.searcher.record_feedback(
+                int(body["query_id"]), int(doc_id),
+                relevance_score=int(body.get("relevance_score", 0)),
+                clicked=bool(body.get("clicked", False)),
+            )
+        except KeyError as e:
+            return 404, {"detail": str(e)}
+        return 200, {"status": "success", "message": "Feedback recorded"}
+    q = body.get("query", "")
+    rating = body.get("rating", body.get("relevance_score"))
+    if not q or rating is None:
+        return 400, {"detail": "query_id or (query, rating) is required"}
     state.searcher.log_feedback(q, int(doc_id), int(rating))
     return 200, {"status": "recorded"}
 
@@ -556,10 +612,9 @@ def h_documents(state, params, body, query):
 
 
 def h_watcher_start(state, params, body, query):
-    """POST /watcher/start (reference api.py watcher routes)."""
-    directory = body.get("directory", "")
-    if not directory:
-        return 400, {"detail": "directory is required"}
+    """POST /watcher/start (reference api.py:341-367: `directory` is a
+    query param defaulting to "data"; a JSON body key works too)."""
+    directory = body.get("directory") or query.get("directory") or "data"
     if state.watcher is not None and state.watcher.is_running:
         return 400, {"detail": "watcher already running"}
     from hybridsearch_tpu.text.extractor import discover_documents
@@ -589,7 +644,17 @@ def h_watcher_stop(state, params, body, query):
 
 
 def h_autocomplete(state, params, body, query):
-    """GET /autocomplete?prefix=... (reference api.py autocomplete routes)."""
+    """GET /autocomplete?prefix=... (extension) and the reference's POST
+    form with partial_query/limit returning a bare list of
+    {text, score, source, frequency} (reference api.py:567-596)."""
+    if body.get("partial_query"):
+        prefix = body["partial_query"]
+        limit = int(body.get("limit", 10))
+        return 200, [
+            {"text": s["suggestion"], "score": s["score"],
+             "source": s["source"], "frequency": s["frequency"]}
+            for s in state.autocomplete.suggest(prefix, limit)
+        ]
     prefix = query.get("prefix") or query.get("q", "")
     limit = int(query.get("limit", 10))
     return 200, {"prefix": prefix,
@@ -597,10 +662,14 @@ def h_autocomplete(state, params, body, query):
 
 
 def h_autocomplete_record(state, params, body, query):
-    suggestion = body.get("suggestion") or body.get("query", "")
-    if not suggestion:
-        return 400, {"detail": "suggestion is required"}
-    state.autocomplete.record_selection(suggestion)
+    """POST /autocomplete/record — the reference passes partial_query and
+    selected as query params (api.py:598-609); body keys work too."""
+    selected = (query.get("selected") or body.get("selected")
+                or body.get("suggestion") or body.get("query", ""))
+    partial = query.get("partial_query") or body.get("partial_query", "")
+    if not selected:
+        return 400, {"detail": "selected (or suggestion) is required"}
+    state.autocomplete.record_selection(partial or selected, selected)
     return 200, {"status": "recorded"}
 
 
@@ -712,6 +781,7 @@ def build_router(state: EngineState) -> Router:
     r.add("POST", "/watcher/start", h_watcher_start, scope="write")
     r.add("POST", "/watcher/stop", h_watcher_stop, scope="write")
     r.add("GET", "/autocomplete", h_autocomplete)
+    r.add("POST", "/autocomplete", h_autocomplete)
     r.add("POST", "/autocomplete/record", h_autocomplete_record)
     r.add("GET", "/cache/stats", h_cache_stats)
     r.add("POST", "/cache/invalidate", h_cache_invalidate, scope="write")

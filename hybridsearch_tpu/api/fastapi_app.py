@@ -51,12 +51,28 @@ def create_app(state: Optional[EngineState] = None, **state_kwargs) -> FastAPI:
 
     models = pydantic_request_models()
 
-    def _respond(status: int, payload: Dict[str, Any],
+    def _respond(status: int, payload: Any,
                  headers: Dict[str, str]):
-        if "_text" in payload:  # /metrics Prometheus exposition
+        if isinstance(payload, dict) and "_text" in payload:
+            # /metrics Prometheus exposition
             return PlainTextResponse(payload["_text"], status_code=status,
                                      headers=headers)
         return JSONResponse(payload, status_code=status, headers=headers)
+
+    def _query_dict(request: Request) -> Dict[str, Any]:
+        """Repeated query params collect into a list, matching the stdlib
+        httpd adapter (the reference's /rerank takes repeated doc_ids,
+        api.py:521-524); single values stay scalar."""
+        out: Dict[str, Any] = {}
+        for k, v in request.query_params.multi_items():
+            if k in out:
+                if isinstance(out[k], list):
+                    out[k].append(v)
+                else:
+                    out[k] = [out[k], v]
+            else:
+                out[k] = v
+        return out
 
     def _make_endpoint(method: str, path: str, model):
         """One real FastAPI endpoint per route. The body is validated by
@@ -75,7 +91,7 @@ def create_app(state: Optional[EngineState] = None, **state_kwargs) -> FastAPI:
                     # does through the plain httpd router; only truly
                     # absent fields fall back to handler defaults
                     body=body.model_dump(exclude_unset=True),
-                    query=dict(request.query_params),
+                    query=_query_dict(request),
                     api_key=api_key,
                     client_ip=ip,
                 )
@@ -95,7 +111,7 @@ def create_app(state: Optional[EngineState] = None, **state_kwargs) -> FastAPI:
                     method,
                     request.url.path,
                     body=body,
-                    query=dict(request.query_params),
+                    query=_query_dict(request),
                     api_key=api_key,
                     client_ip=ip,
                 )

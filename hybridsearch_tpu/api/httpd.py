@@ -33,7 +33,18 @@ def make_handler(router: Router):
                 self.end_headers()
                 self.wfile.write(raw)
                 return
-            query = dict(parse_qsl(parsed.query))
+            # repeated params collect into a list (the reference's /rerank
+            # takes repeated doc_ids query params, api.py:521-524); single
+            # values stay scalar
+            query = {}
+            for k, v in parse_qsl(parsed.query):
+                if k in query:
+                    if isinstance(query[k], list):
+                        query[k].append(v)
+                    else:
+                        query[k] = [query[k], v]
+                else:
+                    query[k] = v
             body = {}
             length = int(self.headers.get("Content-Length") or 0)
             if length:

@@ -59,6 +59,9 @@ _SEARCH_FIELDS = {
                                      "lexical_weight)"),
     "lexical_weight": f("number", ge=0, le=1,
                         description="Lexical arm weight"),
+    "use_learned_weights": f("boolean", default=False,
+                             description="Use weights learned from "
+                                         "feedback (reference parity)"),
 }
 
 _RESULT_ROW = {
@@ -82,7 +85,9 @@ ROUTE_SPECS: Dict[Tuple[str, str], JSON] = {
     ("POST", "/search"): {
         "summary": "Hybrid search (semantic-cache aware)",
         "request": dict(_SEARCH_FIELDS),
-        "responses": {200: {"query": "string", "results": [_RESULT_ROW],
+        "responses": {200: {"query": "string", "query_id": "integer",
+                            "results": [_RESULT_ROW],
+                            "weights_used": "object",
                             "latency_ms": "number", "cached": "boolean"},
                       400: "detail"},
     },
@@ -150,11 +155,15 @@ ROUTE_SPECS: Dict[Tuple[str, str], JSON] = {
                             "tokens_used": "integer"}, 400: "detail"},
     },
     ("POST", "/rerank"): {
-        "summary": "Cross-encoder rerank of (query, documents)",
+        "summary": "Cross-encoder rerank of (query, doc_ids or documents)",
         "request": {
             "query": f("string", required=True, min_length=1),
-            "documents": f("array", required=True, items=STR_ARRAY,
-                           description="Documents to rerank"),
+            "doc_ids": f("array",
+                         description="Document ids resolved from the store "
+                                     "(reference form; also accepted as "
+                                     "repeated query params)"),
+            "documents": f("array", items=STR_ARRAY,
+                           description="Raw documents to rerank (extension)"),
             "top_k": f("integer", ge=1, le=100),
         },
         "responses": {200: {"query": "string", "results": [_RESULT_ROW]},
@@ -189,12 +198,20 @@ ROUTE_SPECS: Dict[Tuple[str, str], JSON] = {
     ("POST", "/feedback"): {
         "summary": "Record relevance feedback",
         "request": {
-            "query": f("string", required=True, min_length=1),
+            "query_id": f("integer",
+                          description="Query id from a search response "
+                                      "(reference form; or pass query)"),
+            "query": f("string", min_length=1,
+                       description="Query text (alternative to query_id)"),
             "doc_id": f("integer", required=True),
-            "rating": f("integer", required=True, ge=-1, le=5,
+            "rating": f("integer", ge=-1, le=5,
                         description="Relevance rating"),
+            "relevance_score": f("integer", ge=0, le=5,
+                                 description="Reference-form rating alias"),
+            "clicked": f("boolean", default=False),
         },
-        "responses": {200: {"status": "string"}, 400: "detail"},
+        "responses": {200: {"status": "string"}, 400: "detail",
+                      404: "detail"},
     },
     ("GET", "/stats"): {
         "summary": "Query/feedback statistics + per-stage latencies",
@@ -234,6 +251,16 @@ ROUTE_SPECS: Dict[Tuple[str, str], JSON] = {
             "limit": f("integer", default=10, ge=1, le=50),
         },
         "responses": {200: {"prefix": "string", "suggestions": "array"}},
+    },
+    ("POST", "/autocomplete"): {
+        "summary": "Prefix suggestions (reference form: partial_query)",
+        "request": {
+            "partial_query": f("string", required=True, min_length=1,
+                               description="Partial query to complete"),
+            "limit": f("integer", default=10, ge=1, le=50),
+        },
+        "responses": {200: [{"text": "string", "score": "number",
+                             "source": "string", "frequency": "integer"}]},
     },
     ("POST", "/autocomplete/record"): {
         "summary": "Record a selected suggestion (learning signal)",

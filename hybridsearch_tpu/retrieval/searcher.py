@@ -150,6 +150,7 @@ class Searcher:
             QueryMemory(self.indexer.store) if use_query_memory else None
         )
         self.lexical_mode = lexical_mode
+        self.last_query_id: Optional[int] = None
         self.semantic_mode = semantic_mode
         self.default_weights = (
             self.config.fusion.semantic_weight,
@@ -162,16 +163,20 @@ class Searcher:
         self,
         semantic_weight: Optional[float],
         lexical_weight: Optional[float],
+        use_learned_weights: bool = False,
     ) -> Tuple[float, float]:
-        if semantic_weight is not None or lexical_weight is not None:
+        """Reference semantics (core.py:225-230): feedback-learned weights
+        are used ONLY on explicit opt-in; otherwise explicit weights, else
+        the configured defaults."""
+        if use_learned_weights and self.query_memory is not None and (
+            learned := self.query_memory.get_optimal_weights()
+        ):
+            sw, lw = learned
+        elif semantic_weight is not None or lexical_weight is not None:
             sw = semantic_weight if semantic_weight is not None else (
                 1.0 - (lexical_weight or 0.0)
             )
             lw = lexical_weight if lexical_weight is not None else 1.0 - sw
-        elif self.query_memory is not None and (
-            learned := self.query_memory.get_optimal_weights()
-        ):
-            sw, lw = learned
         else:
             sw, lw = self.default_weights
         validate_weights(sw, lw)
@@ -279,10 +284,12 @@ class Searcher:
         top_k: int = 5,
         semantic_weight: Optional[float] = None,
         lexical_weight: Optional[float] = None,
+        use_learned_weights: bool = False,
         log: bool = True,
     ) -> List[SearchResult]:
         return self.search_batch(
-            [query], top_k, semantic_weight, lexical_weight, log=log
+            [query], top_k, semantic_weight, lexical_weight,
+            use_learned_weights=use_learned_weights, log=log,
         )[0]
 
     def search_batch(
@@ -291,6 +298,7 @@ class Searcher:
         top_k: int = 5,
         semantic_weight: Optional[float] = None,
         lexical_weight: Optional[float] = None,
+        use_learned_weights: bool = False,
         log: bool = True,
     ) -> List[List[SearchResult]]:
         """Batched hybrid search: one fused device program for the whole
@@ -298,7 +306,8 @@ class Searcher:
         from hybridsearch_tpu.utils.tracing import trace_span
 
         t0 = time.perf_counter()
-        sw, lw = self.resolve_weights(semantic_weight, lexical_weight)
+        sw, lw = self.resolve_weights(semantic_weight, lexical_weight,
+                                      use_learned_weights)
         # ONE consistent snapshot pair for the whole query (concurrent adds
         # swap these atomically; mixing generations would fuse mismatched
         # score shapes — SURVEY §5.2)
@@ -412,8 +421,11 @@ class Searcher:
             ]
             results.append(row)
             if log and self.query_memory is not None:
-                # every query is logged (reference core.py:280-281)
-                self.query_memory.log_query(
+                # every query is logged (reference core.py:280-281); the
+                # row id is kept so the API can hand it back as the
+                # feedback handle (reference api.py:283-285 returns it as
+                # query_id in every search response)
+                self.last_query_id = self.query_memory.log_query(
                     query, sw, lw,
                     top_score=row[0][0] if row else None,
                     n_results=len(row), latency_ms=latency_ms,
@@ -626,9 +638,31 @@ class Searcher:
 
     # -- feedback --------------------------------------------------------------------
 
-    def log_feedback(self, query: str, doc_id: int, rating: int) -> None:
+    def log_feedback(self, query: str, doc_id: int, rating: int,
+                     query_id: Optional[int] = None) -> None:
         if self.query_memory is not None:
-            self.query_memory.log_feedback(query, doc_id, rating)
+            self.query_memory.log_feedback(query, doc_id, rating,
+                                           query_id=query_id)
+
+    def record_feedback(self, query_id: int, doc_id: int,
+                        relevance_score: int = 0,
+                        clicked: bool = False) -> None:
+        """Reference-form feedback by query id (reference core.py:287-305,
+        api.py:304-320): the query text is resolved from the logged
+        history row. The reference's weight learner counts a row positive
+        when `relevance_score > 0 OR clicked` (core.py:71); our schema has
+        no clicked column, so a click with no rating maps to rating 1 —
+        the same positive set."""
+        if self.query_memory is None:
+            return
+        row = self.query_memory.store.get_query_by_id(query_id)
+        if row is None:
+            raise KeyError(f"query_id {query_id} not found")
+        rating = int(relevance_score)
+        if rating == 0 and clicked:
+            rating = 1
+        self.query_memory.log_feedback(row["query"], int(doc_id), rating,
+                                       query_id=int(query_id))
 
     def get_stats(self) -> dict:
         from hybridsearch_tpu.utils.tracing import GLOBAL_TIMER

@@ -103,13 +103,18 @@ class AutocompleteEngine:
         with self._lock:
             self.history.insert(query)
 
-    def record_selection(self, suggestion: str) -> None:
-        """Boost selected suggestions (reference autocomplete.py:299-319)."""
+    def record_selection(self, partial: str,
+                         selected: Optional[str] = None) -> None:
+        """Boost selected suggestions (reference autocomplete.py:299-319:
+        record_selection(partial, selected) boosts `selected`). The
+        one-argument form treats the argument as the selection."""
+        if selected is None:
+            selected = partial
         with self._lock:
-            self._selections[suggestion.lower()] = (
-                self._selections.get(suggestion.lower(), 0) + 1
+            self._selections[selected.lower()] = (
+                self._selections.get(selected.lower(), 0) + 1
             )
-            self.history.insert(suggestion, weight=2)
+            self.history.insert(selected, weight=2)
 
     def index_content(self, documents: List[str], min_len: int = 4) -> int:
         """Harvest document terms for content suggestions (reference
@@ -133,31 +138,31 @@ class AutocompleteEngine:
         prefix = prefix.strip().lower()
         if not prefix:
             return []
-        scored: Dict[str, Tuple[float, str]] = {}
+        scored: Dict[str, Tuple[float, str, int]] = {}
 
         for phrase, freq in self.history.search_prefix(prefix, limit * 2):
-            scored[phrase] = (1.0 + freq / 100.0, "history")
+            scored[phrase] = (1.0 + freq / 100.0, "history", int(freq))
 
         if len(prefix) >= 3:
             for phrase, freq, _d in self.history.fuzzy_search(
                 prefix, self.max_distance, limit
             ):
                 if phrase not in scored:
-                    scored[phrase] = (0.7 + freq / 200.0, "fuzzy")
+                    scored[phrase] = (0.7 + freq / 200.0, "fuzzy", int(freq))
 
         for term, freq in self.content_terms.search_prefix(prefix, limit):
             if term not in scored:
-                scored[term] = (0.5, "content")
+                scored[term] = (0.5, "content", int(freq))
 
         for phrase, boost in self._selections.items():
             if phrase in scored:
-                s, src = scored[phrase]
-                scored[phrase] = (s + boost / 50.0, src)
+                s, src, fr = scored[phrase]
+                scored[phrase] = (s + boost / 50.0, src, fr)
 
         ranked = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[:limit]
         latency_ms = (time.perf_counter() - t0) * 1e3
         return [
             {"suggestion": p, "score": round(s, 4), "source": src,
-             "latency_ms": round(latency_ms, 3)}
-            for p, (s, src) in ranked
+             "frequency": fr, "latency_ms": round(latency_ms, 3)}
+            for p, (s, src, fr) in ranked
         ]

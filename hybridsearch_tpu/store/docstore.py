@@ -267,6 +267,17 @@ class DocStore:
             self._conn.commit()
             return int(cur.lastrowid)
 
+    def get_query_by_id(self, query_id: int) -> Optional[Dict[str, Any]]:
+        """Look up one query_history row by its id (the reference's
+        /feedback takes a query_id from the search response,
+        reference api.py:48-53, 304-320)."""
+        with self._lock:
+            row = self._conn.execute(
+                "SELECT query_id, query, semantic_weight, lexical_weight "
+                "FROM query_history WHERE query_id = ?", (int(query_id),)
+            ).fetchone()
+        return dict(row) if row is not None else None
+
     def optimal_weights(self, min_samples: int = 10) -> Optional[Tuple[float, float]]:
         """Average weights over positively-rated queries once >= min_samples
         exist (reference core.py:55-78 requires >= 10 positive rows)."""

@@ -384,3 +384,91 @@ def test_index_accepts_reference_document_objects():
                                   {"documents": [123]})
     assert code == 400
     st.close()
+
+
+def test_search_response_reference_fields_and_feedback_by_query_id(demo_docs):
+    """Reference parity: every /search response carries query_id and
+    weights_used (api.py:283-296); /feedback accepts the FeedbackRequest
+    form {query_id, doc_id, relevance_score, clicked} (api.py:48-53);
+    learned weights apply only on use_learned_weights=True
+    (core.py:225-230)."""
+    st = EngineState(encoder=HashingEncoder(dim=64), use_semantic_cache=False)
+    r = build_router(st)
+    r.dispatch("POST", "/index", {"documents": demo_docs})
+    code, res, _ = r.dispatch("POST", "/search",
+                              {"query": "machine learning", "top_k": 3,
+                               "semantic_weight": 0.6,
+                               "lexical_weight": 0.4})
+    assert code == 200
+    assert isinstance(res["query_id"], int)
+    assert res["weights_used"] == {"semantic": 0.6, "lexical": 0.4,
+                                   "learned": False}
+
+    code, payload, _ = r.dispatch("POST", "/feedback",
+                                  {"query_id": res["query_id"],
+                                   "doc_id": res["results"][0]["doc_id"],
+                                   "relevance_score": 4, "clicked": True})
+    assert code == 200 and payload["status"] == "success"
+    code, _, _ = r.dispatch("POST", "/feedback",
+                            {"query_id": 10**9, "doc_id": 0,
+                             "relevance_score": 1})
+    assert code == 404
+
+    # a click with no rating is a positive row for the weight learner
+    for _ in range(9):
+        code, res, _ = r.dispatch("POST", "/search",
+                                  {"query": "machine learning", "top_k": 1,
+                                   "semantic_weight": 0.6,
+                                   "lexical_weight": 0.4})
+        r.dispatch("POST", "/feedback",
+                   {"query_id": res["query_id"],
+                    "doc_id": res["results"][0]["doc_id"], "clicked": True})
+    learned = st.searcher.query_memory.get_optimal_weights()
+    assert learned is not None
+    # defaults stay 0.7/0.3 without the opt-in; learned applies with it
+    assert st.searcher.resolve_weights(None, None) == (0.7, 0.3)
+    sw, lw = st.searcher.resolve_weights(None, None,
+                                         use_learned_weights=True)
+    assert abs(sw - 0.6) < 1e-6 and abs(lw - 0.4) < 1e-6
+    code, res, _ = r.dispatch("POST", "/search",
+                              {"query": "machine learning", "top_k": 1,
+                               "use_learned_weights": True})
+    assert res["weights_used"]["learned"] is True
+    assert abs(res["weights_used"]["semantic"] - 0.6) < 1e-6
+    st.close()
+
+
+def test_rerank_by_doc_ids_and_autocomplete_post(demo_docs):
+    """Reference parity: /rerank takes doc_ids resolved from the store
+    (api.py:521-538, 404 when none match); POST /autocomplete returns a
+    bare list of {text, score, source, frequency} (api.py:567-596);
+    /autocomplete/record takes partial_query+selected query params
+    (api.py:598-609)."""
+    st = EngineState(encoder=HashingEncoder(dim=64), use_semantic_cache=False)
+    r = build_router(st)
+    r.dispatch("POST", "/index", {"documents": demo_docs})
+    code, payload, _ = r.dispatch("POST", "/rerank",
+                                  {"query": "machine learning",
+                                   "doc_ids": [0, 1, 2], "top_k": 2})
+    assert code == 200 and len(payload["results"]) == 2
+    assert {row["doc_id"] for row in payload["results"]} <= {0, 1, 2}
+    code, _, _ = r.dispatch("POST", "/rerank",
+                            {"query": "x", "doc_ids": [99999]})
+    assert code == 404
+    # reference form: query params only (repeated doc_ids arrive as a list)
+    code, payload, _ = r.dispatch("POST", "/rerank", {},
+                                  query={"query": "machine learning",
+                                         "doc_ids": ["0", "1"],
+                                         "top_k": "1"})
+    assert code == 200 and len(payload["results"]) == 1
+
+    r.dispatch("POST", "/search", {"query": "machine learning", "top_k": 1})
+    code, payload, _ = r.dispatch("POST", "/autocomplete",
+                                  {"partial_query": "mach", "limit": 5})
+    assert code == 200 and isinstance(payload, list) and payload
+    assert set(payload[0]) == {"text", "score", "source", "frequency"}
+    code, _, _ = r.dispatch("POST", "/autocomplete/record", {},
+                            query={"partial_query": "mach",
+                                   "selected": "machine learning"})
+    assert code == 200
+    st.close()
