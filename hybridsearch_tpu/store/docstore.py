@@ -297,19 +297,29 @@ class DocStore:
     def query_stats(self) -> Dict[str, Any]:
         """Aggregate stats (reference core.py:80-109, api.py:323-338)."""
         with self._lock:
-            total = self._conn.execute(
-                "SELECT COUNT(*) c FROM query_history"
-            ).fetchone()["c"]
+            qh = self._conn.execute(
+                "SELECT COUNT(*) c, COUNT(DISTINCT query) u, "
+                "AVG(semantic_weight) avg_sw FROM query_history"
+            ).fetchone()
             fb = self._conn.execute(
-                "SELECT COUNT(*) c, AVG(rating) avg_r FROM feedback"
+                "SELECT COUNT(*) c, AVG(rating) avg_r, "
+                "SUM(CASE WHEN rating > 0 THEN 1 ELSE 0 END) pos "
+                "FROM feedback"
             ).fetchone()
             top = self._conn.execute(
                 "SELECT query, COUNT(*) c FROM query_history "
                 "GROUP BY query ORDER BY c DESC LIMIT 10"
             ).fetchall()
         return {
-            "total_queries": int(total),
+            "total_queries": int(qh["c"]),
+            "unique_queries": int(qh["u"]),
+            "avg_semantic_weight": (
+                float(qh["avg_sw"]) if qh["avg_sw"] is not None else None),
             "total_feedback": int(fb["c"]),
+            # our schema folds clicks into rating>0 (see
+            # Searcher.record_feedback), so positives stand in for the
+            # reference's clicked count
+            "total_clicks": int(fb["pos"] or 0),
             "avg_relevance": float(fb["avg_r"]) if fb["avg_r"] is not None else None,
             "top_queries": [(r["query"], r["c"]) for r in top],
         }

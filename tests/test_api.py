@@ -275,9 +275,19 @@ def test_cli_index_search_stats(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "machine learning" in out
 
+    # reference cli.py:106-126: readable block by default, JSON on --json
     assert main(["--db", db, "stats"]) == 0
     out = capsys.readouterr().out
+    assert "Documents indexed: 2" in out and '"total_documents"' not in out
+    assert main(["--db", db, "stats", "--json"]) == 0
+    out = capsys.readouterr().out
     assert '"total_documents": 2' in out
+
+    # reference flag spellings: -k/-w/--json/--learned (cli.py:186-193)
+    assert main(["--db", db, "search", "machine learning", "-k", "1",
+                 "-w", "0.8", "--json", "--learned"]) == 0
+    rows = json.loads(capsys.readouterr().out)
+    assert rows and set(rows[0]) == {"score", "content", "doc_id"}
 
 
 def test_cli_export_import(tmp_path, capsys):
