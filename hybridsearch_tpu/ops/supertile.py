@@ -426,7 +426,8 @@ def _place_windows_fused(sup_pos, ids_rows, ws_rows, term_ids, sup_s, sd,
     base = (sup_s * sd).astype(jnp.int32).reshape(B * S)
     lex4 = pallas_place_fused(lo_f, hi_f, base, ids_rows, ws_rows,
                               wcaps=tuple(wcaps),
-                              super_tiles=super_tiles, tile=TILE)
+                              super_tiles=super_tiles, tile=TILE,
+                              interpret=_interpret_kernels())
     return lex4.reshape(B, S, super_tiles, TILE), ovf
 
 
@@ -489,7 +490,7 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
 
         return pallas_place_windows(
             l_cat.reshape(B * S, TEp), w_cat.reshape(B * S, TEp),
-            super_tiles, TILE, ech=ech,
+            super_tiles, TILE, ech=ech, interpret=_interpret_kernels(),
         ).reshape(B, S, super_tiles, TILE)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)
@@ -515,6 +516,21 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
     return lex4
 
 
+def _interpret_kernels() -> bool:
+    """HST_SUPER_INTERPRET=1 runs every Pallas kernel in the serve path
+    in interpret mode so the FULL gated composition (placement + scores
+    + dedup) executes end-to-end on CPU — integration coverage for the
+    exact program the hardware A/B flips on (hw_session phase 12),
+    without burning a tunnel window on wiring bugs."""
+    import os
+
+    return os.environ.get("HST_SUPER_INTERPRET", "0") == "1"
+
+
+def _kernel_backend_ok() -> bool:
+    return jax.default_backend() == "tpu" or _interpret_kernels()
+
+
 def _use_fused_place() -> bool:
     """Gather-fused Pallas placement (HST_PLACE_FUSED=1 to enable, TPU
     only): DMAs CSR windows straight from HBM inside the placement
@@ -523,7 +539,7 @@ def _use_fused_place() -> bool:
     (benchmarks/hw_session.py phase 12)."""
     import os
 
-    return (jax.default_backend() == "tpu"
+    return (_kernel_backend_ok()
             and os.environ.get("HST_PLACE_FUSED", "0") == "1")
 
 
@@ -535,7 +551,7 @@ def _use_scores_dedup() -> bool:
     Off by default until the hardware A/B lands (hw_session phase 12)."""
     import os
 
-    return (jax.default_backend() == "tpu"
+    return (_kernel_backend_ok()
             and os.environ.get("HST_SCORES_DEDUP", "0") == "1")
 
 
@@ -547,7 +563,7 @@ def _use_pallas_place() -> bool:
     interpret-mode tests."""
     import os
 
-    return (jax.default_backend() == "tpu"
+    return (_kernel_backend_ok()
             and os.environ.get("HST_PALLAS_SUPER", "1") != "0")
 
 
@@ -673,10 +689,12 @@ def _hybrid_super_impl(
         if _use_scores_dedup() and (B * S) % 8 == 0:
             tid, qid, rep, inv = dedup_pairs(sup_s)
             out_sorted = pallas_super_scores_dedup(
-                jnp.take(q3, qid, axis=0), docs, tid, rep, sd, ch=CH)
+                jnp.take(q3, qid, axis=0), docs, tid, rep, sd, ch=CH,
+                interpret=_interpret_kernels())
             s_res = jnp.take(out_sorted, inv, axis=0).reshape(B, R)
         else:
-            s_res = pallas_super_scores(q3, docs, sup_s, sd, ch=CH)
+            s_res = pallas_super_scores(q3, docs, sup_s, sd, ch=CH,
+                                        interpret=_interpret_kernels())
         gidx = (sup_s[:, :, None] * sd
                 + jax.lax.broadcasted_iota(jnp.int32, (1, 1, sd), 2)
                 ).reshape(B, R)

@@ -591,3 +591,47 @@ def test_return_probes_surface(rng):
     assert (np.diff(probes, axis=1) >= 0).all()  # sorted ascending
     np.testing.assert_array_equal(np.asarray(res1.indices),
                                   np.asarray(res2.indices))
+
+
+def test_searcher_supertile_gated_levers_interpret_integration(monkeypatch,
+                                                               rng):
+    """The EXACT gated composition the hardware A/B flips on
+    (HST_PLACE_FUSED + HST_SCORES_DEDUP, hw_session phase 12) runs
+    end-to-end through the searcher with every Pallas kernel in
+    interpret mode (HST_SUPER_INTERPRET=1) and matches the full fused
+    path — integration coverage so a tunnel window never burns on a
+    wiring bug."""
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(300)]
+    topics = [" ".join(f"z{z}t{j}" for j in range(6)) for z in range(12)]
+    texts = [f"{topics[i % 12]} " +
+             " ".join(rng.choice(vocab, size=6)) for i in range(17000)]
+    # 8 queries: B*S divisible by 8 for the dedup grouping; topic
+    # overlap forces duplicated probes across the batch
+    queries = [f"z{z}t1 z{z}t3 {vocab[z]}" for z in (2, 2, 5, 5)] + \
+              [f"z{z}t0 {vocab[10 + z]}" for z in (7, 7, 9, 11)]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    cfg.index.dim = 128  # the Pallas gate needs Dm % 128 == 0
+    s = Searcher(encoder=HashingEncoder(dim=128), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    # capacity (snap rows) is a 4096 multiple -> N % 1024 == 0 holds
+    assert s.indexer.dense._snap.docs.shape[0] % 1024 == 0
+    full = s.search_batch(queries, top_k=5, log=False)
+
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    monkeypatch.setenv("HST_TILE_HYBRID", "0")
+    monkeypatch.setenv("HST_SUPER_INTERPRET", "1")
+    monkeypatch.setenv("HST_PLACE_FUSED", "1")
+    monkeypatch.setenv("HST_SCORES_DEDUP", "1")
+    sup = s.search_batch(queries, top_k=5, log=False)
+    for a, b in zip(full, sup):
+        assert [i for _v, _c, i in a] == [i for _v, _c, i in b]
+        np.testing.assert_allclose([v for v, _c, _i in a],
+                                   [v for v, _c, _i in b],
+                                   rtol=1e-4, atol=1e-5)
