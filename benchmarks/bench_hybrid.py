@@ -255,7 +255,9 @@ def synth_queries(
     return out
 
 
-def run(n_docs: int, batch: int, iters: int) -> dict:
+def run(n_docs: int, batch: int, iters: int,
+        ab_variants: dict | None = None,
+        deadline: float | None = None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -434,18 +436,61 @@ def run(n_docs: int, batch: int, iters: int) -> dict:
     # block_until_ready alone resolved without execution, 2026-08-17)
     # while keeping the loop async-pipelined (one host fetch per loop)
     _acc = jax.jit(lambda a, v: a + jnp.sum(v))
-    qps_loops = []
-    for loop in range(2):
-        acc = jnp.float32(0)
-        t0 = time.perf_counter()
-        for i in range(iters):
-            res = serve_once(jnp.roll(q, loop * iters + i + 1, axis=0))
-            acc = _acc(acc, res.values)
-        float(acc)
-        dt = time.perf_counter() - t0
-        qps_loops.append(batch * iters / dt)
+
+    def _measure_loops(tag: int) -> list:
+        out = []
+        for loop in range(2):
+            acc = jnp.float32(0)
+            t0l = time.perf_counter()
+            for i in range(iters):
+                res_l = serve_once(
+                    jnp.roll(q, tag * 100 + loop * iters + i + 1, axis=0))
+                acc = _acc(acc, res_l.values)
+            float(acc)
+            dt = time.perf_counter() - t0l
+            out.append(batch * iters / dt)
+        return out
+
+    qps_loops = _measure_loops(0)
     qps = qps_loops[-1]
+
+    # optional in-session A/B of the gated serving variants: reuses the
+    # corpus + super structures already on device, flips the env gates,
+    # drops the impl cache so the gates re-trace, re-warms, re-measures.
+    # Used by bench.py's autonomous rider (and hw_session phase 12 runs
+    # the same grid across processes).
+    variants: dict = {}
+    if superhyb and ab_variants:
+        from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
+
+        for vi, (name, env) in enumerate(ab_variants.items(), start=1):
+            if deadline is not None and time.time() > deadline:
+                variants[name] = {"skipped": "deadline"}
+                continue
+            try:
+                for k_, v_ in env.items():
+                    os.environ[k_] = v_
+                _hybrid_super_impl.clear_cache()
+                wv = serve_warm(q)
+                jax.block_until_ready(wv.values)
+                rv = serve_once(q)
+                jax.block_until_ready(rv.values)
+                v_exact = np.asarray(jax.device_get(rv.exact))
+                v_loops = _measure_loops(vi)
+                variants[name] = {
+                    "qps": round(v_loops[-1], 2),
+                    "qps_loop1": round(v_loops[0], 2),
+                    "exact_pct": round(100.0 * float(v_exact.mean()), 2),
+                }
+            except BaseException as e:  # noqa: BLE001 — alarm/Mosaic fail
+                variants[name] = {"error": f"{type(e).__name__}: {e}"}
+            finally:
+                for k_ in env:
+                    os.environ.pop(k_, None)
+        _hybrid_super_impl.clear_cache()
+
     return {
+        **({"variants": variants} if variants else {}),
         "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
                    + ("_super" if superhyb else "")
                    + ("_tile" if tilehyb and not superhyb else "")

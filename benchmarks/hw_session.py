@@ -24,6 +24,10 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/hst_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin wins over the env var; force via config (must
+    # run before backend init — same fix as run_configs.py)
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 import numpy as np
@@ -577,7 +581,13 @@ def main():
         # here would hold the single-client tunnel and starve them
         backend = jax.default_backend()
         print(f"# backend={backend}", flush=True)
-        assert backend == "tpu", "tunnel not available — aborting session"
+        # HST_HW_ALLOW_CPU=1: CPU dry-run of a phase's control flow at
+        # small HST_BENCH_N (with HST_SUPER_INTERPRET=1 the gated Pallas
+        # variants execute too) — insurance that a recovery window never
+        # burns on a phase-level wiring bug
+        assert backend == "tpu" or os.environ.get(
+            "HST_HW_ALLOW_CPU") == "1", (
+            "tunnel not available — aborting session")
     for p in want:
         t0 = time.time()
         try:
