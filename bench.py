@@ -38,6 +38,8 @@ TARGET_QPS = 10_000.0
 
 
 DTYPE = os.environ.get("HST_BENCH_DTYPE", "bfloat16")
+LAST_GOOD_PATH = os.environ.get(
+    "HST_BENCH_LAST_GOOD", "/tmp/hst_bench_last_good.json")
 _T_START = time.time()  # child process start, for the A/B budget check
 
 
@@ -196,7 +198,7 @@ def _emit_fallback() -> None:
                 "last_good_run is from earlier this round",
     }
     try:
-        with open("/tmp/hst_bench_last_good.json") as f:
+        with open(LAST_GOOD_PATH) as f:
             line["last_good_run"] = json.load(f)
     except OSError:
         pass
@@ -265,7 +267,7 @@ def main() -> None:
             print(f"# hybrid bench failed: {type(e).__name__}: {e}",
                   file=sys.stderr)
             try:
-                with open("/tmp/hst_bench_last_good.json") as f:
+                with open(LAST_GOOD_PATH) as f:
                     prior = json.load(f)
                 if prior.get("hybrid_qps"):
                     hybrid = {
@@ -357,7 +359,7 @@ def main() -> None:
         # honestly but attach the most recent successful run so a wedged
         # tunnel at measurement time doesn't erase the round's numbers.
         try:
-            with open("/tmp/hst_bench_last_good.json") as f:
+            with open(LAST_GOOD_PATH) as f:
                 line["last_good_run"] = json.load(f)
                 line["note"] = ("device tunnel unavailable at bench time; "
                                 "last_good_run is from earlier this round")
@@ -373,7 +375,7 @@ def _persist_last_good(line: dict, qps: float, used_n: int, backend: str,
     entry that still carries the hybrid figure."""
     if qps <= 0:
         return
-    last_good = "/tmp/hst_bench_last_good.json"
+    last_good = LAST_GOOD_PATH
     try:
         prior = {}
         try:

@@ -1,0 +1,108 @@
+"""Host-side logic of the driver benchmark (bench.py).
+
+The JSON line bench.py prints is the round's headline artifact; these
+tests pin the fallback rules that protect it:
+
+- `_persist_last_good` never DOWNGRADES the record: a CPU run, a
+  degraded-tunnel small-corpus run, or a run that lost the hybrid
+  figure must not clobber a full-scale entry that still carries it.
+- `_emit_fallback` attaches the last good run when one exists.
+"""
+
+import importlib
+import json
+import sys
+
+import pytest
+
+
+@pytest.fixture()
+def bench(tmp_path, monkeypatch):
+    monkeypatch.setenv("HST_BENCH_LAST_GOOD", str(tmp_path / "last_good.json"))
+    sys.modules.pop("bench", None)
+    mod = importlib.import_module("bench")
+    yield mod
+    sys.modules.pop("bench", None)
+
+
+def _read(mod):
+    with open(mod.LAST_GOOD_PATH) as f:
+        return json.load(f)
+
+
+def _write(mod, record):
+    with open(mod.LAST_GOOD_PATH, "w") as f:
+        json.dump(record, f)
+
+
+FULL = {
+    "metric": "dense_topk_qps@10000000docs",
+    "value": 18000.0,
+    "hybrid_qps": 1500.0,
+    "hybrid_docs": 10_000_000,
+}
+
+
+def test_persist_writes_first_record(bench):
+    line = dict(FULL)
+    bench._persist_last_good(
+        line, qps=18000.0, used_n=10_000_000, backend="tpu",
+        hybrid={"hybrid_qps": 1500.0})
+    assert _read(bench)["hybrid_qps"] == 1500.0
+
+
+def test_cpu_run_never_persists(bench):
+    _write(bench, FULL)
+    bench._persist_last_good(
+        {"value": 900.0}, qps=900.0, used_n=200_000, backend="cpu",
+        hybrid={})
+    assert _read(bench) == FULL
+
+
+def test_small_corpus_fallback_does_not_clobber_full_scale(bench):
+    _write(bench, FULL)
+    bench._persist_last_good(
+        {"value": 30000.0, "hybrid_qps": 2000.0, "hybrid_docs": 1_000_000},
+        qps=30000.0, used_n=1_000_000, backend="tpu",
+        hybrid={"hybrid_qps": 2000.0})
+    assert _read(bench) == FULL
+
+
+def test_run_without_hybrid_does_not_clobber_hybrid_record(bench):
+    _write(bench, FULL)
+    bench._persist_last_good(
+        {"value": 20000.0}, qps=20000.0, used_n=10_000_000, backend="tpu",
+        hybrid={})
+    assert _read(bench) == FULL
+
+
+def test_full_scale_run_with_hybrid_upgrades(bench):
+    _write(bench, FULL)
+    newer = {"metric": "dense_topk_qps@10000000docs", "value": 19000.0,
+             "hybrid_qps": 5200.0, "hybrid_docs": 10_000_000}
+    bench._persist_last_good(
+        newer, qps=19000.0, used_n=10_000_000, backend="tpu",
+        hybrid={"hybrid_qps": 5200.0})
+    assert _read(bench) == newer
+
+
+def test_failed_run_never_persists(bench):
+    _write(bench, FULL)
+    bench._persist_last_good(
+        {"value": 0.0}, qps=0.0, used_n=0, backend="tpu", hybrid={})
+    assert _read(bench) == FULL
+
+
+def test_emit_fallback_attaches_last_good(bench, capsys):
+    _write(bench, FULL)
+    bench._emit_fallback()
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["metric"] == "bench_unavailable"
+    assert line["last_good_run"] == FULL
+
+
+def test_emit_fallback_without_record(bench, capsys):
+    bench._emit_fallback()
+    line = json.loads(capsys.readouterr().out.strip())
+    assert line["metric"] == "bench_unavailable"
+    assert "last_good_run" not in line
