@@ -252,9 +252,26 @@ def main() -> None:
             # phase 10, 2026-08-17)
             os.environ.setdefault("HST_BENCH_SUPERHYB", "1")
             os.environ.setdefault("HST_BENCH_SP", "4")
+            # serve the phase-12 A/B winner when one was promoted (the
+            # hardware queue may complete with nobody around to flip
+            # defaults); provenance lands in the output line.
+            hbatch, promoted = 256, None
+            if os.environ.get("HST_BENCH_SERVING_BEST", "1") != "0":
+                try:
+                    with open(os.environ.get(
+                            "HST_SERVING_BEST",
+                            "/tmp/hst_serving_best.json")) as f:
+                        sb = json.load(f)
+                    if sb.get("n_docs") == n_docs and sb.get("env") is not None:
+                        for k_, v_ in sb["env"].items():
+                            os.environ[k_] = str(v_)
+                        hbatch = int(sb.get("batch", 256))
+                        promoted = sb
+                except (OSError, ValueError):
+                    pass
             from benchmarks.bench_hybrid import run as run_hybrid
 
-            hres = run_hybrid(n_docs, batch=256, iters=6)
+            hres = run_hybrid(n_docs, batch=hbatch, iters=6)
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],
@@ -262,6 +279,10 @@ def main() -> None:
                 "hybrid_exact_pct": hres.get("exact_pct"),
                 "hybrid_qps_loop1": hres.get("qps_loop1"),
             }
+            if promoted is not None:
+                hybrid["hybrid_variant"] = promoted.get("variant")
+                hybrid["hybrid_batch"] = hbatch
+                hybrid["hybrid_promoted_from"] = promoted.get("source")
         except BaseException as e:
             signal.alarm(0)
             print(f"# hybrid bench failed: {type(e).__name__}: {e}",
@@ -315,6 +336,7 @@ def main() -> None:
     # parent's SIGKILL fallback then replays the persisted record).
     if (hybrid.get("hybrid_qps") and backend == "tpu"
             and n_docs >= 1_000_000 and qps > 0
+            and not hybrid.get("hybrid_variant")
             and os.environ.get("HST_BENCH_AB", "1") != "0"):
         budget = int(os.environ.get("HST_BENCH_DEADLINE_S", "1100"))
         remaining = budget - (time.time() - _T_START) - 90

@@ -516,15 +516,17 @@ def phase_super_ab():
                 ("dedup", {"HST_SCORES_DEDUP": "1"}),
                 ("both", {"HST_PLACE_FUSED": "1",
                           "HST_SCORES_DEDUP": "1"}))
+    rows = []
     for batch in (256, 512):
         for name, env in variants:
             for k_, v in env.items():
                 os.environ[k_] = v
             _hybrid_super_impl.clear_cache()
             try:
-                print(json.dumps({"variant": name, "batch": batch,
-                                  **bh.run(n, batch=batch, iters=6)}),
-                      flush=True)
+                row = {"variant": name, "batch": batch,
+                       "env": dict(env), **bh.run(n, batch=batch, iters=6)}
+                rows.append(row)
+                print(json.dumps(row), flush=True)
             except Exception as e:
                 # a Mosaic lowering failure on one gated variant must
                 # not kill the rest of the A/B grid
@@ -534,6 +536,35 @@ def phase_super_ab():
                 for k_ in env:
                     os.environ.pop(k_, None)
     _hybrid_super_impl.clear_cache()
+    _promote_best_serving(rows, n)
+
+
+def _promote_best_serving(rows, n_docs):
+    """Persist the A/B winner so bench.py serves the promoted variant in
+    the driver window even with nobody around to flip defaults. Quality
+    gate: a candidate may not lose more than 0.5pp of certified-exact
+    share vs the measured base rows."""
+    scored = [r for r in rows if r.get("value")]
+    if not scored:
+        return
+    base_exact = max((r.get("exact_pct") or 0.0) for r in scored
+                     if r["variant"] == "base") if any(
+        r["variant"] == "base" for r in scored) else 0.0
+    ok = [r for r in scored
+          if (r.get("exact_pct") or 0.0) >= base_exact - 0.5]
+    if not ok:
+        return
+    best = max(ok, key=lambda r: r["value"])
+    record = {"variant": best["variant"], "batch": best["batch"],
+              "env": best["env"], "qps": best["value"],
+              "exact_pct": best.get("exact_pct"), "n_docs": n_docs,
+              "source": "hw_session phase 12",
+              "stamp": time.strftime("%Y-%m-%d %H:%M:%S")}
+    path = os.environ.get("HST_SERVING_BEST",
+                          "/tmp/hst_serving_best.json")
+    with open(path, "w") as f:
+        json.dump(record, f)
+    print(json.dumps({"promoted": record}), flush=True)
 
 
 def phase_configs():

@@ -16,6 +16,8 @@ harvest() {
   [ -f /tmp/hw_r4.log ] && cp /tmp/hw_r4.log docs/HW_R4_LOG.txt
   [ -f /tmp/hst_bench_last_good.json ] && \
     cp /tmp/hst_bench_last_good.json benchmarks/results/last_good_r4.json
+  [ -f /tmp/hst_serving_best.json ] && \
+    cp /tmp/hst_serving_best.json benchmarks/results/serving_best_r4.json
   [ -f /tmp/tunnel_status.txt ] && \
     tail -50 /tmp/tunnel_status.txt > benchmarks/results/tunnel_status_tail.txt
 }
