@@ -161,7 +161,11 @@ def _supervised_main() -> None:
                 env=dict(os.environ), capture_output=True, text=True,
                 timeout=probe_s, cwd="/tmp",
             )
-            ok = any(ln.startswith("PROBE_OK") for ln
+            # require the TPU backend by name: a wedged tunnel can
+            # silently fall back to CPU (docs/KERNELS.md), and a CPU
+            # child would print a small-corpus line that displaces the
+            # last-good chip record in the driver artifact
+            ok = any(ln.startswith("PROBE_OK tpu") for ln
                      in probe.stdout.splitlines())
         except subprocess.TimeoutExpired:
             ok = False
@@ -211,6 +215,13 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
     backend = jax.default_backend()
+    if backend == "cpu" and os.environ.get("JAX_PLATFORMS") != "cpu":
+        # unintended CPU: the tunnel fell back silently mid-init. Exit
+        # without a JSON line so the supervisor replays the last good
+        # chip record instead of a small-corpus CPU number.
+        print("# backend is cpu but JAX_PLATFORMS did not ask for it; "
+              "refusing to bench the fallback backend", file=sys.stderr)
+        sys.exit(3)
     if backend == "cpu":
         n_docs = min(n_docs, 200_000)
     iters = 8 if backend != "cpu" else 2
