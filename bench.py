@@ -365,6 +365,10 @@ def main() -> None:
                         "dedup": {"HST_SCORES_DEDUP": "1"},
                         "both": {"HST_PLACE_FUSED": "1",
                                  "HST_SCORES_DEDUP": "1"},
+                        "tpb64": {"HST_PALLAS_TPB": "64"},
+                        "both_tpb64": {"HST_PLACE_FUSED": "1",
+                                       "HST_SCORES_DEDUP": "1",
+                                       "HST_PALLAS_TPB": "64"},
                     },
                     deadline=time.time() + remaining - 60,
                 )

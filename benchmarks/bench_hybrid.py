@@ -461,7 +461,17 @@ def run(n_docs: int, batch: int, iters: int,
     # the same grid across processes).
     variants: dict = {}
     if superhyb and ab_variants:
+        from hybridsearch_tpu.ops.dense import dense_tile_stats
         from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
+
+        def _drop_impl_caches():
+            # BOTH jits: env gates are read at trace time, and
+            # dense_tile_stats (HST_PALLAS_TPB, HST_TILE_STATS_SUB) is
+            # its own jit nested inside _hybrid_super_impl — clearing
+            # only the outer cache would silently reuse the inner
+            # trace's stale block size
+            _hybrid_super_impl.clear_cache()
+            dense_tile_stats.clear_cache()
 
         for vi, (name, env) in enumerate(ab_variants.items(), start=1):
             if deadline is not None and time.time() > deadline:
@@ -470,7 +480,7 @@ def run(n_docs: int, batch: int, iters: int,
             try:
                 for k_, v_ in env.items():
                     os.environ[k_] = v_
-                _hybrid_super_impl.clear_cache()
+                _drop_impl_caches()
                 wv = serve_warm(q)
                 jax.block_until_ready(wv.values)
                 rv = serve_once(q)
@@ -487,7 +497,7 @@ def run(n_docs: int, batch: int, iters: int,
             finally:
                 for k_ in env:
                     os.environ.pop(k_, None)
-        _hybrid_super_impl.clear_cache()
+        _drop_impl_caches()
 
     return {
         **({"variants": variants} if variants else {}),

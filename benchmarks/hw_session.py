@@ -511,30 +511,45 @@ def phase_super_ab():
 
     n = int(os.environ.get("HST_BENCH_N", "10000000"))
     os.environ["HST_BENCH_SP"] = "4"
-    variants = (("base", {}),
-                ("fusedplace", {"HST_PLACE_FUSED": "1"}),
-                ("dedup", {"HST_SCORES_DEDUP": "1"}),
-                ("both", {"HST_PLACE_FUSED": "1",
-                          "HST_SCORES_DEDUP": "1"}))
+    # one run() per batch: the internal ab_variants loop reuses the
+    # corpus + super structures already on device (flip gates, drop the
+    # impl cache, re-warm, re-measure) — a fresh run() per variant paid
+    # the multi-minute 10M setup 8x. The saved setup buys the TPB
+    # (tiles/block of the pass-1 stats sweep) lever in the same grid.
+    ab = {"fusedplace": {"HST_PLACE_FUSED": "1"},
+          "dedup": {"HST_SCORES_DEDUP": "1"},
+          "both": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"},
+          "tpb64": {"HST_PALLAS_TPB": "64"},
+          "both_tpb64": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
+                         "HST_PALLAS_TPB": "64"}}
+    batches = tuple(int(b) for b in os.environ.get(
+        "HST_AB_BATCHES", "256,512").split(","))
+    ab_iters = int(os.environ.get("HST_AB_ITERS", "6"))
     rows = []
-    for batch in (256, 512):
-        for name, env in variants:
-            for k_, v in env.items():
-                os.environ[k_] = v
-            _hybrid_super_impl.clear_cache()
-            try:
-                row = {"variant": name, "batch": batch,
-                       "env": dict(env), **bh.run(n, batch=batch, iters=6)}
-                rows.append(row)
-                print(json.dumps(row), flush=True)
-            except Exception as e:
-                # a Mosaic lowering failure on one gated variant must
-                # not kill the rest of the A/B grid
-                print(f"# variant {name} b{batch} FAILED: "
-                      f"{type(e).__name__}: {e}", flush=True)
-            finally:
-                for k_ in env:
-                    os.environ.pop(k_, None)
+    for batch in batches:
+        _hybrid_super_impl.clear_cache()
+        try:
+            res = bh.run(n, batch=batch, iters=ab_iters,
+                         ab_variants=dict(ab))
+        except Exception as e:
+            # a wedge/Mosaic failure on one batch size must not kill
+            # the other
+            print(f"# b{batch} grid FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
+        base = {"variant": "base", "batch": batch, "env": {},
+                "value": res.get("value"),
+                "exact_pct": res.get("exact_pct")}
+        rows.append(base)
+        print(json.dumps({**base, "metric": res.get("metric")}),
+              flush=True)
+        for name, v in res.get("variants", {}).items():
+            row = {"variant": name, "batch": batch, "env": ab[name],
+                   "value": v.get("qps"), "exact_pct": v.get("exact_pct"),
+                   **({"error": v["error"]} if "error" in v else {}),
+                   **({"skipped": v["skipped"]} if "skipped" in v else {})}
+            rows.append(row)
+            print(json.dumps(row), flush=True)
     _hybrid_super_impl.clear_cache()
     _promote_best_serving(rows, n)
 
