@@ -522,8 +522,12 @@ def phase_super_ab():
           "tpb64": {"HST_PALLAS_TPB": "64"},
           "both_tpb64": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
                          "HST_PALLAS_TPB": "64"}}
+    # ascending batches, the speculative big-batch row LAST: the stats
+    # sweep's HBM term is batch-invariant, so if phase 11 shows it
+    # bandwidth-bound, qps keeps scaling with batch — and a late OOM or
+    # Mosaic failure can't cost the measured smaller-batch rows
     batches = tuple(int(b) for b in os.environ.get(
-        "HST_AB_BATCHES", "256,512").split(","))
+        "HST_AB_BATCHES", "256,512,1024").split(","))
     ab_iters = int(os.environ.get("HST_AB_ITERS", "6"))
     rows = []
     for batch in batches:
@@ -550,8 +554,10 @@ def phase_super_ab():
                    **({"skipped": v["skipped"]} if "skipped" in v else {})}
             rows.append(row)
             print(json.dumps(row), flush=True)
+        # promote incrementally (cumulative rows): a wedge or the phase
+        # timeout on a later batch must not lose the record
+        _promote_best_serving(rows, n)
     _hybrid_super_impl.clear_cache()
-    _promote_best_serving(rows, n)
 
 
 def _promote_best_serving(rows, n_docs):
