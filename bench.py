@@ -266,20 +266,7 @@ def main() -> None:
             # serve the phase-12 A/B winner when one was promoted (the
             # hardware queue may complete with nobody around to flip
             # defaults); provenance lands in the output line.
-            hbatch, promoted = 256, None
-            if os.environ.get("HST_BENCH_SERVING_BEST", "1") != "0":
-                try:
-                    with open(os.environ.get(
-                            "HST_SERVING_BEST",
-                            "/tmp/hst_serving_best.json")) as f:
-                        sb = json.load(f)
-                    if sb.get("n_docs") == n_docs and sb.get("env") is not None:
-                        for k_, v_ in sb["env"].items():
-                            os.environ[k_] = str(v_)
-                        hbatch = int(sb.get("batch", 256))
-                        promoted = sb
-                except (OSError, ValueError):
-                    pass
+            hbatch, promoted = _apply_promoted_serving(n_docs)
             from benchmarks.bench_hybrid import run as run_hybrid
 
             hres = run_hybrid(n_docs, batch=hbatch, iters=6)
@@ -403,6 +390,25 @@ def main() -> None:
         except OSError:
             pass
     print(json.dumps(line))
+
+
+def _apply_promoted_serving(n_docs: int) -> tuple:
+    """(hybrid batch, promotion record|None): apply the hardware queue's
+    phase-12 A/B winner (env gates + batch) when its record matches this
+    run's corpus scale. HST_BENCH_SERVING_BEST=0 opts out."""
+    if os.environ.get("HST_BENCH_SERVING_BEST", "1") == "0":
+        return 256, None
+    try:
+        with open(os.environ.get("HST_SERVING_BEST",
+                                 "/tmp/hst_serving_best.json")) as f:
+            sb = json.load(f)
+    except (OSError, ValueError):
+        return 256, None
+    if sb.get("n_docs") != n_docs or not isinstance(sb.get("env"), dict):
+        return 256, None
+    for k_, v_ in sb["env"].items():
+        os.environ[k_] = str(v_)
+    return int(sb.get("batch", 256)), sb
 
 
 def _persist_last_good(line: dict, qps: float, used_n: int, backend: str,

@@ -106,3 +106,28 @@ def test_emit_fallback_without_record(bench, capsys):
     line = json.loads(capsys.readouterr().out.strip())
     assert line["metric"] == "bench_unavailable"
     assert "last_good_run" not in line
+
+
+def test_apply_promoted_serving(bench, tmp_path, monkeypatch):
+    p = tmp_path / "serving_best.json"
+    monkeypatch.setenv("HST_SERVING_BEST", str(p))
+    # no record -> defaults
+    assert bench._apply_promoted_serving(10_000_000) == (256, None)
+    p.write_text(json.dumps({
+        "variant": "both", "batch": 512, "n_docs": 10_000_000,
+        "env": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"}}))
+    # scale mismatch -> defaults, env untouched
+    monkeypatch.delenv("HST_PLACE_FUSED", raising=False)
+    assert bench._apply_promoted_serving(1_000_000) == (256, None)
+    import os
+    assert "HST_PLACE_FUSED" not in os.environ
+    # match -> gates applied, batch returned, record handed back
+    hbatch, rec = bench._apply_promoted_serving(10_000_000)
+    assert hbatch == 512 and rec["variant"] == "both"
+    assert os.environ["HST_PLACE_FUSED"] == "1"
+    assert os.environ["HST_SCORES_DEDUP"] == "1"
+    monkeypatch.delenv("HST_PLACE_FUSED")
+    monkeypatch.delenv("HST_SCORES_DEDUP")
+    # explicit opt-out
+    monkeypatch.setenv("HST_BENCH_SERVING_BEST", "0")
+    assert bench._apply_promoted_serving(10_000_000) == (256, None)
