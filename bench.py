@@ -269,7 +269,14 @@ def main() -> None:
             hbatch, promoted = _apply_promoted_serving(n_docs)
             from benchmarks.bench_hybrid import run as run_hybrid
 
-            hres = run_hybrid(n_docs, batch=hbatch, iters=6)
+            try:
+                hres = run_hybrid(n_docs, batch=hbatch, iters=6)
+            finally:
+                # the promotion was selected on hybrid evidence only;
+                # don't let its gates leak into the dense phase below
+                if promoted is not None:
+                    for k_ in promoted.get("env", {}):
+                        os.environ.pop(k_, None)
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],

@@ -472,6 +472,8 @@ def run(n_docs: int, batch: int, iters: int,
             # trace's stale block size
             _hybrid_super_impl.clear_cache()
             dense_tile_stats.clear_cache()
+            from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
+            pallas_tile_stats_t.clear_cache()
 
         for vi, (name, env) in enumerate(ab_variants.items(), start=1):
             if deadline is not None and time.time() > deadline:

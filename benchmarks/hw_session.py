@@ -386,12 +386,23 @@ def phase_super_profile():
         except Exception as e:
             print(f"{label:14s} FAILED {type(e).__name__}: {e}", flush=True)
 
+    from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
+
+    def _fresh():
+        # the unique-block_n trick only busts dense_tile_stats' cache;
+        # pallas_tile_stats_t is its own nested jit and reads
+        # HST_TILE_STATS_SUB / HST_PALLAS_SEM at ITS trace time — without
+        # this, the sub/sem rows silently re-measure the stale kernel
+        dense_tile_stats.clear_cache()
+        pallas_tile_stats_t.clear_cache()
+
     jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
     _time("tile_stats", lambda qq: dense_tile_stats(qq, docs, None), q)
     # block-size sensitivity: the pass-1 kernel measured ~3.5x off its
     # bandwidth bound at B=256 with the default 32 tiles/block
     for tpb in (64, 128):
         os.environ["HST_PALLAS_TPB"] = str(tpb)
+        _fresh()
         _time(f"tile_stats{tpb}",
               lambda qq: dense_tile_stats(qq, docs, None,
                                           block_n=tpb * 128 * 64), q)
@@ -401,14 +412,32 @@ def phase_super_profile():
     q512 = jnp.concatenate([q, q[::-1]], axis=0)
     _time("tile_stats512", lambda qq: dense_tile_stats(qq, docs, None),
           q512)
+    # grid-dimension semantics: each step writes a disjoint output block,
+    # so "parallel" is valid — lets Mosaic overlap step bookkeeping it
+    # must serialize under the default "arbitrary" (the 2441-step grid
+    # at tpb=32 makes per-step overhead the prime suspect for the
+    # 110 ms vs ~10 ms roofline gap)
+    os.environ["HST_PALLAS_SEM"] = "parallel"
+    _fresh()
+    _time("tile_stats_par",
+          lambda qq: dense_tile_stats(qq, docs, None, block_n=262147), q)
+    os.environ["HST_PALLAS_TPB"] = "128"
+    _fresh()
+    _time("tile_stats_par128",
+          lambda qq: dense_tile_stats(qq, docs, None, block_n=262148), q)
+    os.environ.pop("HST_PALLAS_TPB", None)
+    os.environ.pop("HST_PALLAS_SEM", None)
+    _fresh()
     # sub-chunked kernel body (VMEM headroom for double buffering)
     os.environ["HST_TILE_STATS_SUB"] = "1"
+    _fresh()
     _time("tile_stats_sub",
           lambda qq: dense_tile_stats(qq, docs, None, block_n=262145), q)
     _time("tile_stats_sub512",
           lambda qq: dense_tile_stats(qq, docs, None, block_n=262146),
           q512)
     os.environ.pop("HST_TILE_STATS_SUB", None)
+    _fresh()
     rng = np.random.default_rng(0)
     sup2 = jnp.asarray(np.sort(
         rng.integers(0, sp.n_super, (B, 2)).astype(np.int32), axis=1))
