@@ -186,6 +186,8 @@ def _supervised_main() -> None:
                 return
         print(f"# bench child rc={out.returncode}, no JSON line",
               file=sys.stderr)
+        for ln in out.stderr.splitlines()[-8:]:
+            print(f"# child stderr: {ln}", file=sys.stderr)
     except subprocess.TimeoutExpired:
         print(f"# bench child exceeded {budget}s (wedged tunnel?); killed",
               file=sys.stderr)
@@ -215,12 +217,17 @@ def main() -> None:
         jax.config.update("jax_platforms", "cpu")
     n_docs = int(os.environ.get("HST_BENCH_N", "10000000"))
     backend = jax.default_backend()
-    if backend == "cpu" and os.environ.get("JAX_PLATFORMS") != "cpu":
-        # unintended CPU: the tunnel fell back silently mid-init. Exit
-        # without a JSON line so the supervisor replays the last good
-        # chip record instead of a small-corpus CPU number.
-        print("# backend is cpu but JAX_PLATFORMS did not ask for it; "
-              "refusing to bench the fallback backend", file=sys.stderr)
+    if backend == "cpu" and os.environ.get("JAX_PLATFORMS") not in (
+            None, "", "cpu"):
+        # a non-cpu platform was requested (e.g. the tunnel plugin) but
+        # init silently fell back to CPU mid-wedge. Exit without a JSON
+        # line so the supervisor replays the last good chip record
+        # instead of a small-corpus CPU number. A host with no plugin at
+        # all (JAX_PLATFORMS unset) still gets the clamped CPU bench.
+        print("# JAX_PLATFORMS asked for "
+              f"{os.environ.get('JAX_PLATFORMS')!r} but the backend is "
+              "cpu; refusing to bench the fallback backend",
+              file=sys.stderr)
         sys.exit(3)
     if backend == "cpu":
         n_docs = min(n_docs, 200_000)
@@ -266,17 +273,20 @@ def main() -> None:
             # serve the phase-12 A/B winner when one was promoted (the
             # hardware queue may complete with nobody around to flip
             # defaults); provenance lands in the output line.
-            hbatch, promoted = _apply_promoted_serving(n_docs)
+            hbatch, promoted, prior_env = _apply_promoted_serving(n_docs)
             from benchmarks.bench_hybrid import run as run_hybrid
 
             try:
                 hres = run_hybrid(n_docs, batch=hbatch, iters=6)
             finally:
                 # the promotion was selected on hybrid evidence only;
-                # don't let its gates leak into the dense phase below
-                if promoted is not None:
-                    for k_ in promoted.get("env", {}):
+                # restore whatever the operator had exported (including
+                # unset) so its gates can't leak into the dense phase
+                for k_, v_ in prior_env.items():
+                    if v_ is None:
                         os.environ.pop(k_, None)
+                    else:
+                        os.environ[k_] = v_
             signal.alarm(0)
             hybrid = {
                 "hybrid_qps": hres["value"],
@@ -352,18 +362,11 @@ def main() -> None:
 
                 os.environ.setdefault("HST_BENCH_SUPERHYB", "1")
                 os.environ.setdefault("HST_BENCH_SP", "4")
+                from benchmarks.bench_hybrid import AB_VARIANTS
+
                 ab = run_hybrid_ab(
                     n_docs, batch=256, iters=6,
-                    ab_variants={
-                        "fusedplace": {"HST_PLACE_FUSED": "1"},
-                        "dedup": {"HST_SCORES_DEDUP": "1"},
-                        "both": {"HST_PLACE_FUSED": "1",
-                                 "HST_SCORES_DEDUP": "1"},
-                        "tpb64": {"HST_PALLAS_TPB": "64"},
-                        "both_tpb64": {"HST_PLACE_FUSED": "1",
-                                       "HST_SCORES_DEDUP": "1",
-                                       "HST_PALLAS_TPB": "64"},
-                    },
+                    ab_variants=dict(AB_VARIANTS),
                     deadline=time.time() + remaining - 60,
                 )
                 signal.alarm(0)
@@ -400,22 +403,37 @@ def main() -> None:
 
 
 def _apply_promoted_serving(n_docs: int) -> tuple:
-    """(hybrid batch, promotion record|None): apply the hardware queue's
-    phase-12 A/B winner (env gates + batch) when its record matches this
-    run's corpus scale. HST_BENCH_SERVING_BEST=0 opts out."""
+    """(hybrid batch, promotion record|None, prior env snapshot): apply
+    the hardware queue's phase-12 A/B winner (env gates + batch) when its
+    record matches this run's corpus scale AND is fresh (stamped within
+    HST_SERVING_BEST_TTL_H hours, default 48 — a winner measured before a
+    kernel change must not be served forever; a stale record is ignored
+    and the in-bench A/B rider produces fresh evidence instead).
+    HST_BENCH_SERVING_BEST=0 opts out. The snapshot holds the PRIOR
+    value of every applied key (None = was unset) so the caller can
+    restore operator-exported settings instead of deleting them."""
     if os.environ.get("HST_BENCH_SERVING_BEST", "1") == "0":
-        return 256, None
+        return 256, None, {}
     try:
         with open(os.environ.get("HST_SERVING_BEST",
                                  "/tmp/hst_serving_best.json")) as f:
             sb = json.load(f)
     except (OSError, ValueError):
-        return 256, None
+        return 256, None, {}
     if sb.get("n_docs") != n_docs or not isinstance(sb.get("env"), dict):
-        return 256, None
+        return 256, None, {}
+    ttl_h = float(os.environ.get("HST_SERVING_BEST_TTL_H", "48"))
+    try:
+        age_s = time.time() - time.mktime(
+            time.strptime(sb["stamp"], "%Y-%m-%d %H:%M:%S"))
+    except (KeyError, ValueError):
+        return 256, None, {}
+    if not 0 <= age_s <= ttl_h * 3600:
+        return 256, None, {}
+    prior = {k_: os.environ.get(k_) for k_ in sb["env"]}
     for k_, v_ in sb["env"].items():
         os.environ[k_] = str(v_)
-    return int(sb.get("batch", 256)), sb
+    return int(sb.get("batch", 256)), sb, prior
 
 
 def _persist_last_good(line: dict, qps: float, used_n: int, backend: str,

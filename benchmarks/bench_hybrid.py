@@ -255,6 +255,37 @@ def synth_queries(
     return out
 
 
+# The gated serving-lever grid. ONE definition: hw_session phase 12's
+# promotion record env is replayed verbatim by bench.py's consumer, so a
+# lever added to only one of the two grids would silently diverge the
+# evidence between the driver rider and the hardware queue.
+AB_VARIANTS = {
+    "fusedplace": {"HST_PLACE_FUSED": "1"},
+    "dedup": {"HST_SCORES_DEDUP": "1"},
+    "both": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"},
+    "tpb64": {"HST_PALLAS_TPB": "64"},
+    "both_tpb64": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
+                   "HST_PALLAS_TPB": "64"},
+}
+
+
+def clear_serving_caches() -> None:
+    """Drop every jit cache on the supertile serving path whose trace
+    bakes in an env gate. The outer program AND its nested jits: the
+    gates (HST_PLACE_FUSED / HST_SCORES_DEDUP) are read when
+    _hybrid_super_impl traces, while HST_PALLAS_TPB / HST_TILE_STATS_SUB
+    / HST_PALLAS_SEM are read when dense_tile_stats /
+    pallas_tile_stats_t trace — clearing only the outer cache silently
+    reuses the inner kernel."""
+    from hybridsearch_tpu.ops.dense import dense_tile_stats
+    from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
+    from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
+
+    _hybrid_super_impl.clear_cache()
+    dense_tile_stats.clear_cache()
+    pallas_tile_stats_t.clear_cache()
+
+
 def run(n_docs: int, batch: int, iters: int,
         ab_variants: dict | None = None,
         deadline: float | None = None) -> dict:
@@ -461,19 +492,7 @@ def run(n_docs: int, batch: int, iters: int,
     # the same grid across processes).
     variants: dict = {}
     if superhyb and ab_variants:
-        from hybridsearch_tpu.ops.dense import dense_tile_stats
-        from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
-
-        def _drop_impl_caches():
-            # BOTH jits: env gates are read at trace time, and
-            # dense_tile_stats (HST_PALLAS_TPB, HST_TILE_STATS_SUB) is
-            # its own jit nested inside _hybrid_super_impl — clearing
-            # only the outer cache would silently reuse the inner
-            # trace's stale block size
-            _hybrid_super_impl.clear_cache()
-            dense_tile_stats.clear_cache()
-            from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
-            pallas_tile_stats_t.clear_cache()
+        _drop_impl_caches = clear_serving_caches
 
         for vi, (name, env) in enumerate(ab_variants.items(), start=1):
             if deadline is not None and time.time() > deadline:

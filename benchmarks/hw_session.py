@@ -388,13 +388,11 @@ def phase_super_profile():
 
     from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
 
-    def _fresh():
-        # the unique-block_n trick only busts dense_tile_stats' cache;
-        # pallas_tile_stats_t is its own nested jit and reads
-        # HST_TILE_STATS_SUB / HST_PALLAS_SEM at ITS trace time — without
-        # this, the sub/sem rows silently re-measure the stale kernel
-        dense_tile_stats.clear_cache()
-        pallas_tile_stats_t.clear_cache()
+    # the unique-block_n trick only busts dense_tile_stats' cache;
+    # pallas_tile_stats_t is its own nested jit and reads
+    # HST_TILE_STATS_SUB / HST_PALLAS_SEM at ITS trace time — without
+    # this, the sub/sem rows silently re-measure the stale kernel
+    _fresh = bh.clear_serving_caches
 
     jax.block_until_ready(jax.jit(lambda x: (x @ x.T).sum())(q))
     _time("tile_stats", lambda qq: dense_tile_stats(qq, docs, None), q)
@@ -536,7 +534,6 @@ def phase_super_ab():
     import benchmarks.bench_hybrid as bh
 
     importlib.reload(bh)
-    from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
 
     n = int(os.environ.get("HST_BENCH_N", "10000000"))
     os.environ["HST_BENCH_SP"] = "4"
@@ -545,12 +542,7 @@ def phase_super_ab():
     # impl cache, re-warm, re-measure) — a fresh run() per variant paid
     # the multi-minute 10M setup 8x. The saved setup buys the TPB
     # (tiles/block of the pass-1 stats sweep) lever in the same grid.
-    ab = {"fusedplace": {"HST_PLACE_FUSED": "1"},
-          "dedup": {"HST_SCORES_DEDUP": "1"},
-          "both": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"},
-          "tpb64": {"HST_PALLAS_TPB": "64"},
-          "both_tpb64": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
-                         "HST_PALLAS_TPB": "64"}}
+    ab = dict(bh.AB_VARIANTS)  # ONE grid, shared with bench.py's rider
     # ascending batches, the speculative big-batch row LAST: the stats
     # sweep's HBM term is batch-invariant, so if phase 11 shows it
     # bandwidth-bound, qps keeps scaling with batch — and a late OOM or
@@ -560,7 +552,7 @@ def phase_super_ab():
     ab_iters = int(os.environ.get("HST_AB_ITERS", "6"))
     rows = []
     for batch in batches:
-        _hybrid_super_impl.clear_cache()
+        bh.clear_serving_caches()
         try:
             res = bh.run(n, batch=batch, iters=ab_iters,
                          ab_variants=dict(ab))
@@ -586,7 +578,7 @@ def phase_super_ab():
         # promote incrementally (cumulative rows): a wedge or the phase
         # timeout on a later batch must not lose the record
         _promote_best_serving(rows, n)
-    _hybrid_super_impl.clear_cache()
+    bh.clear_serving_caches()
 
 
 def _promote_best_serving(rows, n_docs):
@@ -597,9 +589,13 @@ def _promote_best_serving(rows, n_docs):
     scored = [r for r in rows if r.get("value")]
     if not scored:
         return
+    # quality gate: within 0.5pp certified-exact of the measured base
+    # rows; when every base row failed (wedge mid-grid), fall back to an
+    # ABSOLUTE floor so a fast-but-quality-losing variant can't be
+    # promoted with no reference to compare against
     base_exact = max((r.get("exact_pct") or 0.0) for r in scored
                      if r["variant"] == "base") if any(
-        r["variant"] == "base" for r in scored) else 0.0
+        r["variant"] == "base" for r in scored) else 99.0
     ok = [r for r in scored
           if (r.get("exact_pct") or 0.0) >= base_exact - 0.5]
     if not ok:
@@ -612,8 +608,13 @@ def _promote_best_serving(rows, n_docs):
               "stamp": time.strftime("%Y-%m-%d %H:%M:%S")}
     path = os.environ.get("HST_SERVING_BEST",
                           "/tmp/hst_serving_best.json")
-    with open(path, "w") as f:
+    # atomic replace: bench.py and the harvester read this file while
+    # the grid is still running — a torn write would drop the promotion
+    # (and get mirrored into the round's committed evidence)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(record, f)
+    os.replace(tmp, path)
     print(json.dumps({"promoted": record}), flush=True)
 
 

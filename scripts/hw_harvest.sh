@@ -23,7 +23,9 @@ harvest() {
 }
 
 RUNBOOK_PID=$(cat /tmp/hw_r4.pid 2>/dev/null || echo 0)
-while kill -0 "$RUNBOOK_PID" 2>/dev/null; do
+# pid 0 would make kill -0 signal our own process group (always true)
+# and loop forever when the pid file is missing
+while [ "$RUNBOOK_PID" -gt 0 ] && kill -0 "$RUNBOOK_PID" 2>/dev/null; do
   harvest
   sleep 600
 done

@@ -109,25 +109,63 @@ def test_emit_fallback_without_record(bench, capsys):
 
 
 def test_apply_promoted_serving(bench, tmp_path, monkeypatch):
+    import time as _time
+
     p = tmp_path / "serving_best.json"
     monkeypatch.setenv("HST_SERVING_BEST", str(p))
+    fresh = _time.strftime("%Y-%m-%d %H:%M:%S")
+    monkeypatch.delenv("HST_PLACE_FUSED", raising=False)
+    monkeypatch.delenv("HST_SCORES_DEDUP", raising=False)
     # no record -> defaults
-    assert bench._apply_promoted_serving(10_000_000) == (256, None)
+    assert bench._apply_promoted_serving(10_000_000) == (256, None, {})
     p.write_text(json.dumps({
         "variant": "both", "batch": 512, "n_docs": 10_000_000,
+        "stamp": fresh,
         "env": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"}}))
     # scale mismatch -> defaults, env untouched
     monkeypatch.delenv("HST_PLACE_FUSED", raising=False)
-    assert bench._apply_promoted_serving(1_000_000) == (256, None)
+    assert bench._apply_promoted_serving(1_000_000) == (256, None, {})
     import os
     assert "HST_PLACE_FUSED" not in os.environ
-    # match -> gates applied, batch returned, record handed back
-    hbatch, rec = bench._apply_promoted_serving(10_000_000)
+    # match -> gates applied, batch returned, record + prior snapshot
+    monkeypatch.setenv("HST_SCORES_DEDUP", "0")  # operator-exported
+    hbatch, rec, prior = bench._apply_promoted_serving(10_000_000)
     assert hbatch == 512 and rec["variant"] == "both"
     assert os.environ["HST_PLACE_FUSED"] == "1"
     assert os.environ["HST_SCORES_DEDUP"] == "1"
-    monkeypatch.delenv("HST_PLACE_FUSED")
-    monkeypatch.delenv("HST_SCORES_DEDUP")
+    # snapshot records what to restore: unset key -> None, set key -> value
+    assert prior == {"HST_PLACE_FUSED": None, "HST_SCORES_DEDUP": "0"}
+    os.environ.pop("HST_PLACE_FUSED", None)
+    os.environ.pop("HST_SCORES_DEDUP", None)
     # explicit opt-out
     monkeypatch.setenv("HST_BENCH_SERVING_BEST", "0")
-    assert bench._apply_promoted_serving(10_000_000) == (256, None)
+    assert bench._apply_promoted_serving(10_000_000) == (256, None, {})
+
+
+def test_apply_promoted_serving_staleness(bench, tmp_path, monkeypatch):
+    """A winner measured before a kernel change must not be served
+    forever: records older than the TTL (or unstamped) are ignored so
+    the in-bench A/B rider produces fresh evidence instead."""
+    import os
+    import time as _time
+
+    p = tmp_path / "serving_best.json"
+    monkeypatch.setenv("HST_SERVING_BEST", str(p))
+    monkeypatch.delenv("HST_PLACE_FUSED", raising=False)
+    base = {"variant": "both", "batch": 512, "n_docs": 10_000_000,
+            "env": {"HST_PLACE_FUSED": "1"}}
+    # unstamped (pre-freshness record) -> ignored
+    p.write_text(json.dumps(base))
+    assert bench._apply_promoted_serving(10_000_000) == (256, None, {})
+    # stale -> ignored
+    old_stamp = _time.strftime(
+        "%Y-%m-%d %H:%M:%S", _time.localtime(_time.time() - 3 * 86400))
+    p.write_text(json.dumps({**base, "stamp": old_stamp}))
+    assert bench._apply_promoted_serving(10_000_000) == (256, None, {})
+    assert "HST_PLACE_FUSED" not in os.environ
+    # fresh -> applied
+    p.write_text(json.dumps({
+        **base, "stamp": _time.strftime("%Y-%m-%d %H:%M:%S")}))
+    hbatch, rec, _prior = bench._apply_promoted_serving(10_000_000)
+    assert hbatch == 512 and rec is not None
+    os.environ.pop("HST_PLACE_FUSED", None)
