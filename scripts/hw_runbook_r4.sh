@@ -51,3 +51,8 @@ run_phase configs 3600 python benchmarks/hw_session.py 13
 # 6. refresh last_good with a final clean bench
 run_phase bench2 1300 python bench.py
 LOG "round-4 hardware queue complete"
+# 7. client-visible HTTP serving latency on the chip (appended while the
+# runbook waited on recovery; see benchmarks/loadgen.py)
+run_phase httplat 900 python benchmarks/loadgen.py --docs 200000 --qps 100 --duration 30
+run_phase httplat_closed 900 python benchmarks/loadgen.py --docs 200000 --closed --workers 16 --duration 20
+LOG "http latency phases done"
