@@ -100,6 +100,13 @@ def main() -> None:
         "ce_compiles_during_batch": cache_after - cache_before,
         "ce_compiles_on_fresh_stream": cache_stream - cache_after,
         "index_build_s": round(build_s, 1),
+        # provenance: the chip row must show the TRAINED cross-encoder
+        # served the rerank stage (VERDICT r3 ask 5)
+        "ce": type(pipe.reranker).__name__,
+        "ce_pretrained": getattr(pipe.reranker.model, "pretrained", None),
+        "ce_weights_origin": getattr(pipe.reranker.model,
+                                     "weights_origin", None),
+        "backend": backend,
     }))
 
 
