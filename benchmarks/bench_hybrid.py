@@ -263,9 +263,17 @@ AB_VARIANTS = {
     "fusedplace": {"HST_PLACE_FUSED": "1"},
     "dedup": {"HST_SCORES_DEDUP": "1"},
     "both": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1"},
+    # sweep pipelining lever: sub-chunked dot+reduce frees VMEM headroom
+    # so Mosaic can double-buffer the doc-block DMA (the pass-1 stats
+    # sweep is the serving path's dominant cost — ROADMAP lever 1).
+    # Including it here (not just phase 11's attribution) lets phase 12
+    # PROMOTE it into the served configuration when it wins end-to-end.
+    "sub": {"HST_TILE_STATS_SUB": "1"},
     "tpb64": {"HST_PALLAS_TPB": "64"},
     "both_tpb64": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
                    "HST_PALLAS_TPB": "64"},
+    "all4": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
+             "HST_PALLAS_TPB": "64", "HST_TILE_STATS_SUB": "1"},
 }
 
 
