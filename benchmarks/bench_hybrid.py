@@ -274,6 +274,13 @@ AB_VARIANTS = {
                    "HST_PALLAS_TPB": "64"},
     "all4": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
              "HST_PALLAS_TPB": "64", "HST_TILE_STATS_SUB": "1"},
+    # MXU group dot inside the dedup kernel for uniform 8-pair groups
+    # (ops/pallas_supertile.py) — targets the resident pass's VPU
+    # compute term, which scales linearly with batch size.
+    "dedup_mxu": {"HST_SCORES_DEDUP": "1", "HST_DEDUP_MXU": "1"},
+    "all5": {"HST_PLACE_FUSED": "1", "HST_SCORES_DEDUP": "1",
+             "HST_PALLAS_TPB": "64", "HST_TILE_STATS_SUB": "1",
+             "HST_DEDUP_MXU": "1"},
 }
 
 
@@ -286,12 +293,17 @@ def clear_serving_caches() -> None:
     pallas_tile_stats_t trace — clearing only the outer cache silently
     reuses the inner kernel."""
     from hybridsearch_tpu.ops.dense import dense_tile_stats
+    from hybridsearch_tpu.ops.pallas_supertile import (
+        pallas_super_scores_dedup,
+    )
     from hybridsearch_tpu.ops.pallas_topk import pallas_tile_stats_t
     from hybridsearch_tpu.ops.supertile import _hybrid_super_impl
 
     _hybrid_super_impl.clear_cache()
     dense_tile_stats.clear_cache()
     pallas_tile_stats_t.clear_cache()
+    # HST_DEDUP_MXU is read when pallas_super_scores_dedup traces
+    pallas_super_scores_dedup.clear_cache()
 
 
 def run(n_docs: int, batch: int, iters: int,

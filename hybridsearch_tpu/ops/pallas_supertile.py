@@ -130,12 +130,25 @@ def pallas_super_scores_dedup(
     Callers build (tid, rep, inv) with `dedup_pairs`, pre-gather
     qp = q[qid], and unpermute the result back to [B, S*sd]
     (ops/supertile.py)."""
+    import os
+
     P, D = qp.shape
     N = docs.shape[0]
     _R = 8
     assert N % ch == 0 and sd % ch == 0 and D % 128 == 0 and P % _R == 0
     nch = sd // ch
     last = N // ch - 1
+    # HST_DEDUP_MXU=1 (trace-time gate): when an 8-pair group is a single
+    # equal-tid run, compute all 8 rows as ONE [_R, D] x [ch, D]^T MXU
+    # dot against the owner's scratch instead of 8 VPU multiply+reduce
+    # rows. The VPU path's f32 element FLOPs scale linearly with the
+    # batch (13 ms at B=256 -> ~52 ms at B=1024 estimated) and become
+    # the resident pass's compute bound exactly in the big-batch,
+    # topic-correlated regime where dedup runs are long and most groups
+    # ARE uniform. Same exact bf16 products, different f32 accumulation
+    # order — covered by the serving path's eps_num certificate margin
+    # and the f32 finalist rescore (ops/supertile.py step 6).
+    mxu = os.environ.get("HST_DEDUP_MXU") == "1"
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # tid, rep
@@ -174,13 +187,34 @@ def pallas_super_scores_dedup(
                 pltpu.make_async_copy(
                     docs_hbm.at[pl.ds(idx * ch, ch)], scr.at[r],
                     sem.at[r]).wait()
-        for r in range(_R):
-            p = g * _R + r
-            src = rep_ref[p] - g * _R  # 0..r: the run owner's scratch row
-            rows = scr[pl.ds(src, 1)][0]  # [ch, D] dynamic VMEM read
-            qv = q_ref[pl.ds(r, 1)]  # [1, D] static row
-            prod = rows.astype(jnp.float32) * qv.astype(jnp.float32)
-            out_ref[r, :] = jnp.sum(prod, axis=1)
+        def _vpu_rows():
+            for r in range(_R):
+                p = g * _R + r
+                src = rep_ref[p] - g * _R  # 0..r: the run owner's scratch
+                rows = scr[pl.ds(src, 1)][0]  # [ch, D] dynamic VMEM read
+                qv = q_ref[pl.ds(r, 1)]  # [1, D] static row
+                prod = rows.astype(jnp.float32) * qv.astype(jnp.float32)
+                out_ref[r, :] = jnp.sum(prod, axis=1)
+
+        if mxu:
+            # uniform group: the last pair's run owner IS the group head
+            # (rep is clamped to the group start), so scr[0] holds the
+            # one supertile chunk every pair in the group dots against
+            uniform = rep_ref[g * _R + _R - 1] == g * _R
+
+            @pl.when(uniform)
+            def _mxu_dot():
+                out_ref[:, :] = jax.lax.dot_general(
+                    q_ref[:], scr[0],
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            @pl.when(jnp.logical_not(uniform))
+            def _mixed():
+                _vpu_rows()
+        else:
+            _vpu_rows()
 
     return pl.pallas_call(
         kernel,

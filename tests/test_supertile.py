@@ -411,6 +411,40 @@ def test_pallas_super_scores_dedup_interpret_parity(rng):
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_super_scores_dedup_mxu_interpret_parity(rng, monkeypatch):
+    """HST_DEDUP_MXU=1: the uniform-group MXU dot must bit-match the
+    per-pair VPU path for BOTH group kinds — a batch built so some
+    8-pair groups are single-tid runs (MXU branch) and others are mixed
+    (VPU fallback)."""
+    from hybridsearch_tpu.ops.pallas_supertile import (
+        dedup_pairs,
+        pallas_super_scores_dedup,
+    )
+
+    B, D, sd, S = 16, 128, 512, 2
+    N = 2048
+    docs = jnp.asarray(rng.standard_normal((N, D)).astype(np.float32))
+    q = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    # half the batch probes one hot supertile twice (long uniform runs),
+    # the rest is random (mixed groups)
+    sup_np = np.sort(rng.integers(0, N // sd, (B, S)), axis=1)
+    sup_np[: B // 2] = 1
+    sup = jnp.asarray(sup_np.astype(np.int32))
+    tid, qid, rep, inv = dedup_pairs(sup)
+    rep_np, P = np.asarray(rep), B * S
+    uniform = [rep_np[g * 8 + 7] == g * 8 for g in range(P // 8)]
+    assert any(uniform) and not all(uniform), "need both group kinds"
+    qp = jnp.take(q, qid, axis=0)
+    base = np.asarray(pallas_super_scores_dedup(
+        qp, docs, tid, rep, sd, ch=256, interpret=True))
+    monkeypatch.setenv("HST_DEDUP_MXU", "1")
+    pallas_super_scores_dedup.clear_cache()
+    got = np.asarray(pallas_super_scores_dedup(
+        qp, docs, tid, rep, sd, ch=256, interpret=True))
+    pallas_super_scores_dedup.clear_cache()  # drop the gated trace
+    np.testing.assert_allclose(got, base, rtol=1e-5, atol=1e-5)
+
+
 def test_searcher_supertile_uncertifiable_serves_best_effort(monkeypatch,
                                                              rng):
     """A query whose terms exceed every T rung (dropped terms: complete
