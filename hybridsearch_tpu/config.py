@@ -110,6 +110,49 @@ class IndexConfig:
     ivf_chunk_cap: int = 0  # 0 = 4N/clusters (IVF list slice width)
 
 
+_PERF_ENV = {
+    "place_fused": ("HST_PLACE_FUSED", bool),
+    "scores_dedup": ("HST_SCORES_DEDUP", bool),
+    "dedup_mxu": ("HST_DEDUP_MXU", bool),
+    "pallas_tpb": ("HST_PALLAS_TPB", int),
+    "tile_stats_sub": ("HST_TILE_STATS_SUB", bool),
+}
+
+
+@dataclass
+class PerfConfig:
+    """Serving-kernel levers for the supertile hybrid path
+    (docs/KERNELS.md "Round-4 supertile levers"). The kernels read these
+    as env gates at trace time; this config makes a promoted A/B winner
+    (benchmarks/hw_session.py phase 12) reproducible from configuration
+    instead of operator-exported env vars.
+
+    Semantics: None leaves the process env untouched (operator wins);
+    True/False (or an int for pallas_tpb) pins the gate when
+    `apply_env()` runs — the Searcher calls it at init, BEFORE the first
+    trace. Changing values after a search has already traced has no
+    effect until the jit caches are dropped (the gates are baked in at
+    trace time; see benchmarks/bench_hybrid.clear_serving_caches)."""
+
+    place_fused: Optional[bool] = None
+    scores_dedup: Optional[bool] = None
+    dedup_mxu: Optional[bool] = None
+    pallas_tpb: Optional[int] = None
+    tile_stats_sub: Optional[bool] = None
+
+    def apply_env(self) -> None:
+        import os
+
+        for name, (env, kind) in _PERF_ENV.items():
+            val = getattr(self, name)
+            if val is None:
+                continue
+            if kind is bool:
+                os.environ[env] = "1" if val else "0"
+            else:
+                os.environ[env] = str(int(val))
+
+
 @dataclass
 class EngineConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
@@ -119,6 +162,7 @@ class EngineConfig:
     funnel: FunnelConfig = field(default_factory=FunnelConfig)
     cache: CacheConfig = field(default_factory=CacheConfig)
     index: IndexConfig = field(default_factory=IndexConfig)
+    perf: PerfConfig = field(default_factory=PerfConfig)
     # MMR diversity lambda (reference pipelines.py:521).
     mmr_lambda: float = 0.5
     # Dedup threshold (reference api.py:124).
@@ -157,4 +201,5 @@ _TYPE_MAP = {
     "funnel": FunnelConfig,
     "cache": CacheConfig,
     "index": IndexConfig,
+    "perf": PerfConfig,
 }

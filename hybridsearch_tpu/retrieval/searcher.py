@@ -143,6 +143,10 @@ class Searcher:
         config: Optional[EngineConfig] = None,
     ) -> None:
         self.config = config or EngineConfig()
+        # pin configured serving-kernel levers BEFORE any trace (the
+        # supertile kernels read them from env at trace time; config.py
+        # PerfConfig documents the process-global semantics)
+        self.config.perf.apply_env()
         self.indexer = indexer or Indexer(
             db_path=db_path, encoder=encoder, mesh=mesh, config=self.config
         )
