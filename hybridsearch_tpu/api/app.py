@@ -429,23 +429,30 @@ def h_rerank(state, params, body, query):
 def _normalize_documents(docs):
     """Accept the reference's two request shapes for a document
     (reference api.py:26-32 `Document`): a plain string, or an object
-    with required `content` and optional `source_path`. Returns
-    (texts, paths); raises ValueError on anything else so the caller
-    can surface a 400 instead of a 500."""
-    texts, paths = [], []
+    with required `content` and optional `source_path`. An optional
+    `metadata` object per document is an extension: the reference only
+    takes metadata through its separate metadata route, which leaves
+    /search/filtered useless until a second call — here one /index call
+    fully arms the device pre-filter. Returns (texts, paths, metas);
+    raises ValueError on anything else so the caller can surface a 400
+    instead of a 500."""
+    texts, paths, metas = [], [], []
     for d in docs:
         if isinstance(d, str):
             texts.append(d)
             paths.append(None)
+            metas.append(None)
         elif isinstance(d, dict) and isinstance(d.get("content"), str):
             texts.append(d["content"])
             sp = d.get("source_path")
             paths.append(sp if isinstance(sp, str) else None)
+            md = d.get("metadata")
+            metas.append(md if isinstance(md, dict) else None)
         else:
             raise ValueError(
                 "each document must be a string or an object with a "
                 "string 'content' field")
-    return texts, paths
+    return texts, paths, metas
 
 
 def h_index(state, params, body, query):
@@ -454,11 +461,11 @@ def h_index(state, params, body, query):
     if not raw:
         return 400, {"detail": "documents is required"}
     try:
-        docs, paths = _normalize_documents(raw)
+        docs, paths, metas = _normalize_documents(raw)
     except ValueError as e:
         return 400, {"detail": str(e)}
     with state._mutate_lock:
-        stats = state.indexer.index_documents(docs, paths=paths)
+        stats = state.indexer.index_documents(docs, paths=paths, metas=metas)
         state.autocomplete.index_content(docs)
         for i, d in enumerate(docs):
             state.dedup.add_document(str(i), d)
@@ -493,13 +500,14 @@ def h_index_add(state, params, body, query):
     if not raw:
         return 400, {"detail": "documents is required"}
     try:
-        docs, _ = _normalize_documents(raw)
+        docs, _, metas = _normalize_documents(raw)
     except ValueError as e:
         return 400, {"detail": str(e)}
     dedup_action = body.get("dedup", None)
     skipped = []
     to_add = []
-    for d in docs:
+    to_add_metas = []
+    for d, m in zip(docs, metas):
         if dedup_action:
             existing = state.dedup.find_duplicates(d)
             if existing and dedup_action == "skip":
@@ -507,8 +515,10 @@ def h_index_add(state, params, body, query):
                                 "duplicate_of": existing[0][0]})
                 continue
         to_add.append(d)
+        to_add_metas.append(m)
     with state._mutate_lock:
-        ids = state.indexer.add_documents(to_add) if to_add else []
+        ids = state.indexer.add_documents(
+            to_add, metas=to_add_metas) if to_add else []
         for did, d in zip(ids, to_add):
             state.dedup.add_document(str(did), d)
         state.autocomplete.index_content(to_add)
@@ -733,7 +743,7 @@ def h_jobs_index(state, params, body, query):
     if not raw:
         return 400, {"detail": "documents is required"}
     try:
-        docs, _ = _normalize_documents(raw)
+        docs, _, _metas = _normalize_documents(raw)
     except ValueError as e:
         return 400, {"detail": str(e)}
     job_id = state.jobs.enqueue("index", {"documents": docs},

@@ -100,10 +100,17 @@ class Indexer:
         self,
         documents: Sequence[str],
         paths: Optional[Sequence[Optional[str]]] = None,
+        metas: Optional[Sequence[Optional[Dict]]] = None,
     ) -> Dict[str, int]:
-        """Destructive full reindex (reference indexer.py:245-315)."""
+        """Destructive full reindex (reference indexer.py:245-315).
+
+        `metas` (per-document metadata dicts, extension over the
+        reference's Document model api.py:26-29) is permuted alongside
+        the corpus under the clustered layout, so doc_id->metadata stays
+        consistent for the /search/filtered device pre-filter."""
         docs = [preprocess_text(d) for d in documents]
         paths = list(paths) if paths is not None else None
+        metas = list(metas) if metas is not None else None
         vectors = None
         cluster_cent = cluster_assign = None
         if self.config.index.layout == "clustered" and len(docs) > 256:
@@ -127,6 +134,8 @@ class Indexer:
             docs = [docs[i] for i in perm]
             if paths is not None:
                 paths = [paths[i] for i in perm]
+            if metas is not None:
+                metas = [metas[i] for i in perm]
             if want_ivf and self.mesh is None:
                 # reserve IVF slice overhang INSIDE the dense capacity so
                 # the IVF chunk slices never clamp on the shared buffer
@@ -149,6 +158,10 @@ class Indexer:
             token_lists = [extract_tokens(d) for d in docs]
             tok_counts = [len(t) for t in token_lists]
         ids = self.store.replace_documents(docs, paths, tok_counts)
+        if metas is not None:
+            for did, m in zip(ids, metas):
+                if m:
+                    self.store.set_metadata(did, m)
         if vectors is None:
             vectors = self.embed(docs)
         self.dense.build(vectors)
@@ -184,6 +197,7 @@ class Indexer:
         self,
         documents: Sequence[str],
         paths: Optional[Sequence[Optional[str]]] = None,
+        metas: Optional[Sequence[Optional[Dict]]] = None,
     ) -> List[int]:
         """Incremental add keeping dense AND sparse indexes live (fixes
         reference indexer.py:317-360's stale-FAISS inconsistency). BM25
@@ -195,6 +209,10 @@ class Indexer:
         docs = [preprocess_text(d) for d in documents]
         token_lists = [extract_tokens(d) for d in docs]
         ids = self.store.add_documents(docs, paths, [len(t) for t in token_lists])
+        if metas is not None:
+            for did, m in zip(ids, metas):
+                if m:
+                    self.store.set_metadata(did, m)
         vectors = self.embed(docs)
         self.dense.add(vectors)
         self.contents.extend(docs)

@@ -116,6 +116,39 @@ def test_filtered_bad_filter(router):
     assert code == 400
 
 
+def test_index_inline_metadata_arms_prefilter():
+    """Documents carrying `metadata` in POST /index (extension over the
+    reference Document model api.py:26-29) must arm /search/filtered in
+    one call — round-4 verify found metadata silently dropped, so every
+    filter masked out the whole corpus."""
+    st = EngineState(encoder=HashingEncoder(dim=128))
+    try:
+        router = build_router(st)
+        docs = [
+            {"content": "jax compiles to tpu", "metadata": {"year": 2024}},
+            {"content": "bm25 lexical ranking", "metadata": {"year": 2019}},
+            {"content": "hybrid dense sparse fusion",
+             "metadata": {"year": 2023}},
+        ]
+        code, _, _ = call(router, "POST", "/index", {"documents": docs})
+        assert code == 200
+        code, payload, _ = call(
+            router, "POST", "/search/filtered",
+            {"query": "ranking fusion", "filter": "year:>2021", "top_k": 3})
+        assert code == 200
+        ids = {r["doc_id"] for r in payload["results"]}
+        assert ids and ids <= {0, 2}
+        # incremental add must also carry metadata
+        code, p2, _ = call(router, "POST", "/index/add", {"documents": [
+            {"content": "mosaic pallas kernels", "metadata": {"year": 2025}}
+        ]})
+        assert code == 200
+        new_id = p2["doc_ids"][0]
+        assert st.metadata.get_metadata(new_id) == {"year": 2025}
+    finally:
+        st.close()
+
+
 def test_rerank_route(router):
     code, payload, _ = call(router, "POST", "/rerank",
                             {"query": "ml", "documents": ["a doc", "b doc"]})
