@@ -273,19 +273,41 @@ def pallas_place_fused(
     BS, T = lo.shape
     M = ids_rows.shape[0]
     assert len(wcaps) == T and all(wc % ROW == 0 for wc in wcaps)
+    # pad the batch*probe axis to a multiple of 8: the (8, T) sliding
+    # lo/hi SMEM block below needs it (Mosaic block dim -2 rule); padded
+    # rows carry lo=hi=0 -> empty windows -> all-zero outputs, sliced off
+    bs_pad = -(-BS // 8) * 8 - BS
+    if bs_pad:
+        lo = jnp.pad(lo, ((0, bs_pad), (0, 0)))
+        hi = jnp.pad(hi, ((0, bs_pad), (0, 0)))
+        base = jnp.pad(base, (0, bs_pad))
+    BS_P = BS + bs_pad
     # one extra row per slot: a window of width <= wc can straddle
     # wc//ROW + 1 CSR rows
     ms = tuple(min(wc // ROW + 1, M) for wc in wcaps)
 
+    # lo/hi arrive as 8-step (8, T) SMEM BLOCKS, not scalar-prefetch:
+    # prefetching the full [BS, T] tables overflowed the 1 MiB SMEM at
+    # serving shapes ("prefetched SMEM operand 0" = 2 MiB,
+    # docs/HW_R4_LOG.txt phase 12). Only the grid/BlockSpec index_maps
+    # require prefetched scalars; the in-kernel DMA slice indices below
+    # may read any SMEM scalar, so a 32*T-byte sliding block is enough.
+    # Block rows = 8 because Mosaic requires dim -2 of a block divisible
+    # by 8 (or equal to the array dim); BS is asserted a multiple of 8.
+    # `base` ([BS] int32) stays prefetched — it is small at any batch.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # lo, hi, base
-        grid=(BS,),
+        num_scalar_prefetch=1,  # base
+        grid=(BS_P,),
         in_specs=[
+            pl.BlockSpec((8, T), lambda b, base: (b // 8, 0),
+                         memory_space=pltpu.SMEM),  # lo slice
+            pl.BlockSpec((8, T), lambda b, base: (b // 8, 0),
+                         memory_space=pltpu.SMEM),  # hi slice
             pl.BlockSpec(memory_space=pltpu.ANY),  # ids_rows (HBM)
             pl.BlockSpec(memory_space=pltpu.ANY),  # ws_rows (HBM)
         ],
         out_specs=pl.BlockSpec((1, super_tiles, tile),
-                               lambda b, lo, hi, base: (b, 0, 0)),
+                               lambda b, base: (b, 0, 0)),
         scratch_shapes=(
             [pltpu.VMEM((m, ROW), jnp.int32) for m in ms]
             + [pltpu.VMEM((m, ROW), jnp.float32) for m in ms]
@@ -293,12 +315,13 @@ def pallas_place_fused(
         ),
     )
 
-    def kernel(lo_ref, hi_ref, base_ref, ids_hbm, ws_hbm, out_ref, *scr):
+    def kernel(base_ref, lo_ref, hi_ref, ids_hbm, ws_hbm, out_ref, *scr):
         scr_ids, scr_ws, sem = scr[:T], scr[T:2 * T], scr[2 * T]
         bs = pl.program_id(0)
+        r8 = bs % 8  # row within the (8, T) sliding lo/hi block
         row0s, copies = [], []
         for j in range(T):
-            row0 = jnp.clip(lo_ref[bs, j] // ROW, 0, M - ms[j])
+            row0 = jnp.clip(lo_ref[r8, j] // ROW, 0, M - ms[j])
             row0s.append(row0)
             cp_i = pltpu.make_async_copy(
                 ids_hbm.at[pl.ds(row0, ms[j])], scr_ids[j], sem.at[2 * j])
@@ -311,7 +334,7 @@ def pallas_place_fused(
         for j in range(T):
             copies[j][0].wait()
             copies[j][1].wait()
-            lo_j, hi_j, b_j = lo_ref[bs, j], hi_ref[bs, j], base_ref[bs]
+            lo_j, hi_j, b_j = lo_ref[r8, j], hi_ref[r8, j], base_ref[bs]
             # chunk 8 CSR rows (1024 entries) per contraction; [8, 128]
             # collapses to [1024] with no relayout (native (8,128) tiling)
             for c0 in range(0, ms[j], 8):
@@ -341,14 +364,15 @@ def pallas_place_fused(
                     preferred_element_type=jnp.float32,
                 )
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((BS, super_tiles, tile),
+        out_shape=jax.ShapeDtypeStruct((BS_P, super_tiles, tile),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
-    )(lo.astype(jnp.int32), hi.astype(jnp.int32), base.astype(jnp.int32),
+    )(base.astype(jnp.int32), lo.astype(jnp.int32), hi.astype(jnp.int32),
       ids_rows, ws_rows)
+    return out[:BS] if bs_pad else out
 
 
 @functools.partial(jax.jit,
