@@ -130,6 +130,9 @@ def main(argv: list | None = None) -> dict:
     ap.add_argument("--encoder", default="hashing",
                     choices=["hashing", "auto"],
                     help="auto resolves the trained checkpoint")
+    ap.add_argument("--no-batching", action="store_true",
+                    help="disable cross-request dynamic batching (A/B "
+                         "the serving-layer coalescing)")
     args = ap.parse_args(argv)
 
     if args.encoder == "hashing":
@@ -141,7 +144,12 @@ def main(argv: list | None = None) -> dict:
 
     enc = (HashingEncoder(dim=128) if args.encoder == "hashing"
            else default_encoder())
-    state = EngineState(encoder=enc)
+    from hybridsearch_tpu.config import EngineConfig
+
+    cfg = EngineConfig()
+    if args.no_batching:
+        cfg.serving.dynamic_batching = False
+    state = EngineState(encoder=enc, config=cfg)
     state.indexer.index_documents(synth_docs(args.docs))
 
     n_req = (max(1, int(args.qps * args.duration))
@@ -155,9 +163,13 @@ def main(argv: list | None = None) -> dict:
 
     with APIServer(state, host="127.0.0.1", port=0) as server:
         base = f"http://127.0.0.1:{server.port}"
-        # warm the compiled path before the measured window
+        # warm the compiled path before the measured window — at FULL
+        # concurrency, so every pad bucket the batcher can form during
+        # the run (1,2,4,...,workers) compiles now, not inside the p99
         run_load(base, make_queries(4, seed=9), None, workers=2,
                  top_k=args.top_k)
+        run_load(base, make_queries(max(4, 4 * args.workers), seed=11),
+                 None, workers=args.workers, top_k=args.top_k)
         res = run_load(base, queries, arrivals, args.workers,
                        top_k=args.top_k)
     line = {
@@ -165,8 +177,12 @@ def main(argv: list | None = None) -> dict:
         "offered_qps": None if args.closed else args.qps,
         "mode": "closed" if args.closed else "open",
         "encoder": type(enc).__name__,
+        "dynamic_batching": not args.no_batching,
         **res,
     }
+    if state.batcher is not None:
+        line["batch_dispatches"] = state.batcher.dispatches
+        line["batch_max_size"] = state.batcher.max_seen_batch
     print(json.dumps(line))
     return line
 

@@ -24,6 +24,7 @@ import threading
 import time
 from typing import Any, Callable, Dict, List, Optional, Tuple
 
+from hybridsearch_tpu.api.batching import BatchTimeout
 from hybridsearch_tpu.config import EngineConfig
 from hybridsearch_tpu.index.builder import Indexer
 from hybridsearch_tpu.retrieval.searcher import Searcher
@@ -83,6 +84,16 @@ class EngineState:
         self.jobs.register_handler("index", self._index_job)
         self.watcher: Optional[FileWatcher] = None
         self.auth = AuthContext(enabled=auth_enabled)
+        self.batcher = None
+        if self.config.serving.dynamic_batching:
+            from hybridsearch_tpu.api.batching import SearchBatcher
+
+            self.batcher = SearchBatcher(
+                self.searcher,
+                query_memory=self.searcher.query_memory,
+                max_batch=self.config.serving.max_batch,
+                queue_timeout_s=self.config.serving.queue_timeout_s,
+            )
         self.started_at = time.time()
         self._mutate_lock = threading.Lock()
         self._warm_autocomplete()
@@ -138,6 +149,8 @@ class EngineState:
     def close(self) -> None:
         if self.watcher is not None:
             self.watcher.stop()
+        if self.batcher is not None:
+            self.batcher.close()
         self.jobs.shutdown(wait=False)
         self.indexer.close()
 
@@ -187,6 +200,10 @@ class Router:
                 return 400, {"detail": str(e)}, headers
             except ValueError as e:
                 return 400, {"detail": str(e)}, headers
+            except BatchTimeout as e:
+                # the engine cannot drain the search queue: shed load
+                # with an honest 503 instead of stacking more work
+                return 503, {"detail": str(e)}, headers
             except Exception as e:  # mirrors reference's try/except -> 500
                 return 500, {"detail": f"{type(e).__name__}: {e}"}, headers
         return 404, {"detail": f"no route: {method} {path}"}, {}
@@ -247,13 +264,20 @@ def h_search(state, params, body, query):
             state.autocomplete.record_query(q)
             return 200, {**hit["response"], "cached": True}
     t0 = time.perf_counter()
-    results = state.searcher.search(q, top_k=top_k, semantic_weight=rsw,
-                                    lexical_weight=rlw)
+    if state.batcher is not None:
+        # continuous batching: concurrent requests coalesce into one
+        # batched device dispatch (api/batching.py) — the reference
+        # serves one request at a time (api.py:272)
+        results, query_id = state.batcher.submit(q, top_k, rsw, rlw)
+    else:
+        results = state.searcher.search(q, top_k=top_k, semantic_weight=rsw,
+                                        lexical_weight=rlw)
+        query_id = state.searcher.last_query_id
     latency_ms = (time.perf_counter() - t0) * 1e3
     state.autocomplete.record_query(q)
     resp = {
         "query": q,
-        "query_id": state.searcher.last_query_id,
+        "query_id": query_id,
         "results": _result_rows(results),
         "weights_used": {"semantic": rsw, "lexical": rlw,
                          "learned": use_learned},
@@ -609,6 +633,15 @@ def h_metrics(state, params, body, query):
 
     for name, v in sorted(GLOBAL_COUNTERS.all().items()):
         lines.append(f"hst_{name}_total {v}")
+    if state.batcher is not None:
+        b = state.batcher
+        lines += [
+            "# HELP hst_batch_dispatches_total Coalesced device dispatches",
+            "# TYPE hst_batch_dispatches_total counter",
+            f"hst_batch_dispatches_total {b.dispatches}",
+            f"hst_batch_requests_total {b.batched_requests}",
+            f"hst_batch_max_size {b.max_seen_batch}",
+        ]
     return 200, {"_text": "\n".join(lines) + "\n"}
 
 

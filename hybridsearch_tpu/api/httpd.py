@@ -15,6 +15,7 @@ from typing import Optional
 from urllib.parse import parse_qsl, urlparse
 
 from hybridsearch_tpu.api.app import EngineState, Router, build_router
+from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS as _COUNTERS
 
 
 def make_handler(router: Router):
@@ -67,22 +68,24 @@ def make_handler(router: Router):
         def _send(self, status: int, payload: dict, headers: dict) -> None:
             if isinstance(payload, dict) and "_text" in payload:
                 raw = str(payload["_text"]).encode()
+                ctype = "text/plain; version=0.0.4"
+            else:
+                raw = json.dumps(payload).encode()
+                ctype = "application/json"
+            try:
                 self.send_response(status)
-                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(raw)))
                 for k, v in headers.items():
                     self.send_header(k, v)
                 self.end_headers()
                 self.wfile.write(raw)
-                return
-            raw = json.dumps(payload).encode()
-            self.send_response(status)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(raw)))
-            for k, v in headers.items():
-                self.send_header(k, v)
-            self.end_headers()
-            self.wfile.write(raw)
+            except (BrokenPipeError, ConnectionResetError, TimeoutError):
+                # client hung up (loadgen timeout, impatient browser):
+                # nothing to deliver to; count it and keep the worker
+                # thread alive instead of dumping a traceback per drop
+                _COUNTERS.inc("client_disconnect")
+                self.close_connection = True
 
         def do_GET(self):  # noqa: N802
             self._dispatch("GET")

@@ -154,6 +154,27 @@ class PerfConfig:
 
 
 @dataclass
+class ServingConfig:
+    """API-layer serving behavior.
+
+    `dynamic_batching` coalesces concurrent /search requests into ONE
+    batched device dispatch (api/batching.py): the device serializes
+    programs, so N concurrent single-query dispatches queue behind each
+    other while a single [N]-query program costs barely more than one.
+    The reference serves strictly one request at a time (reference
+    api.py:272). Continuous-batching policy: an idle engine dispatches a
+    lone request immediately (no added latency); arrivals during an
+    in-flight batch form the next batch."""
+
+    dynamic_batching: bool = True
+    # hard cap on one coalesced dispatch; also the largest pad bucket
+    max_batch: int = 64
+    # a request older than this in the queue fails with 503 (the engine
+    # is not keeping up) instead of waiting forever
+    queue_timeout_s: float = 30.0
+
+
+@dataclass
 class EngineConfig:
     mesh: MeshConfig = field(default_factory=MeshConfig)
     model: ModelConfig = field(default_factory=ModelConfig)
@@ -163,6 +184,7 @@ class EngineConfig:
     cache: CacheConfig = field(default_factory=CacheConfig)
     index: IndexConfig = field(default_factory=IndexConfig)
     perf: PerfConfig = field(default_factory=PerfConfig)
+    serving: ServingConfig = field(default_factory=ServingConfig)
     # MMR diversity lambda (reference pipelines.py:521).
     mmr_lambda: float = 0.5
     # Dedup threshold (reference api.py:124).
@@ -202,4 +224,5 @@ _TYPE_MAP = {
     "cache": CacheConfig,
     "index": IndexConfig,
     "perf": PerfConfig,
+    "serving": ServingConfig,
 }
