@@ -266,9 +266,28 @@ class MiniLMEncoder:
     def encode(self, texts: Sequence[str], batch_size: int = 64) -> np.ndarray:
         if not len(texts):
             return np.zeros((0, self.dim), np.float32)
-        out = []
-        for i in range(0, len(texts), batch_size):
-            chunk = list(texts[i : i + batch_size])
+        # length-sort so each chunk pads to ITS OWN sequence bucket (a
+        # 200k index build mixing short and long docs otherwise pads
+        # everything to the batch max); the permutation is undone below
+        order = sorted(range(len(texts)),
+                       key=lambda i: len(texts[i].split()))
+        out = np.zeros((len(texts), self.dim), np.float32)
+        # async pipeline in bounded waves: enqueue every chunk's forward
+        # before fetching (a per-chunk device_get serialized 3k+ host
+        # round trips into a 200k build); host tokenization of chunk i+1
+        # overlaps the device running chunk i, one gather drains a wave
+        wave = 64  # chunks in flight (~bounded device output buffers)
+        pending = []
+
+        def _drain():
+            fetched = jax.device_get([e for _sel, e in pending])
+            for (sel, _e), host in zip(pending, fetched):
+                out[sel] = np.asarray(host)[: len(sel)]
+            pending.clear()
+
+        for i in range(0, len(order), batch_size):
+            sel = order[i : i + batch_size]
+            chunk = [texts[j] for j in sel]
             ids, mask = self.tokenizer.batch_encode(chunk, self.max_seq_len)
             # pad batch to bucketed size to bound XLA shape count
             bs = _bucket_batch(len(chunk))
@@ -277,8 +296,12 @@ class MiniLMEncoder:
                 mask = np.pad(mask, ((0, bs - len(chunk)), (0, 0)))
                 mask[len(chunk):, 0] = 1  # avoid 0/0 in mean pooling
             emb = self._fwd(self.params, jnp.asarray(ids), jnp.asarray(mask))
-            out.append(np.asarray(jax.device_get(emb))[: len(chunk)])
-        return np.concatenate(out, axis=0).astype(np.float32)
+            pending.append((sel, emb))
+            if len(pending) >= wave:
+                _drain()
+        if pending:
+            _drain()
+        return out
 
 
 # -- cross-encoder ------------------------------------------------------------------
@@ -355,6 +378,13 @@ class MiniLMCrossEncoder:
                        key=lambda i: len(pairs[i][0].split())
                        + len(pairs[i][1].split()))
         out = np.zeros(len(pairs), np.float32)
+        # async pipeline: enqueue EVERY chunk's forward before fetching
+        # anything — a per-chunk device_get serialized each dispatch
+        # behind a host round trip (40 blocking round trips per 64x20
+        # funnel batch on the tunnel); host tokenization of chunk i+1 now
+        # overlaps the device running chunk i, and one gather at the end
+        # drains the whole stream
+        pending = []  # (sel, device logits)
         for i in range(0, len(order), batch_size):
             sel = order[i : i + batch_size]
             chunk = [pairs[j] for j in sel]
@@ -371,7 +401,10 @@ class MiniLMCrossEncoder:
             logits = self._fwd(
                 self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)
             )
-            out[sel] = np.asarray(jax.device_get(logits))[: len(chunk)]
+            pending.append((sel, logits))
+        fetched = jax.device_get([lg for _sel, lg in pending])
+        for (sel, _lg), host in zip(pending, fetched):
+            out[sel] = np.asarray(host)[: len(sel)]
         return out
 
 

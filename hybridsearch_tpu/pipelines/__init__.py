@@ -17,6 +17,7 @@ the device retrieval core. Quirks preserved deliberately:
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -454,7 +455,13 @@ def run_funnel_batch(
             if 0 <= did < len(ix.contents):
                 pairs.append((q, ix.contents[did]))
                 owners.append((b, did))
-    ce = reranker.model.predict(pairs) if pairs else np.zeros(0)
+    # big CE chunks: the forward is MXU-bound at scale, and fewer chunks
+    # mean fewer dispatches to pipeline (the per-chunk host fetch that
+    # used to serialize them is gone — models/minilm.py predict drains
+    # the whole stream with ONE device_get)
+    ce_bs = int(os.environ.get("HST_CE_BATCH", "128"))
+    ce = (reranker.model.predict(pairs, batch_size=ce_bs)
+          if pairs else np.zeros(0))
     per_query: List[List[SearchResult]] = [[] for _ in queries]
     for (b, did), score in zip(owners, ce):
         per_query[b].append((float(score), ix.contents[did], did))
