@@ -103,8 +103,12 @@ class HashingEncoder:
 
     def _features(self, text: str) -> List[tuple]:
         # fast path: tokenize + FNV hashing in one native C pass
-        # (hash-identical to the Python path below; ~10x faster indexing)
+        # (hash-identical to the Python path below; ~10x faster indexing).
+        # ASCII only — non-ASCII text needs the unicode tokenizer below
+        # (extract_tokens CJK-bigrams space-less scripts)
         try:
+            if not text.isascii():
+                raise ImportError
             from hybridsearch_tpu.text.native import token_hashes
 
             uni, bi = token_hashes(text, self._stop_hashes())
@@ -123,6 +127,8 @@ class HashingEncoder:
         """(ids, weights) numpy arrays for one text — vectorized fast path
         over the native tokenize+hash pass."""
         try:
+            if not text.isascii():
+                raise ImportError  # unicode path below
             from hybridsearch_tpu.text.native import token_hashes
 
             uni, bi = token_hashes(text, self._stop_hashes())
@@ -157,6 +163,50 @@ class HashingEncoder:
             ws[i, : len(w)] = w
         out = _gather_mean(self.table, jnp.asarray(ids), jnp.asarray(ws))
         return np.asarray(out, dtype=np.float32)
+
+
+class ByteTrigramEncoder(HashingEncoder):
+    """Language-agnostic byte-trigram hashing encoder.
+
+    The multilingual arm that needs NO weights and NO tokenizer: features
+    are hashed UTF-8 byte trigrams, so every script — CJK, Arabic,
+    Cyrillic, Devanagari, emoji — produces overlapping features, and
+    same-language near-duplicates/paraphrase-with-shared-morphology land
+    close. (Cross-LANGUAGE alignment still needs a trained multilingual
+    checkpoint; services/language.py swaps one in when it exists —
+    reference language.py:171-225 requires sentence-transformers or
+    raises.) Shares the random-projection table + mean-pool design with
+    HashingEncoder, so the index/serving path is identical."""
+
+    def __init__(self, dim: int = 384, n_buckets: int = 1 << 15,
+                 seed: int = 7, max_tokens: int = 512,
+                 name: str = "byte-trigram-encoder") -> None:
+        super().__init__(dim=dim, n_buckets=n_buckets, seed=seed,
+                         bigram_weight=0.0, max_tokens=max_tokens,
+                         name=name)
+
+    def _feature_arrays(self, text: str):
+        raw = (" " + " ".join(text.lower().split()) + " ").encode("utf-8")
+        if len(raw) < 3:
+            return np.zeros(1, np.int32), np.zeros(1, np.float32)
+        arr = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+        # FNV-1a over each byte trigram, vectorized
+        h = np.full(len(arr) - 2, 0xCBF29CE484222325, dtype=np.uint64)
+        for k in range(3):
+            h = (h ^ arr[k:len(arr) - 2 + k].astype(np.uint64))
+            h = h * np.uint64(0x100000001B3)
+        ids = (h % np.uint64(self.n_buckets)).astype(np.int64)
+        # tf weights: repeated trigrams accumulate via duplicate ids in
+        # the gather-mean, so plain ones suffice
+        ws = np.ones(len(ids), np.float32)
+        if len(ids) > self.max_tokens:
+            ids = ids[: self.max_tokens]
+            ws = ws[: self.max_tokens]
+        return ids.astype(np.int32), ws
+
+    def _features(self, text: str):
+        ids, ws = self._feature_arrays(text)
+        return list(zip(ids.tolist(), ws.tolist()))
 
 
 def default_encoder(dim: int = 384, kind: str = "auto", **kwargs) -> Encoder:

@@ -227,9 +227,14 @@ class LanguageDetector:
 
 
 class MultilingualEmbedder:
-    """Multilingual encoder hook (reference language.py:171-225): MiniLM
-    with multilingual weights when a checkpoint exists, else the
-    language-agnostic hashing encoder."""
+    """Multilingual encoder (reference language.py:171-225): MiniLM with
+    multilingual weights when a checkpoint exists, else the language-
+    agnostic BYTE-TRIGRAM encoder — hashed UTF-8 byte trigrams work for
+    every script (CJK/Arabic/Cyrillic/...), so non-English retrieval
+    FUNCTIONS out of the box where the reference raises ImportError
+    without sentence-transformers (language.py:187-188). Evaluated by
+    evaluation/multilingual.py (same-language retrieval across 10
+    languages + script detection)."""
 
     DEFAULT_NAME = "paraphrase-multilingual-MiniLM-L12-v2"
 
@@ -248,9 +253,11 @@ class MultilingualEmbedder:
 
                 self._encoder = MiniLMEncoder(name=self.name, dim=self.dim)
             else:
-                from hybridsearch_tpu.models.encoder import HashingEncoder
+                from hybridsearch_tpu.models.encoder import (
+                    ByteTrigramEncoder,
+                )
 
-                self._encoder = HashingEncoder(dim=self.dim)
+                self._encoder = ByteTrigramEncoder(dim=self.dim)
         return self._encoder
 
     def encode(self, texts: Sequence[str], batch_size: int = 64):

@@ -19,6 +19,15 @@ from typing import Dict, Iterable, List, Optional, Tuple
 
 _TOKEN_RE = re.compile(r"[A-Za-z0-9_]+")
 _WS_RE = re.compile(r"\s+")
+# unicode word tokens for non-ASCII text ([^\W_] = letters/digits across
+# scripts); CJK runs get split into character bigrams below
+_UNI_TOKEN_RE = re.compile(r"[^\W_]+", re.UNICODE)
+# scripts written without spaces: CJK unified + extensions, kana, hangul,
+# and Thai — token = character bigram (the standard search-engine
+# fallback when no segmenter ships)
+_NOSPACE_RE = re.compile(
+    r"[⺀-⿿぀-ヿ㐀-䶿一-鿿"
+    r"가-힯豈-﫿฀-๿]+")
 
 # Standard English function-word stopword set (same role as reference
 # extractor.py:6-12; membership kept to very common function words so BM25
@@ -35,13 +44,37 @@ SUPPORTED_EXTENSIONS = (".txt", ".md", ".log", ".csv", ".json")
 
 def extract_tokens(text: str, remove_stopwords: bool = True) -> List[str]:
     """Lowercase word tokens, optionally stopword-filtered
-    (reference extractor.py:15-31)."""
-    try:
-        from hybridsearch_tpu.text.native import native_tokenize
+    (reference extractor.py:15-31).
 
-        toks = native_tokenize(text)
-    except Exception:
-        toks = _TOKEN_RE.findall(text.lower())
+    ASCII text matches the reference's `[A-Za-z0-9_]+` exactly (parity,
+    plus the native C fast path). Non-ASCII text is a deliberate
+    extension the reference lacks (its regex drops accented Latin,
+    Cyrillic, and every CJK character entirely, extractor.py:28):
+    unicode word tokens, with runs in space-less scripts (CJK, kana,
+    hangul, Thai) split into character bigrams so BM25 has postings to
+    match on."""
+    if text.isascii():
+        try:
+            from hybridsearch_tpu.text.native import native_tokenize
+
+            toks = native_tokenize(text)
+        except Exception:
+            toks = _TOKEN_RE.findall(text.lower())
+    else:
+        toks = []
+        for tok in _UNI_TOKEN_RE.findall(text.lower()):
+            pos = 0
+            for m in _NOSPACE_RE.finditer(tok):
+                if m.start() > pos:
+                    toks.append(tok[pos:m.start()])
+                run = m.group()
+                if len(run) == 1:
+                    toks.append(run)
+                else:
+                    toks.extend(run[i:i + 2] for i in range(len(run) - 1))
+                pos = m.end()
+            if pos < len(tok):
+                toks.append(tok[pos:])
     if remove_stopwords:
         toks = [t for t in toks if t not in STOPWORDS]
     return toks
