@@ -94,7 +94,23 @@ def build_corpus(n: int, chunk: int = 1_000_000) -> jax.Array:
 
 
 def run_once(n_docs: int, iters: int) -> float:
-    """Build the corpus, warm up, measure steady-state QPS. Raises on OOM."""
+    """Build the corpus, warm up, measure steady-state QPS. Raises on OOM.
+
+    The measured loop runs ON DEVICE as one fori_loop program with a
+    single scalar fetch at the end. The previous protocol dispatched one
+    program per iteration from the host; each dispatch blocks on a
+    tunnel round trip whose latency is NOT stable over days (~7 ms on
+    2026-08-17, 50-60 ms on 2026-08-19 — measured by batch-scaling:
+    67/100/139 ms per batch at B=256/1024/2048, i.e. ~55 ms fixed +
+    ~41 ms/1024q compute). That fixed cost is the whole 18,922-vs-6,615
+    qps round-4 swing. On-device looping amortizes it to <1% and
+    measures the kernel, not the tunnel.
+
+    Anti-elision: the loop carry sums every iteration's top-k values
+    into the one fetched scalar, so no iteration can be skipped or
+    reordered. Anti-caching/hoisting: roll(i+1) gives each iteration a
+    distinct query batch, so XLA cannot hoist the sweep out of the loop
+    and the tunnel sees one unique program execution."""
     from hybridsearch_tpu.ops.dense import tiled_dense_topk
 
     docs = build_corpus(n_docs)
@@ -103,30 +119,23 @@ def run_once(n_docs: int, iters: int) -> float:
     queries = jax.random.normal(qkey, (QUERY_BATCH, D), dtype=jnp.float32)
     queries = queries / jnp.linalg.norm(queries, axis=-1, keepdims=True)
 
-    def fn(q):
-        return tiled_dense_topk(q, docs, TOP_K, block_n=block_n)
+    # docs rides as an ARGUMENT, not a closure capture: a captured
+    # device array is embedded in the program as a constant, and a
+    # corpus-sized compile request draws HTTP 413 from the tunnel
+    @jax.jit
+    def measure(q, d, n):
+        def body(i, acc):
+            qi = jnp.roll(q, i + 1, axis=0)
+            v, _ = tiled_dense_topk(qi, d, TOP_K, block_n=block_n)
+            return acc + jnp.sum(v.astype(jnp.float32))
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    @functools.partial(jax.jit, donate_argnums=())
-    def rot(q, i):
-        # rotate the batch each iteration: the device tunnel caches
-        # identical dispatches, which would otherwise inflate QPS
-        return jnp.roll(q, i, axis=0)
-
-    v, _ = fn(queries)  # warmup / compile
-    v.block_until_ready()
-    jax.block_until_ready(rot(queries, 1))
-
-    # checksum chained across iterations: the tunnel has elided
-    # un-fetched dispatches (block_until_ready resolved without
-    # execution); the final scalar fetch forces the whole chain while
-    # the loop stays async-pipelined
-    acc_fn = jax.jit(lambda a, x: a + jnp.sum(x))
-    acc = jnp.float32(0)
+    # compile + one-sweep warmup (n is a traced scalar: warmup and the
+    # measured run share ONE executable, dodging the first-executable
+    # slot penalty documented in docs/KERNELS.md)
+    float(measure(queries, docs, jnp.int32(1)))
     t0 = time.perf_counter()
-    for i in range(iters):
-        v, _ = fn(rot(queries, i + 1))
-        acc = acc_fn(acc, v)
-    float(acc)
+    float(measure(queries, docs, jnp.int32(iters)))
     dt = time.perf_counter() - t0
     return QUERY_BATCH * iters / dt
 
@@ -213,28 +222,36 @@ def _supervised_phases(remaining) -> None:
     # non-interruptible C retry loop and a child would burn the whole
     # budget. Probe with a tiny matmul under a short deadline first and
     # emit the fallback line within ~probe seconds instead of ~budget.
-    probe_s = int(os.environ.get("HST_BENCH_PROBE_S", "90"))
+    # 240 s default, 2 attempts: cold-start init after tunnel idle takes
+    # >90 s (round-4's driver window emitted the fallback on a LIVE
+    # tunnel because its 90 s probe timed out mid-init), and the first
+    # probe warms the remote worker for the second
+    probe_s = int(os.environ.get("HST_BENCH_PROBE_S", "240"))
     if os.environ.get("JAX_PLATFORMS") != "cpu" and probe_s > 0:
-        try:
-            probe = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax, jax.numpy as jnp;"
-                 "x = jnp.ones((256, 256));"
-                 "print('PROBE_OK', jax.default_backend(),"
-                 " float((x @ x).sum()))"],
-                env=dict(os.environ), capture_output=True, text=True,
-                timeout=probe_s, cwd="/tmp",
-            )
-            # require the TPU backend by name: a wedged tunnel can
-            # silently fall back to CPU (docs/KERNELS.md), and a CPU
-            # child would print a small-corpus line that displaces the
-            # last-good chip record in the driver artifact
-            ok = any(ln.startswith("PROBE_OK tpu") for ln
-                     in probe.stdout.splitlines())
-        except subprocess.TimeoutExpired:
-            ok = False
+        ok = False
+        for _attempt in range(2):
+            try:
+                probe = subprocess.run(
+                    [sys.executable, "-c",
+                     "import jax, jax.numpy as jnp;"
+                     "x = jnp.ones((256, 256));"
+                     "print('PROBE_OK', jax.default_backend(),"
+                     " float((x @ x).sum()))"],
+                    env=dict(os.environ), capture_output=True, text=True,
+                    timeout=probe_s, cwd="/tmp",
+                )
+                # require the TPU backend by name: a wedged tunnel can
+                # silently fall back to CPU (docs/KERNELS.md), and a CPU
+                # child would print a small-corpus line that displaces the
+                # last-good chip record in the driver artifact
+                ok = any(ln.startswith("PROBE_OK tpu") for ln
+                         in probe.stdout.splitlines())
+            except subprocess.TimeoutExpired:
+                ok = False
+            if ok or remaining() < probe_s + 300:
+                break
         if not ok:
-            print(f"# device probe failed within {probe_s}s "
+            print(f"# device probe failed within {probe_s}s x2 "
                   "(dead relay / wedged tunnel); skipping bench children",
                   file=sys.stderr)
             _emit_fallback()
@@ -323,7 +340,10 @@ def main() -> None:
         sys.exit(3)
     if backend == "cpu":
         n_docs = min(n_docs, 200_000)
-    iters = 8 if backend != "cpu" else 2
+    # 48 on-device sweeps ≈ 1 s of device time at B=512/10M: long enough
+    # that the one dispatch+fetch round trip (50-60 ms worst observed)
+    # amortizes below 1%, short enough to fit the per-attempt alarm
+    iters = 48 if backend != "cpu" else 2
 
     qps, used_n = 0.0, 0
     # Per-attempt wall-clock guard: a wedged device tunnel must not hang the
