@@ -128,15 +128,54 @@ def main() -> int:
     # fixed 1500-word list -> OOD accuracy collapse; and here: synth-
     # BEIR ndcg 0.872 vs 0.966 for pure hashing before this fix)
     _alpha = list("abcdefghijklmnopqrstuvwxyz")
+    # real English function words sprinkled into generated docs: OOD
+    # English is ~40% stopwords, and a model trained on pure content-word
+    # streams meets them at eval time as unfamiliar dilution in the mean
+    # pool (round-5 OOD eval: partial-overlap p@1 0.33 vs 0.52 hashing)
+    _FUNC = ("the a an of to in and for with on is are was that this "
+             "its by as at from").split()
 
     def _word():
         return "".join(rng.choice(_alpha, size=rng.integers(3, 10)))
 
-    def lexical_pair():
-        qw = [_word() for _ in range(int(rng.integers(2, 4)))]
-        body = qw + [_word() for _ in range(int(rng.integers(6, 14)))]
-        rng.shuffle(body)
-        return " ".join(rng.permutation(qw)), " ".join(body)
+    def _sprinkle(words):
+        out_w = []
+        for w in words:
+            if rng.random() < 0.35:
+                out_w.append(str(rng.choice(_FUNC)))
+            out_w.append(w)
+        return " ".join(out_w)
+
+    def lexical_group(k: int = 4):
+        """k TRUE (query, positive) pairs drawn from ONE shared word
+        pool, query word sets disjoint across the group. Placed in the
+        same batch, every other row's doc shares the pool vocabulary
+        with my query but lacks my query words — an in-batch HARD
+        negative. InfoNCE then has to learn GRADED overlap (rank two
+        shared terms above pool-only overlap) instead of the binary
+        any-overlap-vs-none the old fully-random negatives taught —
+        that model lost to the hashing baseline on the partial-overlap
+        OOD tier (scripts/eval_ood.py, round 5)."""
+        pool = [_word() for _ in range(10 + 3 * k)]
+        free = list(rng.permutation(pool))
+        qsets = []
+        for _ in range(k):
+            take = int(rng.integers(2, 4))
+            if len(free) < take + 6:
+                break
+            qsets.append(free[:take])
+            free = free[take:]
+        rows = []
+        for qw in qsets:
+            # fillers come from the query-word-free remainder so no row's
+            # doc accidentally contains ANOTHER row's full query (that
+            # would be a false in-batch negative)
+            body = qw + list(rng.choice(free, size=int(
+                rng.integers(6, 12))))
+            rng.shuffle(body)
+            rows.append((_sprinkle(list(rng.permutation(qw))),
+                         _sprinkle(body)))
+        return rows
 
     if not args.eval_only:
         trainer = ContrastiveTrainer(cfg=cfg, learning_rate=args.lr)
@@ -151,14 +190,22 @@ def main() -> int:
         for step in range(args.steps):
             qi = rng.integers(0, len(queries), args.batch)
             q_texts, d_texts = [], []
-            for j, i in enumerate(qi):
-                if j % 2:
-                    lq, ld = lexical_pair()
-                    q_texts.append(lq)
-                    d_texts.append(ld)
+            use_group = True
+            while len(q_texts) < args.batch:
+                if use_group:
+                    # a shared-pool group of TRUE pairs: each row's doc
+                    # is a hard in-batch negative for the group's other
+                    # rows (same vocabulary pool, different query words)
+                    for lq, ld in lexical_group(4):
+                        if len(q_texts) >= args.batch:
+                            break
+                        q_texts.append(lq)
+                        d_texts.append(ld)
                 else:
+                    i = qi[len(q_texts) % len(qi)]
                     q_texts.append(queries[i])
                     d_texts.append(docs[rng.choice(by_topic[q_topic[i]])])
+                use_group = not use_group
             q_ids, q_mask = tok.batch_encode(q_texts, args.seq)
             d_ids, d_mask = tok.batch_encode(d_texts, args.seq)
             loss = trainer.train_step((q_ids, q_mask, d_ids, d_mask))
