@@ -148,6 +148,7 @@ def main() -> None:
             return jnp.sum(mx)
 
         row["stats_ms"] = round(timed(f_stats, (q, docs), iters), 2)
+        print(json.dumps({"partial": True, **row}), flush=True)
 
         for S in probes:
             # fixed representative probe set from the real bound logic:
@@ -222,6 +223,7 @@ def main() -> None:
                      + row[f"place_ms_sp{S}"])
             row[f"rest_ms_sp{S}"] = round(full_ms - known, 2)
             row[f"qps_sp{S}"] = round(batch / full_ms * 1e3, 1)
+            print(json.dumps({"partial": True, **row}), flush=True)
 
         print(json.dumps(row), flush=True)
 
