@@ -76,10 +76,18 @@ def main() -> None:
     batched_qps = B / (time.perf_counter() - t0)
     # steady state (second batched run, everything compiled)
     t0 = time.perf_counter()
-    run_funnel_batch(pipe.indexer, pipe.reranker, queries,
-                     stage1_k=100, stage2_k=20, final_k=5)
+    _rows2, meta2 = run_funnel_batch(pipe.indexer, pipe.reranker, queries,
+                                     stage1_k=100, stage2_k=20, final_k=5)
     batched_qps2 = B / (time.perf_counter() - t0)
     cache_after = pipe.reranker.model._fwd._cache_size()
+
+    # CE-forward MFU on the steady-state pass (VERDICT r4 ask 6): padded
+    # FLOPs accounted inside predict / wall time of the CE stage, over
+    # the chip's peak (v5e bf16 ~197 TF/s; CPU rows report flops only)
+    peak = 197e12 if backend == "tpu" else None
+    ce_mfu = None
+    if meta2.get("ce_flops") and meta2.get("t_ce_s") and peak:
+        ce_mfu = meta2["ce_flops"] / meta2["t_ce_s"] / peak
 
     # mixed-length stream recompile audit: after the bucket grid is built,
     # a fresh stream of different mixed-length queries must add ZERO
@@ -100,6 +108,13 @@ def main() -> None:
         "ce_compiles_during_batch": cache_after - cache_before,
         "ce_compiles_on_fresh_stream": cache_stream - cache_after,
         "index_build_s": round(build_s, 1),
+        "stage_s": {k: meta2[k] for k in
+                    ("t_encode_s", "t_dense_s", "t_bm25_s", "t_ce_s")
+                    if k in meta2},
+        "ce_pairs": meta2.get("ce_pairs"),
+        "ce_tokens_padded": meta2.get("ce_tokens_padded"),
+        "ce_tflops": round(meta2.get("ce_flops", 0) / 1e12, 3),
+        "ce_mfu": round(ce_mfu, 4) if ce_mfu is not None else None,
         # provenance: the chip row must show the TRAINED cross-encoder
         # served the rerank stage (VERDICT r3 ask 5)
         "ce": type(pipe.reranker).__name__,

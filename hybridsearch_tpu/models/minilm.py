@@ -360,7 +360,8 @@ class MiniLMCrossEncoder:
             self.weights_origin = "random"
         self._fwd = jax.jit(self.model.apply)
 
-    def predict(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 32) -> np.ndarray:
+    def predict(self, pairs: Sequence[Tuple[str, str]], batch_size: int = 32,
+                stats: Optional[dict] = None) -> np.ndarray:
         """Relevance logits for (query, doc) pairs.
 
         Pairs are length-sorted before chunking so each chunk pads to ITS
@@ -402,6 +403,18 @@ class MiniLMCrossEncoder:
                 self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)
             )
             pending.append((sel, logits))
+            if stats is not None:
+                # padded-work accounting for MFU reporting: per token per
+                # layer the trunk does 8H^2 (QKVO) + 4HF (MLP) + 4HS
+                # (scores + values) FLOPs; embeddings/head are negligible
+                bs_p, S = ids.shape
+                H, F, L = (self.cfg.hidden_dim, self.cfg.mlp_dim,
+                           self.cfg.num_layers)
+                stats["tokens_padded"] = (stats.get("tokens_padded", 0)
+                                          + bs_p * S)
+                stats["pairs"] = stats.get("pairs", 0) + len(chunk)
+                stats["flops"] = stats.get("flops", 0) + (
+                    bs_p * S * L * (8 * H * H + 4 * H * F + 4 * H * S))
         fetched = jax.device_get([lg for _sel, lg in pending])
         for (sel, _lg), host in zip(pending, fetched):
             out[sel] = np.asarray(host)[: len(sel)]

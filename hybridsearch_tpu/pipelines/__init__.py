@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import time
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
@@ -424,12 +425,15 @@ def run_funnel_batch(
     if n == 0 or not queries:
         return [[] for _ in queries], {"stage1_k": 0, "stage2_k": 0}
     B = len(queries)
+    t0 = time.perf_counter()
     q_vecs = ix.encoder.encode(list(queries))
+    t_enc = time.perf_counter()
     k1 = min(stage1_k, n)
     vals1, idxs = ix.dense.search(q_vecs, k1)  # [B, k1]
     # mark padding (-1) and tombstoned (-inf) hits invalid so the
     # stage-3 id guard drops them
     idxs = np.where((idxs >= 0) & np.isfinite(vals1), idxs, -1)
+    t_dense = time.perf_counter()
     # Stage 2: batched candidate BM25
     bm25_state = ix.bm25._state
     groups = ix.bm25.encode_queries_bucketed(list(queries), bm25_state)
@@ -447,6 +451,7 @@ def run_funnel_batch(
     k2 = min(stage2_k, k1)
     order = np.argsort(-cand_scores, axis=1, kind="stable")[:, :k2]
     stage2_ids = np.take_along_axis(idxs, order, axis=1)  # [B, k2]
+    t_bm25 = time.perf_counter()
     # Stage 3: one CE pass over all B*k2 pairs
     pairs, owners = [], []
     for b, q in enumerate(queries):
@@ -460,13 +465,25 @@ def run_funnel_batch(
     # used to serialize them is gone — models/minilm.py predict drains
     # the whole stream with ONE device_get)
     ce_bs = int(os.environ.get("HST_CE_BATCH", "128"))
-    ce = (reranker.model.predict(pairs, batch_size=ce_bs)
-          if pairs else np.zeros(0))
+    ce_stats: Dict[str, Any] = {}
+    try:
+        ce = (reranker.model.predict(pairs, batch_size=ce_bs,
+                                     stats=ce_stats)
+              if pairs else np.zeros(0))
+    except TypeError:  # rerankers whose model lacks the stats kwarg
+        ce = (reranker.model.predict(pairs, batch_size=ce_bs)
+              if pairs else np.zeros(0))
+    t_ce = time.perf_counter()
     per_query: List[List[SearchResult]] = [[] for _ in queries]
     for (b, did), score in zip(owners, ce):
         per_query[b].append((float(score), ix.contents[did], did))
     rows = [sorted(r, key=lambda t: -t[0])[:final_k] for r in per_query]
-    return rows, {"stage1_k": k1, "stage2_k": k2}
+    return rows, {"stage1_k": k1, "stage2_k": k2,
+                  "t_encode_s": round(t_enc - t0, 4),
+                  "t_dense_s": round(t_dense - t_enc, 4),
+                  "t_bm25_s": round(t_bm25 - t_dense, 4),
+                  "t_ce_s": round(t_ce - t_bm25, 4),
+                  **{f"ce_{k_}": v_ for k_, v_ in ce_stats.items()}}
 
 
 class DiversityPipeline(BasePipeline):
