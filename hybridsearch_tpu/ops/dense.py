@@ -169,7 +169,11 @@ def tiled_dense_topk(
     global min/max of the RAW scores over alive docs (bias treated as a
     0/-inf mask), computed inside the same single sweep — the normalization
     statistics of the sparse-correction hybrid (ops/hybrid.py). Return is
-    then (vals, idxs, smin, smax). Not supported in int8 mode.
+    then (vals, idxs, smin, smax). In int8 mode the stats are exact over
+    the DEQUANTIZED int8 scores — self-consistent with the values this
+    kernel returns, which sit within ±(rq + (1+rq)·r_j) of the bf16
+    scores (see int8_swept_topk for the bound); callers needing bf16-
+    exact min-max parity keep the sweep on bf16.
 
     probe_tiles < k bounds pass 3's gather to that many tiles per query
     (the gather is the dominant cost at deep k: k tiles x 128 docs x D per
@@ -197,12 +201,13 @@ def tiled_dense_topk(
     # (int_prod / 127^2 ~= cosine). bf16 mode: operands stay bf16 for the
     # MXU. Otherwise fp32.
     int8_mode = d.dtype == jnp.int8
-    if with_stats and int8_mode:
-        raise NotImplementedError("with_stats is not supported in int8 mode")
     INV8 = jnp.float32(1.0 / (127.0 * 127.0))
     if int8_mode:
-        q8f = jnp.clip(jnp.round(q * 127.0), -127.0, 127.0)
-        q_mm = q8f  # f32-held integers for the XLA fallback path
+        # native int8 operands with int32 accumulation: XLA lowers this
+        # to the MXU's int8 path (2x the bf16 rate on v5e) instead of
+        # the old f32-held-integer dot
+        q_mm = jnp.clip(jnp.round(q * 127.0), -127.0, 127.0).astype(
+            jnp.int8)
     else:
         q_mm = q.astype(d.dtype) if d.dtype == jnp.bfloat16 else q
 
@@ -267,14 +272,13 @@ def tiled_dense_topk(
 
         def pass1(_, inp):
             blk_i, e_blk = inp
-            if int8_mode:
-                e_blk = e_blk.astype(jnp.float32)
             s = jax.lax.dot_general(
                 q_mm, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
+                preferred_element_type=(jnp.int32 if int8_mode
+                                        else jnp.float32),
             )  # [B, blk]
             if int8_mode:
-                s = s * INV8
+                s = s.astype(jnp.float32) * INV8
             gidx = blk_i * blk + col
             raw = s
             if bias_p is not None:
@@ -604,6 +608,161 @@ def dense_tile_stats(
     smin = jnp.min(tile_mins_b, axis=(0, 1))
     tile_max = tiles_b.transpose(2, 0, 1).reshape(B, nb * tpb)[:, :n_tiles]
     return tile_max, smin, smax
+
+
+def quantize_corpus_int8(
+    docs: jax.Array, tile: int = 128
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-doc symmetric int8 quantization of an L2-normalized corpus.
+
+    Returns (d8 [N, D] int8, scale [N] f32, tile_resid [n_tiles] f32):
+      d8_j    = round(d_j / s_j * 127), s_j = max_i |d_j[i]|
+      resid_j = ||d_j - d8_j * s_j/127||_2   (exact, computed here)
+      tile_resid[t] = max over the 128 docs in tile t of resid_j
+    Per-doc scaling shrinks the quantization step to s_j/127 (~6x tighter
+    than global 1/127 scaling at D=384, where |d[i]| ~ 1/sqrt(D)), which
+    keeps the int8 sweep's error interval small enough for the coverage
+    certificate in int8_swept_topk to hold at realistic score gaps."""
+    d = docs.astype(jnp.float32)
+    N = d.shape[0]
+    scale = jnp.maximum(jnp.max(jnp.abs(d), axis=1), 1e-12)  # [N]
+    d8 = jnp.clip(jnp.round(d / scale[:, None] * 127.0), -127.0, 127.0)
+    deq = d8 * (scale[:, None] / 127.0)
+    resid = jnp.sqrt(jnp.sum(jnp.square(d - deq), axis=1))  # [N]
+    n_tiles = -(-N // tile)
+    resid_p = jnp.pad(resid, (0, n_tiles * tile - N))
+    tile_resid = jnp.max(resid_p.reshape(n_tiles, tile), axis=1)
+    return d8.astype(jnp.int8), scale, tile_resid
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "probe_tiles", "block_n", "tile"))
+def int8_swept_topk(
+    queries: jax.Array,  # [B, D] L2-normalized f32
+    d8: jax.Array,  # [N, D] int8 (quantize_corpus_int8)
+    d_scale: jax.Array,  # [N] f32
+    docs: jax.Array,  # [N, D] bf16/f32 exact corpus (rescore operand)
+    tile_resid: jax.Array,  # [n_tiles] f32
+    k: int,
+    probe_tiles: int | None = None,
+    block_n: int = 262144,
+    tile: int = 128,
+    bias: jax.Array | None = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Exact-when-certified top-k with an INT8 pass-1 sweep (VERDICT r4
+    ask 4 / ROADMAP lever 3, generalized from the hybrid's stats sweep to
+    the dense kernel itself).
+
+    pass 1 streams the int8 corpus (half the HBM bytes of bf16) through
+    the MXU's int8 path (2x the bf16 rate on v5e) and reduces per-tile
+    maxima of the dequantized scores; tile selection ranks the SOUND
+    upper bounds m^_t + delta[b,t] where
+
+      |q.d_j - q^.d^_j| <= rq + (1 + rq) * r_j   (triangle + Cauchy-
+      Schwarz on unit q, d: q^ = dequantized query, rq = ||q - q^||,
+      d^_j = dequantized doc, r_j = ||d_j - d^_j||)
+
+      delta[b, t] = rq_b + (1 + rq_b) * tile_resid[t]
+
+    pass 3 gathers the selected tiles' BF16 rows and rescores exactly, so
+    returned VALUES are bit-identical to tiled_dense_topk's. The third
+    return is the per-query coverage certificate: True iff the k-th found
+    value >= the best UNSELECTED tile's inflated bound, in which case no
+    top-k member can live outside the probed tiles and the result is
+    EXACT. Callers escalate probe_tiles (or fall back to the bf16 sweep)
+    on uncertified rows — same ladder as the supertile hybrid
+    (retrieval/searcher.py). Baseline mandate: reference indexer.py:20-67
+    (FAISS flat = exact); this kernel keeps the exactness contract while
+    sweeping at int8 speed.
+
+    probe_tiles defaults to 4*k (margin absorbs bound slack ~2e-2 from
+    per-doc-scaled quantization at D=384)."""
+    q = queries.astype(jnp.float32)
+    B, Dm = q.shape
+    N = d8.shape[0]
+    n_tiles = -(-N // tile)
+    Np = n_tiles * tile
+    if Np != N:
+        d8 = jnp.pad(d8, ((0, Np - N), (0, 0)))
+        d_scale = jnp.pad(d_scale, (0, Np - N))
+    bias_p = None
+    if bias is not None:
+        bias_p = jnp.pad(bias.astype(jnp.float32), (0, Np - N),
+                         constant_values=NEG_INF)
+
+    # query quantization (exact rq on device)
+    sq = jnp.maximum(jnp.max(jnp.abs(q), axis=1), 1e-12)  # [B]
+    q8 = jnp.clip(jnp.round(q / sq[:, None] * 127.0), -127.0, 127.0)
+    rq = jnp.sqrt(jnp.sum(jnp.square(q - q8 * (sq[:, None] / 127.0)),
+                          axis=1))  # [B]
+    q8 = q8.astype(jnp.int8)
+    INV = sq / (127.0 * 127.0)  # [B] per-query dequant factor (x scale_j)
+
+    # -- pass 1: int8 sweep -> dequantized per-tile maxima ----------------
+    blk = max(tile, (min(block_n, Np) // tile) * tile)
+    nb = -(-Np // blk)
+    if nb * blk != Np:
+        d8 = jnp.pad(d8, ((0, nb * blk - Np), (0, 0)))
+        d_scale = jnp.pad(d_scale, (0, nb * blk - Np))
+        if bias_p is not None:
+            bias_p = jnp.pad(bias_p, (0, nb * blk - Np),
+                             constant_values=NEG_INF)
+    tpb = blk // tile
+    d_blocks = d8[: nb * blk].reshape(nb, blk, Dm)
+    s_blocks = d_scale[: nb * blk].reshape(nb, blk)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, blk), 1)
+
+    def pass1(_, inp):
+        blk_i, e_blk, sc_blk = inp
+        s32 = jax.lax.dot_general(
+            q8, e_blk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # [B, blk] int32
+        s = s32.astype(jnp.float32) * (INV[:, None] * sc_blk[None, :])
+        gidx = blk_i * blk + col
+        ok = gidx < N
+        if bias_p is not None:
+            b_blk = jax.lax.dynamic_slice(bias_p, (blk_i * blk,), (blk,))
+            ok = ok & (b_blk[None, :] >= 0.0)  # 0/-inf alive mask
+        s = jnp.where(ok, s, NEG_INF)
+        return None, jnp.max(s.reshape(B, tpb, tile), axis=2).T  # [tpb, B]
+
+    _, tiles_b = jax.lax.scan(
+        pass1, None,
+        (jnp.arange(nb, dtype=jnp.int32), d_blocks, s_blocks),
+    )  # [nb, tpb, B]
+    tile_hat = tiles_b.transpose(2, 0, 1).reshape(B, nb * tpb)[:, :n_tiles]
+
+    # -- pass 2: rank by sound inflated bounds ----------------------------
+    delta = rq[:, None] + (1.0 + rq)[:, None] * tile_resid[None, :]
+    bounds = jnp.where(jnp.isfinite(tile_hat), tile_hat + delta, NEG_INF)
+    if probe_tiles is None:
+        probe_tiles = 4 * k
+    k_gather = max(1, min(probe_tiles, n_tiles), -(-min(k, N) // tile))
+    k_sel = min(k_gather + 1, n_tiles)  # +1: the coverage witness
+    if n_tiles > 4096:
+        bvals, top_tiles = tiled_matrix_topk(bounds, k_sel)
+        top_tiles = jnp.maximum(top_tiles, 0)
+    else:
+        bvals, top_tiles = jax.lax.top_k(bounds, k_sel)
+    if k_gather < k_sel:
+        next_bound = bvals[:, k_gather]  # best unselected tile's bound
+        top_tiles = top_tiles[:, :k_gather]
+    else:
+        next_bound = jnp.full((B,), NEG_INF)
+
+    # -- pass 3: exact bf16 rescore of the selected tiles -----------------
+    s3, gidx3 = gather_tile_scores(q, docs, top_tiles, bias, tile=tile)
+    k_eff = min(k, N)
+    if k_gather * tile > 4096:
+        vals, sel3 = tiled_matrix_topk(s3, k_eff)
+        sel3 = jnp.maximum(sel3, 0)
+    else:
+        vals, sel3 = jax.lax.top_k(s3, k_eff)
+    idxs = jnp.take_along_axis(gidx3, sel3, axis=1)
+    idxs = jnp.where(jnp.isfinite(vals), idxs, -1)
+    covered = (vals[:, k_eff - 1] >= next_bound) | ~jnp.isfinite(next_bound)
+    return vals, idxs, covered
 
 
 @functools.partial(jax.jit, static_argnames=("tile",))
