@@ -52,8 +52,9 @@ def main() -> None:
     rng = np.random.default_rng(5)
     pipe = MultiStagePipeline(encoder=HashingEncoder(dim=128),
                               stage1_k=100, stage2_k=20, final_k=5)
+    corpus = _mixed_corpus(n_docs, rng)  # host synth outside the timer
     t0 = time.time()
-    pipe.index(_mixed_corpus(n_docs, rng))
+    build_info = pipe.index(corpus)
     build_s = time.time() - t0
 
     vocab = [f"term{i}" for i in range(4000)]
@@ -108,6 +109,7 @@ def main() -> None:
         "ce_compiles_during_batch": cache_after - cache_before,
         "ce_compiles_on_fresh_stream": cache_stream - cache_after,
         "index_build_s": round(build_s, 1),
+        "index_build_timings": build_info.get("timings_s"),
         "stage_s": {k: meta2[k] for k in
                     ("t_encode_s", "t_dense_s", "t_bm25_s", "t_ce_s")
                     if k in meta2},

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -83,8 +84,12 @@ class Indexer:
 
     # -- embedding ---------------------------------------------------------------
 
-    def embed(self, texts: Sequence[str], batch_size: int = 512) -> np.ndarray:
-        """Batched encode (reference indexer.py:229-243)."""
+    def embed(self, texts: Sequence[str], batch_size: int = 2048) -> np.ndarray:
+        """Batched encode (reference indexer.py:229-243). 2048-doc device
+        batches: the encode dispatch has a fixed per-call cost (host
+        round trip + pad-bucket fill), and a 200k-doc build at 512 paid
+        it 390x — the gather-mean program itself is far from any memory
+        limit at 2048."""
         out = []
         for i in range(0, len(texts), batch_size):
             out.append(self.encoder.encode(list(texts[i : i + batch_size])))
@@ -108,7 +113,17 @@ class Indexer:
         reference's Document model api.py:26-29) is permuted alongside
         the corpus under the clustered layout, so doc_id->metadata stays
         consistent for the /search/filtered device pre-filter."""
+        tmark = time.perf_counter()
+        timings: Dict[str, float] = {}
+
+        def _mark(stage: str) -> None:
+            nonlocal tmark
+            now = time.perf_counter()
+            timings[stage] = round(timings.get(stage, 0.0) + now - tmark, 3)
+            tmark = now
+
         docs = [preprocess_text(d) for d in documents]
+        _mark("preprocess_s")
         paths = list(paths) if paths is not None else None
         metas = list(metas) if metas is not None else None
         vectors = None
@@ -122,6 +137,7 @@ class Indexer:
             # probe_tiles budget in ops/dense.py covers with ~8x fewer
             # tile gathers) and per-tile certificates tighten.
             vectors = self.embed(docs)
+            _mark("embed_s")
             want_ivf = self._want_ivf(len(docs))
             # ONE k-means serves both the layout and (when IVF is on)
             # the coarse quantizer — the IVF cluster count pins k so the
@@ -130,6 +146,7 @@ class Indexer:
                 vectors,
                 k=self.config.index.ivf_clusters if want_ivf else 0,
             )
+            _mark("cluster_s")
             vectors = vectors[perm]
             docs = [docs[i] for i in perm]
             if paths is not None:
@@ -157,14 +174,18 @@ class Indexer:
         except ImportError:
             token_lists = [extract_tokens(d) for d in docs]
             tok_counts = [len(t) for t in token_lists]
+        _mark("tokenize_s")
         ids = self.store.replace_documents(docs, paths, tok_counts)
         if metas is not None:
             for did, m in zip(ids, metas):
                 if m:
                     self.store.set_metadata(did, m)
+        _mark("store_s")
         if vectors is None:
             vectors = self.embed(docs)
+            _mark("embed_s")
         self.dense.build(vectors)
+        _mark("dense_build_s")
         if self._want_ivf(len(vectors)):
             from hybridsearch_tpu.index.ivf import IVFIndex
 
@@ -184,14 +205,17 @@ class Indexer:
             else:
                 ivf.build(vectors)
             self.ivf = ivf
+        _mark("ivf_s")
         self._align_bm25_shards()
         if hash_data is not None:
             self.bm25.fit_coo_from_hashes(*hash_data)
         else:
             self.bm25.fit_tokens(token_lists)
+        _mark("bm25_s")
         self.contents = list(docs)
         self.doc_ids = ids
-        return {"indexed": len(docs), "dim": self.config.index.dim}
+        return {"indexed": len(docs), "dim": self.config.index.dim,
+                "timings_s": timings}
 
     def add_documents(
         self,
