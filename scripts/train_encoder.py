@@ -89,6 +89,9 @@ def main() -> int:
     ap.add_argument("--seq", type=int, default=48)
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--eval-only", action="store_true")
+    ap.add_argument("--save-every", type=int, default=0,
+                    help="periodic checkpoint interval in steps (0 = "
+                         "only at the end); long CPU runs survive kills")
     ap.add_argument("--out", default=CKPT_DIR)
     args = ap.parse_args()
 
@@ -212,6 +215,12 @@ def main() -> int:
             losses.append(loss)
             if step % 50 == 0:
                 print(f"# step {step} loss {loss:.4f}", flush=True)
+            if args.save_every and step and step % args.save_every == 0:
+                save_trained_checkpoint(
+                    trainer.params, cfg, args.out,
+                    note=(f"contrastive InfoNCE, {step}/{args.steps} "
+                          f"steps (periodic), batch {args.batch}"))
+                print(f"# periodic checkpoint @ step {step}", flush=True)
         out["train_s"] = round(time.time() - t0, 1)
         out["loss_first10"] = round(float(np.mean(losses[:10])), 4)
         out["loss_last10"] = round(float(np.mean(losses[-10:])), 4)
