@@ -44,6 +44,9 @@ if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the axon plugin ignores the env var alone in this image — pin it
     jax.config.update("jax_platforms", "cpu")
 
+# the 10M-doc supertile programs take minutes to compile; persist them
+jax.config.update("jax_compilation_cache_dir", "/tmp/hst_jax_cache")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -181,18 +184,23 @@ def main() -> None:
                     timed(f_scores, (q, docs, sup_s), iters), 2)
 
             # -- resident lexical placement -------------------------------
+            # CSR tables (sup_pos/ids_rows/ws_rows, corpus-sized) MUST be
+            # traced arguments: closure-captured they lower as stablehlo
+            # dense constants, and the multi-GB compile request breaks the
+            # remote-compile tunnel (observed: Broken pipe at this exact
+            # program, 2026-08-19).
             if _use_fused_place():
-                def f_place(i, t_, s_):
+                def f_place(i, t_, s_, pos_, ids_, ws_):
                     lex4, _ovf = _place_windows_fused(
-                        sp.sup_pos, sp.ids_rows, sp.ws_rows,
+                        pos_, ids_, ws_,
                         jnp.roll(t_, i + 1, axis=0),
                         jnp.roll(s_, i, axis=0), sd, wcaps,
                         sp.super_tiles)
                     return jnp.sum(lex4)
             else:
-                def f_place(i, t_, s_):
+                def f_place(i, t_, s_, pos_, ids_, ws_):
                     l_cat, w_cat, _ovf = _resident_windows(
-                        sp.sup_pos, sp.ids_rows, sp.ws_rows,
+                        pos_, ids_, ws_,
                         jnp.roll(t_, i + 1, axis=0),
                         jnp.roll(s_, i, axis=0), sd, wcaps)
                     lex4 = _place_windows(l_cat, w_cat, sp.super_tiles,
@@ -200,14 +208,16 @@ def main() -> None:
                     return jnp.sum(lex4)
 
             row[f"place_ms_sp{S}"] = round(
-                timed(f_place, (term_ids, sup_s), iters), 2)
+                timed(f_place,
+                      (term_ids, sup_s, sp.sup_pos, sp.ids_rows,
+                       sp.ws_rows), iters), 2)
 
             # -- full path -------------------------------------------------
-            def f_full(i, q_, d_, t_):
+            def f_full(i, q_, d_, t_, mx_, pos_, ids_, ws_):
                 qi = jnp.roll(q_, i + 1, axis=0)
                 o, _ = _hybrid_super_impl(
-                    qi, d_, sp.sup_max, sp.sup_pos, sp.ids_rows,
-                    sp.ws_rows, jnp.roll(t_, i + 1, axis=0),
+                    qi, d_, mx_, pos_, ids_,
+                    ws_, jnp.roll(t_, i + 1, axis=0),
                     jnp.asarray(enc.complete),
                     jnp.asarray(enc.full_touched < n_docs),
                     jnp.float32(0.7), jnp.float32(0.3), None,
@@ -216,7 +226,9 @@ def main() -> None:
                 return jnp.sum(jnp.where(jnp.isfinite(o.values),
                                          o.values, 0.0))
 
-            full_ms = timed(f_full, (q, docs, term_ids), iters)
+            full_ms = timed(f_full,
+                            (q, docs, term_ids, sp.sup_max, sp.sup_pos,
+                             sp.ids_rows, sp.ws_rows), iters)
             row[f"full_ms_sp{S}"] = round(full_ms, 2)
             known = (row["stats_ms"]
                      + row.get(f"scores_ms_sp{S}", 0.0)
