@@ -153,6 +153,24 @@ def main() -> None:
         row["stats_ms"] = round(timed(f_stats, (q, docs), iters), 2)
         print(json.dumps({"partial": True, **row}), flush=True)
 
+        # -- probe-bound selection (steps 2-3 of the impl) -----------------
+        # slex row gather + joint bound + top_k(S) over [B, n_super]
+        n_super = sp.sup_max.shape[1]
+        def f_bounds(i, t_, mx_, ts_):
+            ti = jnp.roll(t_, i + 1, axis=0)
+            slex = jnp.sum(jnp.take(mx_, ti, axis=0), axis=1)
+            ssem = jnp.max(jnp.roll(ts_, i, axis=0), axis=2)
+            l0 = jnp.max(slex, axis=1)
+            bound0 = 0.7 * ssem + 0.3 * slex / jnp.maximum(l0[:, None],
+                                                           1e-12)
+            _v, top = jax.lax.top_k(bound0, max(probes))
+            return jnp.sum(jnp.sort(top, axis=1).astype(jnp.float32))
+
+        ts_fake = jnp.zeros((batch, n_super, sp.super_tiles), jnp.float32)
+        row["bounds_ms"] = round(
+            timed(f_bounds, (term_ids, sp.sup_max, ts_fake), iters), 2)
+        print(json.dumps({"partial": True, **row}), flush=True)
+
         for S in probes:
             # fixed representative probe set from the real bound logic:
             # run the impl once and reuse its sup_s (shapes are what
@@ -212,6 +230,22 @@ def main() -> None:
                       (term_ids, sup_s, sp.sup_pos, sp.ids_rows,
                        sp.ws_rows), iters), 2)
 
+            # -- CSR window gather alone (splits place into gather+one-hot)
+            if not _use_fused_place():
+                def f_windows(i, t_, s_, pos_, ids_, ws_):
+                    l_cat, w_cat, _ovf = _resident_windows(
+                        pos_, ids_, ws_,
+                        jnp.roll(t_, i + 1, axis=0),
+                        jnp.roll(s_, i, axis=0), sd, wcaps)
+                    return (jnp.sum(w_cat)
+                            + jnp.sum(l_cat.astype(jnp.float32)) * 1e-9)
+
+                row[f"windows_ms_sp{S}"] = round(
+                    timed(f_windows,
+                          (term_ids, sup_s, sp.sup_pos, sp.ids_rows,
+                           sp.ws_rows), iters), 2)
+                print(json.dumps({"partial": True, **row}), flush=True)
+
             # -- full path -------------------------------------------------
             def f_full(i, q_, d_, t_, mx_, pos_, ids_, ws_):
                 qi = jnp.roll(q_, i + 1, axis=0)
@@ -231,6 +265,7 @@ def main() -> None:
                              sp.ids_rows, sp.ws_rows), iters)
             row[f"full_ms_sp{S}"] = round(full_ms, 2)
             known = (row["stats_ms"]
+                     + row.get("bounds_ms", 0.0)
                      + row.get(f"scores_ms_sp{S}", 0.0)
                      + row[f"place_ms_sp{S}"])
             row[f"rest_ms_sp{S}"] = round(full_ms - known, 2)
