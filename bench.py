@@ -135,22 +135,26 @@ def run_once(n_docs: int, iters: int) -> float:
         d8, d_scale, tile_resid = quantize_corpus_int8(docs)
         jax.block_until_ready(d8)
 
+        # d8 (3.85 GB at 10M) and friends must be ARGUMENTS too — a
+        # closure capture draws the same HTTP 413 as a captured corpus
         @jax.jit
-        def measure(q, d, n):
+        def measure(q, d, d8_, sc_, tr_, n):
             def body(i, acc):
                 qi = jnp.roll(q, i + 1, axis=0)
                 v, _, cov = int8_swept_topk(
-                    qi, d8, d_scale, d, tile_resid, TOP_K,
+                    qi, d8_, sc_, d, tr_, TOP_K,
                     block_n=block_n)
                 return (acc[0] + jnp.sum(v.astype(jnp.float32)),
                         acc[1] + jnp.sum(cov.astype(jnp.float32)))
             return jax.lax.fori_loop(
                 0, n, body, (jnp.float32(0.0), jnp.float32(0.0)))
 
-        _chk, _ = measure(queries, docs, jnp.int32(1))
+        _chk, _ = measure(queries, docs, d8, d_scale, tile_resid,
+                          jnp.int32(1))
         float(_chk)
         t0 = time.perf_counter()
-        chk, cov_n = measure(queries, docs, jnp.int32(iters))
+        chk, cov_n = measure(queries, docs, d8, d_scale, tile_resid,
+                             jnp.int32(iters))
         chk, cov_n = float(chk), float(cov_n)
         dt = time.perf_counter() - t0
         global _COVERED_PCT
@@ -332,7 +336,8 @@ def _supervised_phases(remaining) -> None:
     if hybrid:
         for k_ in ("hybrid_qps", "hybrid_docs", "hybrid_exact_pct",
                    "hybrid_qps_loop1", "hybrid_variant", "hybrid_batch",
-                   "hybrid_promoted_from", "hybrid_ab", "hybrid_note"):
+                   "hybrid_promoted_from", "hybrid_ab", "hybrid_note",
+                   "hybrid_error"):
             if k_ in hybrid:
                 line[k_] = hybrid[k_]
     _persist_last_good(line, line.get("value", 0.0),
@@ -479,6 +484,9 @@ def main() -> None:
                         "hybrid_exact_pct": prior.get("hybrid_exact_pct"),
                         "hybrid_note": "from last successful run this "
                                        "round (bench-time failure above)",
+                        # the supervisor discards child stderr once a JSON
+                        # line exists — carry the cause in-band
+                        "hybrid_error": f"{type(e).__name__}: {e}"[:200],
                     }
             except OSError:
                 pass

@@ -516,12 +516,17 @@ def run(n_docs: int, batch: int, iters: int,
         complete = jnp.asarray(enc_s.complete)
         lmz = jnp.asarray(enc_s.full_touched < n_docs)
 
+        # corpus-sized operands (docs + CSR tables) MUST be traced
+        # arguments: closure captures lower as stablehlo dense constants
+        # and the multi-GB remote-compile request draws HTTP 413 /
+        # Broken pipe from the tunnel (same fix as bench.py's dense
+        # measure and attr_supertile, 2026-08-19)
         @jax.jit
-        def prog(n, base, qq, tt):
+        def prog(n, base, qq, tt, docs_, mx_, pos_, ids_, ws_):
             def body(i, acc):
                 o, _ = _hybrid_super_impl(
-                    jnp.roll(qq, base + i + 1, axis=0), docs, sp.sup_max,
-                    sp.sup_pos, sp.ids_rows, sp.ws_rows,
+                    jnp.roll(qq, base + i + 1, axis=0), docs_, mx_,
+                    pos_, ids_, ws_,
                     jnp.roll(tt, base + i + 1, axis=0), complete, lmz,
                     jnp.float32(0.7), jnp.float32(0.3), None,
                     k=TOP_K, s_probe=SP, wcaps=wcaps, norm="minmax",
@@ -530,7 +535,12 @@ def run(n_docs: int, batch: int, iters: int,
                                                o.values, jnp.float32(0)))
             return jax.lax.fori_loop(0, n, body, jnp.float32(0))
 
-        return prog
+        def run_prog(n, base):
+            return prog(jnp.int32(n), jnp.int32(base), q, enc_s.term_ids,
+                        docs, sp.sup_max, sp.sup_pos, sp.ids_rows,
+                        sp.ws_rows)
+
+        return run_prog
 
     if superhyb:
         prog = _ondev_prog()
@@ -539,14 +549,11 @@ def run(n_docs: int, batch: int, iters: int,
             nonlocal prog
             if tag:  # A/B variant: env gates changed — retrace
                 prog = _ondev_prog()
-            float(prog(jnp.int32(1), jnp.int32(tag * 100), q,
-                       enc_s.term_ids))  # compile + warm
+            float(prog(1, tag * 100))  # compile + warm
             out = []
             for loop in range(2):
                 t0l = time.perf_counter()
-                float(prog(jnp.int32(iters),
-                           jnp.int32(tag * 100 + loop * iters), q,
-                           enc_s.term_ids))
+                float(prog(iters, tag * 100 + loop * iters))
                 dt = time.perf_counter() - t0l
                 out.append(batch * iters / dt)
             return out

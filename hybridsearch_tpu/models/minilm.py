@@ -373,48 +373,61 @@ class MiniLMCrossEncoder:
         the fixed bucket grid."""
         if not len(pairs):
             return np.zeros((0,), np.float32)
-        # cheap length proxy: whitespace tokens over both sides (the exact
-        # wordpiece count would re-tokenize; ordering only needs ranks)
-        order = sorted(range(len(pairs)),
-                       key=lambda i: len(pairs[i][0].split())
-                       + len(pairs[i][1].split()))
+        # tokenize everything up front (memoized per text in the
+        # tokenizer — the query side repeats k2 times per funnel batch
+        # and hot documents recur across batches), then group pairs by
+        # their OWN sequence bucket. One dispatch per (bucket, <=token
+        # budget) group: the per-chunk protocol paid one ~50 ms tunnel
+        # round trip per 128 pairs, which dwarfed the forward itself
+        # (funnel t_ce 0.496 s for 10 chunks, CE MFU 0.64%).
+        enc = [self.tokenizer.encode_pair(a, b, self.max_seq_len)
+               for a, b in pairs]
+        pad_id = self.tokenizer.vocab.pad_id
+        by_bucket: dict = {}
+        for j, (e, _t) in enumerate(enc):
+            by_bucket.setdefault(
+                min(self.max_seq_len, _bucket_seq(len(e))), []).append(j)
+        # dispatch-size cap in TOKENS: bounds activation memory (the
+        # [bs, heads, S, S] attention scores dominate) independent of
+        # sequence bucket. 128k tokens = 2048 pairs at S=64.
+        max_tok = int(os.environ.get("HST_CE_MAX_TOKENS", "131072"))
         out = np.zeros(len(pairs), np.float32)
-        # async pipeline: enqueue EVERY chunk's forward before fetching
-        # anything — a per-chunk device_get serialized each dispatch
-        # behind a host round trip (40 blocking round trips per 64x20
-        # funnel batch on the tunnel); host tokenization of chunk i+1 now
-        # overlaps the device running chunk i, and one gather at the end
-        # drains the whole stream
+        # async pipeline: enqueue every group's forward before fetching
+        # anything; one gather at the end drains the whole stream
         pending = []  # (sel, device logits)
-        for i in range(0, len(order), batch_size):
-            sel = order[i : i + batch_size]
-            chunk = [pairs[j] for j in sel]
-            ids, types, mask = self.tokenizer.batch_encode_pairs(
-                chunk, self.max_seq_len
-            )
-            bs = _bucket_batch(len(chunk))
-            if bs != len(chunk):
-                pad = bs - len(chunk)
-                ids = np.pad(ids, ((0, pad), (0, 0)))
-                types = np.pad(types, ((0, pad), (0, 0)))
-                mask = np.pad(mask, ((0, pad), (0, 0)))
-                mask[len(chunk):, 0] = 1
-            logits = self._fwd(
-                self.params, jnp.asarray(ids), jnp.asarray(mask), jnp.asarray(types)
-            )
-            pending.append((sel, logits))
-            if stats is not None:
-                # padded-work accounting for MFU reporting: per token per
-                # layer the trunk does 8H^2 (QKVO) + 4HF (MLP) + 4HS
-                # (scores + values) FLOPs; embeddings/head are negligible
-                bs_p, S = ids.shape
-                H, F, L = (self.cfg.hidden_dim, self.cfg.mlp_dim,
-                           self.cfg.num_layers)
-                stats["tokens_padded"] = (stats.get("tokens_padded", 0)
-                                          + bs_p * S)
-                stats["pairs"] = stats.get("pairs", 0) + len(chunk)
-                stats["flops"] = stats.get("flops", 0) + (
-                    bs_p * S * L * (8 * H * H + 4 * H * F + 4 * H * S))
+        for S in sorted(by_bucket):
+            sel_all = by_bucket[S]
+            step = max(8, min(max(batch_size, 1024), max_tok // S))
+            for i in range(0, len(sel_all), step):
+                sel = sel_all[i : i + step]
+                bs = _bucket_batch(len(sel))
+                ids = np.full((bs, S), pad_id, dtype=np.int32)
+                types = np.zeros((bs, S), dtype=np.int32)
+                mask = np.zeros((bs, S), dtype=np.int32)
+                for r, j in enumerate(sel):
+                    e, t = enc[j]
+                    ids[r, : len(e)] = e
+                    types[r, : len(t)] = t
+                    mask[r, : len(e)] = 1
+                mask[len(sel):, 0] = 1  # all-pad rows: avoid 0/0 attn
+                logits = self._fwd(
+                    self.params, jnp.asarray(ids), jnp.asarray(mask),
+                    jnp.asarray(types)
+                )
+                pending.append((sel, logits))
+                if stats is not None:
+                    # padded-work accounting for MFU reporting: per token
+                    # per layer the trunk does 8H^2 (QKVO) + 4HF (MLP) +
+                    # 4HS (scores + values) FLOPs; embeddings/head are
+                    # negligible
+                    H, F, L = (self.cfg.hidden_dim, self.cfg.mlp_dim,
+                               self.cfg.num_layers)
+                    stats["tokens_padded"] = (stats.get("tokens_padded", 0)
+                                              + bs * S)
+                    stats["pairs"] = stats.get("pairs", 0) + len(sel)
+                    stats["dispatches"] = stats.get("dispatches", 0) + 1
+                    stats["flops"] = stats.get("flops", 0) + (
+                        bs * S * L * (8 * H * H + 4 * H * F + 4 * H * S))
         fetched = jax.device_get([lg for _sel, lg in pending])
         for (sel, _lg), host in zip(pending, fetched):
             out[sel] = np.asarray(host)[: len(sel)]
@@ -422,6 +435,15 @@ class MiniLMCrossEncoder:
 
 
 def _bucket_batch(n: int) -> int:
+    b = 8
+    while b < n:
+        b *= 2
+    return b
+
+
+def _bucket_seq(n: int) -> int:
+    """Power-of-two sequence bucket from 8 (matches the tokenizer's
+    pad_multiple=8 bucketing, so the XLA shape set stays identical)."""
     b = 8
     while b < n:
         b *= 2

@@ -116,6 +116,12 @@ class HashedVocab:
 class BertTokenizer:
     """BERT-style tokenizer over either vocab backend."""
 
+    # memo bound: ~512k texts x ~60 int ids ~= 150 MB worst case;
+    # cleared wholesale when full (rerank candidate sets are zipfian —
+    # the hot texts repopulate within one batch)
+    _CACHE_ENTRIES = 1 << 19
+    _CACHE_TOK = 512  # tokens memoized per text (>= every max_len used)
+
     def __init__(
         self,
         vocab_path: Optional[str] = None,
@@ -127,35 +133,47 @@ class BertTokenizer:
         else:
             self.vocab = HashedVocab(vocab_size)
         self.lowercase = lowercase
+        self._seq_cache: Dict[str, Tuple[List[int], bool]] = {}
 
     @property
     def vocab_size(self) -> int:
         return self.vocab.size
 
-    def encode(self, text: str, max_len: int = 256) -> List[int]:
-        ids = [self.vocab.cls_id]
+    def _text_ids(self, text: str, need: int) -> List[int]:
+        """Wordpiece ids for `text` (no special tokens), at least `need`
+        tokens unless the text is shorter. Memoized per text: the rerank
+        hot path tokenizes the SAME query 20x per funnel batch and the
+        same hot documents every batch — host WordPiece measured 0.59 s
+        per 1280 pairs, longer than the whole CE device forward."""
+        hit = self._seq_cache.get(text)
+        if hit is not None:
+            ids, complete = hit
+            if complete or len(ids) >= need:
+                return ids
+        ids = []
+        complete = True
         for word in basic_tokenize(text, self.lowercase):
             ids.extend(self.vocab.wordpiece(word))
-            if len(ids) >= max_len - 1:
+            if len(ids) >= self._CACHE_TOK:
+                complete = False
                 break
-        ids = ids[: max_len - 1]
-        ids.append(self.vocab.sep_id)
+        if len(self._seq_cache) >= self._CACHE_ENTRIES:
+            self._seq_cache.clear()
+        self._seq_cache[text] = (ids, complete)
         return ids
+
+    def encode(self, text: str, max_len: int = 256) -> List[int]:
+        body = self._text_ids(text, max_len - 2)
+        return ([self.vocab.cls_id] + body[: max_len - 2]
+                + [self.vocab.sep_id])
 
     def encode_pair(self, text_a: str, text_b: str, max_len: int = 256) -> Tuple[List[int], List[int]]:
         """(ids, type_ids) for cross-encoder (query, doc) pairs."""
-        a = [self.vocab.cls_id]
-        for w in basic_tokenize(text_a, self.lowercase):
-            a.extend(self.vocab.wordpiece(w))
-            if len(a) >= max_len // 2 - 1:
-                break
-        a = a[: max_len // 2 - 1] + [self.vocab.sep_id]
-        b: List[int] = []
-        for w in basic_tokenize(text_b, self.lowercase):
-            b.extend(self.vocab.wordpiece(w))
-            if len(a) + len(b) >= max_len - 1:
-                break
-        b = b[: max_len - 1 - len(a)] + [self.vocab.sep_id]
+        a = ([self.vocab.cls_id]
+             + self._text_ids(text_a, max_len // 2 - 2)[: max_len // 2 - 2]
+             + [self.vocab.sep_id])
+        b = (self._text_ids(text_b, max_len - 1 - len(a))
+             [: max_len - 1 - len(a)] + [self.vocab.sep_id])
         return a + b, [0] * len(a) + [1] * len(b)
 
     def batch_encode(
