@@ -161,17 +161,23 @@ def main(argv: list | None = None) -> dict:
         # exponential process adds variance a 20 s window can't average)
         arrivals = [i / args.qps for i in range(n_req)]
 
+    # deterministic warmup FIRST: compile every batcher pad bucket with
+    # queries from the live distribution (HTTP-driven warmup is emergent —
+    # a bucket first formed inside the measured window stalls its batch on
+    # a compile; chip loadgen measured 20.7 s p99 from exactly this)
+    t_w = time.perf_counter()
+    n_warm = state.warmup(make_queries(64, seed=11), top_k=args.top_k)
+    warm_s = round(time.perf_counter() - t_w, 1)
+
     with APIServer(state, host="127.0.0.1", port=0) as server:
         base = f"http://127.0.0.1:{server.port}"
-        # warm the compiled path before the measured window — at FULL
-        # concurrency, so every pad bucket the batcher can form during
-        # the run (1,2,4,...,workers) compiles now, not inside the p99
-        run_load(base, make_queries(4, seed=9), None, workers=2,
-                 top_k=args.top_k)
-        run_load(base, make_queries(max(4, 4 * args.workers), seed=11),
+        # HTTP-level warm pass (router, caches, batcher thread)
+        run_load(base, make_queries(max(4, 2 * args.workers), seed=9),
                  None, workers=args.workers, top_k=args.top_k)
         res = run_load(base, queries, arrivals, args.workers,
                        top_k=args.top_k)
+    res["warmup_dispatches"] = n_warm
+    res["warmup_s"] = warm_s
     line = {
         "metric": f"http_search_latency@{args.docs}docs",
         "offered_qps": None if args.closed else args.qps,
