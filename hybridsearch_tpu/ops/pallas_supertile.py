@@ -377,7 +377,7 @@ def pallas_place_fused(
 
 @functools.partial(jax.jit,
                    static_argnames=("super_tiles", "tile", "ech",
-                                    "interpret"))
+                                    "interpret", "tlhs"))
 def pallas_place_windows(
     l_flat: jax.Array,  # [BS, TE] int32 local doc ids (invalid < 0 or >= R)
     w_flat: jax.Array,  # [BS, TE] float32 (invalid entries = 0)
@@ -386,10 +386,19 @@ def pallas_place_windows(
     ech: int = 1024,  # 2048 OOMed VMEM: the 8 unrolled rows' one-hot
     #                   temporaries (~2.5 MB each) co-allocate on stack
     interpret: bool = False,
+    tlhs: bool = False,
 ) -> jax.Array:
     """[BS, super_tiles, tile] f32 resident lexical buffers. TE must be a
     multiple of `ech`; BS is padded to a multiple of 8 here (Mosaic:
-    block rows divisible by 8)."""
+    block rows divisible by 8).
+
+    tlhs=True builds the weighted row one-hot TRANSPOSED ([St, ech]
+    instead of [ech, St]) so the contraction is a plain [M,K]x[K,N]
+    matmul with K minor on the LHS — the dim-0/dim-0 contraction of the
+    default layout makes Mosaic relayout/transpose the f32 operand on
+    the VPU every chunk, which chip attribution measured at ~392 ms of
+    the 473 ms sp4/B=1024 placement stage (docs/HW_R4_LOG + attr2,
+    2026-08-19). Same values bit-for-bit: the one-hots are exact."""
     _ROWS = 8
     BS, TE = l_flat.shape
     ech = min(ech, TE)
@@ -410,6 +419,7 @@ def pallas_place_windows(
 
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, super_tiles), 1)
         c_iota = jax.lax.broadcasted_iota(jnp.int32, (ech, tile), 1)
+        rt_iota = jax.lax.broadcasted_iota(jnp.int32, (super_tiles, ech), 0)
         for r in range(_ROWS):
             l = l_ref[r]  # [ech]
             w = w_ref[r]  # [ech]
@@ -418,9 +428,17 @@ def pallas_place_windows(
             # never receives weight. (A bool [ech] -> [ech, 1] reshape
             # also trips Mosaic: "insertion of minor dim ... only
             # supported for 32-bit types".)
+            c_hot = (l[:, None] % tile == c_iota).astype(jnp.bfloat16)
+            if tlhs:
+                wh_t = jnp.where(l[None, :] // tile == rt_iota,
+                                 w[None, :], 0.0)  # [St, ech] f32
+                out_ref[r] += jax.lax.dot_general(
+                    wh_t, c_hot, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
             r_hot = l[:, None] // tile == r_iota  # [ech, St]
             wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 exact row select
-            c_hot = (l[:, None] % tile == c_iota).astype(jnp.bfloat16)
             out_ref[r] += jax.lax.dot_general(
                 wh, c_hot, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,

@@ -484,6 +484,8 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
     B, S, TEp = l_cat.shape
     n_ch = TEp // ech
     if use_pallas:
+        import os as _os
+
         from hybridsearch_tpu.ops.pallas_supertile import (
             pallas_place_windows,
         )
@@ -491,6 +493,10 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
         return pallas_place_windows(
             l_cat.reshape(B * S, TEp), w_cat.reshape(B * S, TEp),
             super_tiles, TILE, ech=ech, interpret=_interpret_kernels(),
+            # off until the chip A/B lands (real-toolchain compile gate
+            # + micro_place bench) — the round-4 lesson: never default a
+            # lever the hardware hasn't run (VERDICT r4 weak-2)
+            tlhs=_os.environ.get("HST_PLACE_TLHS", "0") == "1",
         ).reshape(B, S, super_tiles, TILE)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)

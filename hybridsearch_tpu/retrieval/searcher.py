@@ -57,6 +57,87 @@ _TILE_LADDER = (128, 256, 512)
 # chase uncertified queries
 _SUPER_LADDER = (2, 4, 8, 16)
 
+# smallest padded batch for compacted escalation rungs (_pow2_bucket):
+# big enough to bound the compile-key count (buckets are pow2 from here
+# to B/2), small enough that a 3-query tail doesn't pay a 1024-row rung
+_MIN_ESCALATION_BUCKET = 32
+
+
+def _pow2_bucket(n: int, lo: Optional[int] = None) -> int:
+    b = lo if lo is not None else _MIN_ESCALATION_BUCKET
+    while b < n:
+        b <<= 1
+    return b
+
+
+def _subset_batch_rows(obj, fi_pad: np.ndarray, batch: int):
+    """Rows `fi_pad` from every per-query field of a NamedTuple: fields
+    whose leading dim equals `batch` are gathered (jax arrays on device,
+    numpy on host); corpus-side fields, static tuples and scalars pass
+    through unchanged. Pad rows duplicate a real failed query, so the
+    subset stays a valid batch (their outputs are dropped at merge).
+
+    This powers escalation-ladder compaction: rung r+1 re-runs ONLY the
+    uncertified queries, padded to a pow2 bucket (a jit compile key the
+    persistent compile cache amortizes), instead of the whole batch —
+    chip attribution measured the full-batch supertile rung at 657 ms
+    (sp4/B=1024/10M) vs 345 ms at sp2, so re-running 1024 rows to chase
+    a ~1-5% uncertified tail dominated serving cost."""
+    fi_dev = None
+    out = []
+    for v in obj:
+        if isinstance(v, jax.Array) and v.ndim >= 1 and v.shape[0] == batch:
+            if fi_dev is None:
+                fi_dev = jnp.asarray(fi_pad)
+            out.append(jnp.take(v, fi_dev, axis=0))
+        elif isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == batch:
+            out.append(np.take(v, fi_pad, axis=0))
+        else:
+            out.append(v)
+    return type(obj)(*out)
+
+
+class _LadderState:
+    """Merged full-batch results across compacted escalation rungs."""
+
+    def __init__(self, batch: int):
+        self.batch = batch
+        self.values: Optional[np.ndarray] = None
+        self.indices: Optional[np.ndarray] = None
+        self.exact: Optional[np.ndarray] = None
+        self.rows: Optional[np.ndarray] = None  # rows the last rung ran
+
+    def merge(self, values, indices, exact) -> None:
+        rv = np.asarray(jax.device_get(values))
+        ri = np.asarray(jax.device_get(indices))
+        re_ = np.asarray(jax.device_get(exact))
+        if self.rows is None:
+            # device_get hands back read-only views; later compacted
+            # rungs write through these rows
+            self.values = np.array(rv)
+            self.indices = np.array(ri)
+            self.exact = np.array(re_)
+        else:
+            m = len(self.rows)
+            self.values[self.rows] = rv[:m]
+            self.indices[self.rows] = ri[:m]
+            self.exact[self.rows] = re_[:m]
+
+    def next_rows(self) -> Optional[np.ndarray]:
+        """Uncertified rows to escalate, or None to re-run the full
+        batch (compaction only pays when the padded bucket is smaller)."""
+        fi = np.where(~self.exact)[0]
+        if len(fi) and _pow2_bucket(len(fi)) < self.batch:
+            self.rows = fi
+            return fi
+        self.rows = None
+        return None
+
+    def padded(self, fi: np.ndarray) -> np.ndarray:
+        b = _pow2_bucket(len(fi))
+        return np.concatenate(
+            [fi, np.full(b - len(fi), fi[-1], dtype=fi.dtype)])
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fuse_and_topk(
@@ -463,27 +544,37 @@ class Searcher:
         q = l2_normalize(jnp.asarray(np.asarray(q_vecs, np.float32)))
         n_alive = snap.n - getattr(self.indexer.dense, "deleted_count", 0)
         lmz = enc_s.full_touched < n_alive
+        certifiable = enc_s.complete & lmz
         ns_local = ssp.sup_max.shape[-1]
-        res = None
+        B = q.shape[0]
+        st = _LadderState(B)
+        cur_q, cur_enc = q, enc_s
         prev_fails = None
         for s_probe in _SUPER_LADDER:
             res = sharded_supertile_topk(
-                self.indexer.mesh, q, snap.docs, *placed, enc_s, k=k,
-                semantic_weight=sw, lexical_weight=lw,
+                self.indexer.mesh, cur_q, snap.docs, *placed, cur_enc,
+                k=k, semantic_weight=sw, lexical_weight=lw,
                 s_probe=min(s_probe, ns_local), valid_n=snap.n,
                 n_alive=n_alive, bias_sharded=snap.bias,
             )
-            exact = np.asarray(jax.device_get(res[2]))
-            if exact.all():
-                return res[0], res[1]
-            if not np.logical_and(~exact, enc_s.complete & lmz).any():
+            st.merge(res[0], res[1], res[2])
+            if st.exact.all():
+                return st.values, st.indices
+            if not np.logical_and(~st.exact, certifiable).any():
                 break
             if s_probe >= ns_local:
                 break
-            fails = int((~exact).sum())
+            fails = int((~st.exact).sum())
             if prev_fails is not None and fails >= prev_fails:
                 break  # no progress: deeper rungs are not certifying more
             prev_fails = fails
+            fi = st.next_rows()  # compacted escalation (see _subset_batch_rows)
+            if fi is not None:
+                fp = st.padded(fi)
+                cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
+                cur_enc = _subset_batch_rows(enc_s, fp, B)
+            else:
+                cur_q, cur_enc = q, enc_s
         from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
         GLOBAL_COUNTERS.inc("hybrid_sharded_uncertified")
@@ -526,21 +617,23 @@ class Searcher:
 
             sp, enc_s = bm25.encode_queries_super(list(queries))
             if sp is not None:
-                res = None
+                B = q.shape[0]
                 lmz = enc_s.full_touched < n_alive
+                certifiable = enc_s.complete & lmz
+                st = _LadderState(B)
+                cur_q, cur_enc = q, enc_s
                 prev_fails = None
                 for s_probe in _SUPER_LADDER:
                     res = hybrid_supertile_topk(
-                        q, snap.docs, sp, enc_s, k, sw, lw,
+                        cur_q, snap.docs, sp, cur_enc, k, sw, lw,
                         bias=snap.bias, s_probe=s_probe, n_alive=n_alive,
                     )
-                    exact = np.asarray(jax.device_get(res.exact))
-                    if exact.all():
-                        return res.values, res.indices
+                    st.merge(res.values, res.indices, res.exact)
+                    if st.exact.all():
+                        return st.values, st.indices
                     # certifiable-at-all: term-complete AND the lexical
                     # min is provably 0; deeper probes can't fix the rest
-                    if not np.logical_and(~exact,
-                                          enc_s.complete & lmz).any():
+                    if not np.logical_and(~st.exact, certifiable).any():
                         break
                     if s_probe * sp.super_docs >= snap.n:
                         break  # this rung already probed every supertile
@@ -550,10 +643,21 @@ class Searcher:
                     # dispatch + host round trip per rung and closes
                     # nothing (chip loadgen: full-ladder serving measured
                     # p50 575 ms/request batch)
-                    fails = int((~exact).sum())
+                    fails = int((~st.exact).sum())
                     if prev_fails is not None and fails >= prev_fails:
                         break
                     prev_fails = fails
+                    # compact: deeper rungs re-run ONLY the uncertified
+                    # tail (padded to a pow2 bucket); certified rows keep
+                    # their (exact) rung-r results — identical outputs,
+                    # the deep rung costs O(tail) instead of O(B)
+                    fi = st.next_rows()
+                    if fi is not None:
+                        fp = st.padded(fi)
+                        cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
+                        cur_enc = _subset_batch_rows(enc_s, fp, B)
+                    else:
+                        cur_q, cur_enc = q, enc_s
                 from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
                 if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
@@ -564,7 +668,7 @@ class Searcher:
                         "probe escalation; serving the best-effort top-k",
                         RuntimeWarning,
                     )
-                return res.values, res.indices
+                return st.values, st.indices
         use_tiles = (self.indexer.config.index.layout == "clustered"
                      and _os.environ.get("HST_TILE_HYBRID", "1") != "0")
         if use_tiles:
@@ -583,28 +687,39 @@ class Searcher:
             imp, enc = bm25.encode_queries_impact(list(queries),
                                                   p_depth=pd_t)
             if imp is not None:
-                res = None
+                B = q.shape[0]
+                cc = np.asarray(enc.complete)
+                if enc.corrected_complete is not None:
+                    cc = cc | enc.corrected_complete
+                st = _LadderState(B)
+                cur_q, cur_enc = q, enc
+                ran = False
                 prev_fails = None
                 for kt in _TILE_LADDER:
-                    if (kt - 1) * 128 >= snap.n and res is not None:
+                    if (kt - 1) * 128 >= snap.n and ran:
                         break  # previous rung already probed every tile
                     res = hybrid_tile_topk(
-                        q, snap.docs, imp, enc, k, sw, lw,
+                        cur_q, snap.docs, imp, cur_enc, k, sw, lw,
                         bias=snap.bias, kt=kt, p_depth=pd_t,
                         n_alive=n_alive,
                     )
-                    exact = np.asarray(jax.device_get(res.exact))
-                    if exact.all():
-                        return res.values, res.indices
-                    cc = np.asarray(enc.complete)
-                    if enc.corrected_complete is not None:
-                        cc = cc | enc.corrected_complete
-                    if not np.logical_and(~exact, cc).any():
+                    ran = True
+                    st.merge(res.values, res.indices, res.exact)
+                    if st.exact.all():
+                        return st.values, st.indices
+                    if not np.logical_and(~st.exact, cc).any():
                         break  # deeper probes cannot certify the failures
-                    fails = int((~exact).sum())
+                    fails = int((~st.exact).sum())
                     if prev_fails is not None and fails >= prev_fails:
                         break  # no progress: bounds are not tightening
                     prev_fails = fails
+                    fi = st.next_rows()  # compacted escalation
+                    if fi is not None:
+                        fp = st.padded(fi)
+                        cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
+                        cur_enc = _subset_batch_rows(enc, fp, B)
+                    else:
+                        cur_q, cur_enc = q, enc
                 from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
                 if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
@@ -615,41 +730,59 @@ class Searcher:
                         "escalation; serving the best-effort top-k",
                         RuntimeWarning,
                     )
-                return res.values, res.indices
-        res = None
+                return st.values, st.indices
+        B = q.shape[0]
+        st = _LadderState(B)
+        cur_queries, cur_q = list(queries), q
+        ran = False
         prev_fails = None
         for rung, (kd, cp, pd) in enumerate(_IMPACT_LADDER):
             kd_tiles = 128 if clustered and rung == 0 else None
-            imp, enc = bm25.encode_queries_impact(list(queries), p_depth=pd)
+            imp, enc = bm25.encode_queries_impact(cur_queries, p_depth=pd)
             if imp is None:
                 break
             # enc.full_postings comes from the SAME snapshot as imp/enc
             # (never bm25_state, which was captured earlier and may be a
             # different generation — ADVICE r2)
             res = hybrid_impact_topk(
-                q, snap.docs, imp, enc, k, sw, lw, bias=snap.bias,
+                cur_q, snap.docs, imp, enc, k, sw, lw, bias=snap.bias,
                 k_dense=kd, c_per_term=cp, p_depth=pd, n_alive=n_alive,
                 kd_tiles=kd_tiles,
             )
-            exact = np.asarray(jax.device_get(res.exact))
-            if exact.all():
-                return res.values, res.indices
+            ran = True
+            st.merge(res.values, res.indices, res.exact)
+            if st.exact.all():
+                return st.values, st.indices
             # escalation helps queries whose terms CAN be fully covered at
             # a deeper prune depth, and margin-certifiable queries (every
             # truncated term bisected): deeper rungs shrink the tail
-            # slack, tightening the margin certificate's bounds
-            can_improve = enc.certifiable_deeper
+            # slack, tightening the margin certificate's bounds. The per-
+            # rung enc covers only the current (possibly compacted) rows —
+            # scatter its mask to full-batch coordinates before testing.
+            ci = enc.certifiable_deeper
             if enc.corrected_complete is not None:
-                can_improve = can_improve | enc.corrected_complete
-            if not np.logical_and(~exact, can_improve).any():
+                ci = ci | enc.corrected_complete
+            can_improve = np.zeros(B, bool)
+            if st.rows is None:
+                can_improve[:] = np.asarray(ci)[:B]
+            else:
+                can_improve[st.rows] = np.asarray(ci)[:len(st.rows)]
+            if not np.logical_and(~st.exact, can_improve).any():
                 break
-            fails = int((~exact).sum())
+            fails = int((~st.exact).sum())
             if prev_fails is not None and fails >= prev_fails:
                 break  # no progress: deeper rungs are not certifying more
             prev_fails = fails
+            fi = st.next_rows()  # compacted escalation
+            if fi is not None:
+                fp = st.padded(fi)
+                cur_queries = [queries[i] for i in fp]
+                cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
+            else:
+                cur_queries, cur_q = list(queries), q
         from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
-        if res is None:  # no impact tier (no postings): dense-only scores
+        if not ran:  # no impact tier (no postings): dense-only scores
             kd = min(k, snap.n)
             from hybridsearch_tpu.ops.dense import tiled_dense_topk
 
@@ -664,7 +797,7 @@ class Searcher:
                 "too loose for this query/corpus)",
                 RuntimeWarning,
             )
-        return res.values, res.indices
+        return st.values, st.indices
 
     # -- feedback --------------------------------------------------------------------
 

@@ -9,7 +9,10 @@ Runs the 144-query hand-authored real-English retrieval eval
   * trained cross-encoder pairwise accuracy over ~576 derived triples
     (half hard same-domain negatives)
 
-Usage: JAX_PLATFORMS=cpu python scripts/eval_ood.py
+Usage: JAX_PLATFORMS=cpu python scripts/eval_ood.py [bi_ckpt_dir]
+`bi_ckpt_dir` (or $HST_BI_CKPT) pins the bi-encoder arm to an explicit
+checkpoint directory instead of name discovery — how successive trained
+candidates (models/hst-bi-v*) are compared on equal footing.
 Prints one JSON object; paste the rows into BENCH_CONFIGS.md.
 """
 
@@ -37,14 +40,17 @@ def main() -> dict:
     out["hashing"] = ood.eval_retrieval(lambda t: hashing.encode(t))
     out["bm25"] = ood.eval_bm25()
 
+    bi_ckpt = (sys.argv[1] if len(sys.argv) > 1
+               else os.environ.get("HST_BI_CKPT") or None)
     try:
         from hybridsearch_tpu.models.minilm import MiniLMEncoder
 
-        enc = MiniLMEncoder()
+        enc = MiniLMEncoder(checkpoint=bi_ckpt)
         if not enc.pretrained:
             raise RuntimeError("no trained bi-encoder checkpoint")
         out["bi_encoder"] = ood.eval_retrieval(lambda t: enc.encode(t))
         out["bi_encoder"]["weights"] = enc.weights_origin
+        out["bi_encoder"]["checkpoint"] = bi_ckpt or "discovered"
     except Exception as e:  # noqa: BLE001 — report the arm as absent
         out["bi_encoder"] = {"error": f"{type(e).__name__}: {e}"}
 

@@ -338,6 +338,12 @@ def test_pallas_place_windows_interpret_parity(rng):
         np.add.at(ref[b], l[b][ok], w[b][ok])
     np.testing.assert_allclose(np.asarray(out).reshape(BS, R), ref,
                                rtol=1e-5, atol=1e-5)
+    # the transposed-LHS variant is the same exact contraction in the
+    # MXU-native [M,K]x[K,N] layout — bit-identical values
+    out_t = pallas_place_windows(jnp.asarray(l), jnp.asarray(w),
+                                 super_tiles=St, tile=Tl, ech=512,
+                                 interpret=True, tlhs=True)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out))
 
 
 def test_pallas_super_scores_interpret_parity(rng):
@@ -669,3 +675,115 @@ def test_searcher_supertile_gated_levers_interpret_integration(monkeypatch,
         np.testing.assert_allclose([v for v, _c, _i in a],
                                    [v for v, _c, _i in b],
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_ladder_compaction_parity(monkeypatch):
+    """Compacted escalation (deeper rungs re-run only the uncertified
+    tail, retrieval/searcher.py _LadderState) must serve results
+    identical to full-batch escalation: certified rows keep exact rung-r
+    output either way, and per-query kernels are batch-independent."""
+    rng = np.random.default_rng(0)  # this seed's clustering leaves a
+    # <=32-query uncertified tail mid-ladder (46 -> 39 -> 28 fails on
+    # the 8-device conftest mesh), so the pow2 bucket undercuts the
+    # batch and a compacted rung provably runs; s_probe=8 covers all 8
+    # supertiles, closing every certificate on the final rung
+    from hybridsearch_tpu.config import EngineConfig
+    from hybridsearch_tpu.models.encoder import HashingEncoder
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import Searcher
+
+    vocab = [f"w{i}" for i in range(300)]
+    topics = [" ".join(f"z{z}t{j}" for j in range(6)) for z in range(12)]
+    texts = [f"{topics[i % 12]} " +
+             " ".join(rng.choice(vocab, size=6)) for i in range(4000)]
+    cfg = EngineConfig()
+    cfg.index.layout = "clustered"
+    s = Searcher(encoder=HashingEncoder(dim=64), use_query_memory=False,
+                 config=cfg)
+    s.indexer.index_documents(texts)
+    monkeypatch.setattr(searcher_mod, "SPARSE_HYBRID_MIN_DOCS", 100)
+    # shrink supertiles to 512 docs (8 supertiles over 4k docs) and start
+    # the ladder at a single-supertile probe: topic straddle + rare-word
+    # tails leave part of the batch uncertified, exercising escalation
+    bm_cls = type(s.indexer.bm25)
+    orig_sp = bm_cls.super_postings
+    monkeypatch.setattr(
+        bm_cls, "super_postings",
+        lambda self, state=None, super_tiles=128: orig_sp(
+            self, state=state, super_tiles=4))
+    monkeypatch.setattr(searcher_mod, "_SUPER_LADDER", (1, 2, 4, 8))
+    queries = ([f"z{z}t1 z{z}t3" for z in range(12)]
+               + [f"z{z}t0 z{z}t2" for z in range(12)]
+               + [f"z{z}t4 z{z}t5" for z in range(12)]
+               + [f"z{z}t0 z{z}t1 z{z}t3" for z in range(8)]
+               + [f"{vocab[i]} {vocab[i + 50]} {vocab[i + 100]}"
+                  for i in range(6)])  # 50 queries, few hard tails
+
+    monkeypatch.setattr(searcher_mod, "_MIN_ESCALATION_BUCKET", 2)
+    seen_batches = []
+    import hybridsearch_tpu.ops.supertile as sup_mod
+    real_topk = sup_mod.hybrid_supertile_topk
+
+    def spy(q, *a, **kw):
+        seen_batches.append(q.shape[0])
+        return real_topk(q, *a, **kw)
+
+    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk", spy)
+    compacted = s.search_batch(queries, top_k=5, log=False)
+    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk", real_topk)
+    assert seen_batches and seen_batches[0] == len(queries)
+    assert any(b < len(queries) for b in seen_batches[1:]), (
+        f"no compacted rung ran: {seen_batches}")
+    # disable compaction: buckets can never undercut the batch size
+    monkeypatch.setattr(searcher_mod, "_MIN_ESCALATION_BUCKET", 1 << 30)
+    full = s.search_batch(queries, top_k=5, log=False)
+
+    for a, b in zip(compacted, full):
+        assert [i for _v, _c, i in a] == [i for _v, _c, i in b]
+        np.testing.assert_allclose([v for v, _c, _i in a],
+                                   [v for v, _c, _i in b],
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_subset_batch_rows_and_ladder_state(monkeypatch):
+    """_subset_batch_rows gathers per-query fields only; _LadderState
+    merges compacted rung results into full-batch coordinates."""
+    from hybridsearch_tpu.ops.supertile import SuperQueryEnc
+    from hybridsearch_tpu.retrieval import searcher as searcher_mod
+    from hybridsearch_tpu.retrieval.searcher import (
+        _LadderState,
+        _pow2_bucket,
+        _subset_batch_rows,
+    )
+
+    assert _pow2_bucket(1) == 32 and _pow2_bucket(33) == 64
+    monkeypatch.setattr(searcher_mod, "_MIN_ESCALATION_BUCKET", 2)
+    B, T = 6, 3
+    enc = SuperQueryEnc(
+        term_ids=jnp.arange(B * T, dtype=jnp.int32).reshape(B, T),
+        starts=jnp.zeros((B, T), jnp.int32),
+        lens=jnp.ones((B, T), jnp.int32),
+        complete=np.array([True] * B),
+        full_touched=np.arange(B, dtype=np.int64),
+        wcaps=(8, 8, 8),
+        t_pad=T,
+    )
+    fp = np.array([4, 1, 1, 1])  # row 4 + row-1 padding
+    sub = _subset_batch_rows(enc, fp, B)
+    assert sub.term_ids.shape == (4, T)
+    assert int(sub.term_ids[0, 0]) == 4 * T
+    assert sub.full_touched.tolist() == [4, 1, 1, 1]
+    assert sub.wcaps == (8, 8, 8) and sub.t_pad == T
+
+    st = _LadderState(4)
+    st.merge(np.eye(4, 2), np.ones((4, 2), np.int32),
+             np.array([True, False, True, False]))
+    fi = st.next_rows()
+    assert fi.tolist() == [1, 3]
+    pad = st.padded(fi)
+    assert len(pad) == 2 and pad.tolist() == [1, 3]
+    st.merge(np.full((2, 2), 9.0), np.full((2, 2), 7, np.int32),
+             np.ones(2, bool))
+    assert st.exact.all()
+    assert st.values[1, 0] == 9.0 and st.values[0, 0] == 1.0
+    assert st.indices[3, 1] == 7 and st.indices[2, 1] == 1
