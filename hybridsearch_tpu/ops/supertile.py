@@ -597,6 +597,82 @@ def _bisect_runs(
     return lo
 
 
+class SuperPrefix(NamedTuple):
+    """Rung-invariant prefix of the supertile program (steps 1-3):
+    dense tile stats + lexical bounds + the top-s_max probe candidates
+    by joint bound. The escalation ladder computes this ONCE per batch
+    and every rung reuses it — the full-corpus stats sweep (45 ms at
+    B=1024/10M) and bound selection are identical at every probe depth,
+    and rung r's probe set is the first r columns of the bound-ordered
+    candidate list."""
+
+    ssem: jax.Array  # [B, n_super] exact dense supertile maxima
+    slex: jax.Array  # [B, n_super] lexical supertile upper bounds
+    smin: jax.Array  # [B] alive dense min (minmax normalizer)
+    smax: jax.Array  # [B] alive dense max
+    sup_all: jax.Array  # [B, s_max] probe candidates, bound-DESC order
+
+
+def _normalizers(smin, smax, norm):
+    eps = jnp.float32(1e-12)
+    rng_s = smax - smin
+    if norm == "minmax":
+        def nsem(x):
+            return jnp.where(
+                rng_s[:, None] > eps,
+                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
+                jnp.ones_like(x),
+            )
+    else:  # "max"
+        def nsem(x):
+            return jnp.where(smax[:, None] > eps,
+                             x / jnp.maximum(smax[:, None], eps), x)
+
+    def nlex(x, L):
+        # oracle parity: an all-zero lexical arm min-max-normalizes to
+        # ones (searcher._fuse_and_topk rng <= eps edge)
+        return jnp.where(L[:, None] > eps, x / jnp.maximum(L[:, None], eps),
+                         jnp.ones_like(x))
+
+    return nsem, nlex
+
+
+def _super_prefix_body(q, docs, sup_max, term_ids, bias, w_s, w_l,
+                       norm, block_n, super_tiles, s_max):
+    """Steps 1-3 of the supertile program; see SuperPrefix."""
+    from hybridsearch_tpu.ops.dense import dense_tile_stats
+
+    B = q.shape[0]
+    N = docs.shape[0]
+    n_tiles = -(-N // TILE)
+    n_super = sup_max.shape[1]
+
+    # -- 1. dense arm: exact per-tile maxima + alive min/max, one sweep --
+    tile_sem, smin, smax = dense_tile_stats(q, docs, bias, block_n=block_n)
+    # capacity-padded doc matrices can have more tiles than the build-time
+    # table covers; the extra supertiles get zero lexical columns (their
+    # docs hold no postings, and dead rows are bias-masked anyway)
+    need_super = -(-n_tiles // super_tiles)
+    if need_super > n_super:
+        sup_max = jnp.pad(sup_max, ((0, 0), (0, need_super - n_super)))
+        n_super = need_super
+    pad_t = n_super * super_tiles - n_tiles
+    ts_full = jnp.pad(tile_sem, ((0, 0), (0, pad_t)),
+                      constant_values=NEG_INF) if pad_t else tile_sem
+    ssem = jnp.max(ts_full.reshape(B, n_super, super_tiles), axis=2)
+
+    # -- 2. lexical supertile bounds: one row gather, no scatter ----------
+    slex = jnp.sum(jnp.take(sup_max, term_ids, axis=0), axis=1)  # [B, ns]
+
+    # -- 3. probe selection by joint bound --------------------------------
+    nsem, nlex = _normalizers(smin, smax, norm)
+    L0 = jnp.max(slex, axis=1)
+    bound0 = w_s * nsem(ssem) + w_l * nlex(slex, L0)
+    _, sup_all = jax.lax.top_k(bound0, min(s_max, n_super))
+    return SuperPrefix(ssem=ssem, slex=slex, smin=smin, smax=smax,
+                       sup_all=sup_all)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k", "s_probe", "wcaps", "norm", "block_n",
@@ -622,58 +698,33 @@ def _hybrid_super_impl(
     block_n: int,
     super_tiles: int,
 ) -> Tuple[HybridTopK, jax.Array]:
-    from hybridsearch_tpu.ops.dense import dense_tile_stats, gather_tile_scores
+    prefix = _super_prefix_body(q, docs, sup_max, term_ids, bias, w_s,
+                                w_l, norm, block_n, super_tiles,
+                                s_max=s_probe)
+    return _super_rung_body(
+        q, docs, sup_pos, ids_rows, ws_rows, term_ids, complete,
+        lex_min_zero, w_s, w_l, bias, prefix,
+        k=k, s_probe=s_probe, wcaps=wcaps, norm=norm,
+        super_tiles=super_tiles)
+
+
+def _super_rung_body(
+    q, docs, sup_pos, ids_rows, ws_rows, term_ids, complete,
+    lex_min_zero, w_s, w_l, bias, prefix: SuperPrefix,
+    k: int, s_probe: int, wcaps: tuple, norm: str, super_tiles: int,
+) -> Tuple[HybridTopK, jax.Array]:
+    """Steps 4-7 of the supertile program, from a SuperPrefix."""
+    from hybridsearch_tpu.ops.dense import gather_tile_scores
 
     B, Dm = q.shape
     N = docs.shape[0]
-    n_tiles = -(-N // TILE)
-    n_super = sup_max.shape[1]
     sd = super_tiles * TILE
     eps = jnp.float32(1e-12)
-    T = term_ids.shape[1]
-    S = min(s_probe, n_super)
-
-    # -- 1. dense arm: exact per-tile maxima + alive min/max, one sweep --
-    tile_sem, smin, smax = dense_tile_stats(q, docs, bias, block_n=block_n)
-    # capacity-padded doc matrices can have more tiles than the build-time
-    # table covers; the extra supertiles get zero lexical columns (their
-    # docs hold no postings, and dead rows are bias-masked anyway)
-    need_super = -(-n_tiles // super_tiles)
-    if need_super > n_super:
-        sup_max = jnp.pad(sup_max, ((0, 0), (0, need_super - n_super)))
-        n_super = need_super
-    pad_t = n_super * super_tiles - n_tiles
-    ts_full = jnp.pad(tile_sem, ((0, 0), (0, pad_t)),
-                      constant_values=NEG_INF) if pad_t else tile_sem
-    ssem = jnp.max(ts_full.reshape(B, n_super, super_tiles), axis=2)
-
-    # -- 2. lexical supertile bounds: one row gather, no scatter ----------
-    slex = jnp.sum(jnp.take(sup_max, term_ids, axis=0), axis=1)  # [B, ns]
-
-    # -- 3. probe selection by joint bound --------------------------------
-    rng_s = smax - smin
-    if norm == "minmax":
-        def nsem(x):
-            return jnp.where(
-                rng_s[:, None] > eps,
-                (x - smin[:, None]) / jnp.maximum(rng_s[:, None], eps),
-                jnp.ones_like(x),
-            )
-    else:  # "max"
-        def nsem(x):
-            return jnp.where(smax[:, None] > eps,
-                             x / jnp.maximum(smax[:, None], eps), x)
-
-    def nlex(x, L):
-        # oracle parity: an all-zero lexical arm min-max-normalizes to
-        # ones (searcher._fuse_and_topk rng <= eps edge)
-        return jnp.where(L[:, None] > eps, x / jnp.maximum(L[:, None], eps),
-                         jnp.ones_like(x))
-
-    L0 = jnp.max(slex, axis=1)
-    bound0 = w_s * nsem(ssem) + w_l * nlex(slex, L0)
-    _, top_sup = jax.lax.top_k(bound0, S)
-    sup_s = jnp.sort(top_sup, axis=1)  # [B, S] ascending
+    ssem, slex = prefix.ssem, prefix.slex
+    n_super = ssem.shape[1]
+    S = min(s_probe, n_super, prefix.sup_all.shape[1])
+    nsem, nlex = _normalizers(prefix.smin, prefix.smax, norm)
+    sup_s = jnp.sort(prefix.sup_all[:, :S], axis=1)  # [B, S] ascending
 
     # -- 4. resident semantic scores ---------------------------------------
     R = S * sd
@@ -840,3 +891,82 @@ def hybrid_supertile_topk(
         norm=norm, block_n=block_n, super_tiles=sp.super_tiles,
     )
     return (out, probes) if return_probes else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("norm", "block_n", "super_tiles", "s_max"),
+)
+def _super_prefix_impl(q, docs, sup_max, term_ids, bias, w_s, w_l,
+                       norm, block_n, super_tiles, s_max):
+    return _super_prefix_body(q, docs, sup_max, term_ids, bias, w_s, w_l,
+                              norm, block_n, super_tiles, s_max)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "s_probe", "wcaps", "norm", "super_tiles"),
+)
+def _super_rung_impl(q, docs, sup_pos, ids_rows, ws_rows, term_ids,
+                     complete, lex_min_zero, w_s, w_l, bias, prefix,
+                     k, s_probe, wcaps, norm, super_tiles):
+    return _super_rung_body(
+        q, docs, sup_pos, ids_rows, ws_rows, term_ids, complete,
+        lex_min_zero, w_s, w_l, bias, prefix,
+        k=k, s_probe=s_probe, wcaps=wcaps, norm=norm,
+        super_tiles=super_tiles)
+
+
+def super_prefix(
+    q: jax.Array,
+    docs: jax.Array,
+    sp: SuperPostings,
+    enc: SuperQueryEnc,
+    bias: Optional[jax.Array] = None,
+    w_s: float = 0.7,
+    w_l: float = 0.3,
+    norm: str = "minmax",
+    block_n: int = 262144,
+    s_max: int = 16,
+) -> SuperPrefix:
+    """Rung-invariant prefix for a ladder of hybrid_supertile_topk_rung
+    calls: ONE full-corpus stats sweep + bound selection serves every
+    probe depth up to s_max (the ladder's deepest rung). Escalating from
+    the prefix costs only the per-rung resident work."""
+    return _super_prefix_impl(
+        q, docs, sp.sup_max, enc.term_ids, bias,
+        jnp.float32(w_s), jnp.float32(w_l),
+        norm=norm, block_n=block_n, super_tiles=sp.super_tiles,
+        s_max=s_max)
+
+
+def hybrid_supertile_topk_rung(
+    q: jax.Array,
+    docs: jax.Array,
+    sp: SuperPostings,
+    enc: SuperQueryEnc,
+    prefix: SuperPrefix,
+    k: int,
+    w_s: float,
+    w_l: float,
+    bias: Optional[jax.Array] = None,
+    s_probe: int = 4,
+    norm: str = "minmax",
+    n_alive: Optional[int] = None,
+) -> HybridTopK:
+    """One escalation rung from a shared SuperPrefix — identical output
+    to hybrid_supertile_topk at the same s_probe (the prefix's bound-
+    ordered candidates restrict to the rung's top-S; top_k is ordered).
+    The searcher ladder pairs this with row compaction: deeper rungs
+    take a row-subset of both the prefix and the enc."""
+    N = docs.shape[0]
+    n_alive = N if n_alive is None else n_alive
+    lex_min_zero = jnp.asarray(enc.full_touched < n_alive)
+    out, _probes = _super_rung_impl(
+        q, docs, sp.sup_pos, sp.ids_rows, sp.ws_rows,
+        enc.term_ids, jnp.asarray(enc.complete), lex_min_zero,
+        jnp.float32(w_s), jnp.float32(w_l), bias, prefix,
+        k=k, s_probe=s_probe,
+        wcaps=tuple(min(w, sp.super_docs) for w in enc.wcaps),
+        norm=norm, super_tiles=sp.super_tiles)
+    return out

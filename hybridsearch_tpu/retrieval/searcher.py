@@ -613,7 +613,10 @@ class Searcher:
             # table, EXACT resident scores from full-CSR windows placed
             # by one-hot MXU matmuls — no slack, no margin correction.
             # The ladder escalates the probe budget in whole supertiles.
-            from hybridsearch_tpu.ops.supertile import hybrid_supertile_topk
+            from hybridsearch_tpu.ops.supertile import (
+                hybrid_supertile_topk_rung,
+                super_prefix,
+            )
 
             sp, enc_s = bm25.encode_queries_super(list(queries))
             if sp is not None:
@@ -621,12 +624,21 @@ class Searcher:
                 lmz = enc_s.full_touched < n_alive
                 certifiable = enc_s.complete & lmz
                 st = _LadderState(B)
-                cur_q, cur_enc = q, enc_s
+                # steps 1-3 (full-corpus stats sweep + bound selection)
+                # are probe-depth-invariant: ONE prefix serves every
+                # rung (45+6 ms of the 345 ms sp2 batch at B=1024/10M,
+                # benchmarks/attr_supertile.py) — and compacted rungs
+                # take a row-subset instead of re-sweeping the corpus
+                pfx = super_prefix(q, snap.docs, sp, enc_s,
+                                   bias=snap.bias, w_s=sw, w_l=lw,
+                                   s_max=_SUPER_LADDER[-1])
+                cur_q, cur_enc, cur_pfx = q, enc_s, pfx
                 prev_fails = None
                 for s_probe in _SUPER_LADDER:
-                    res = hybrid_supertile_topk(
-                        cur_q, snap.docs, sp, cur_enc, k, sw, lw,
-                        bias=snap.bias, s_probe=s_probe, n_alive=n_alive,
+                    res = hybrid_supertile_topk_rung(
+                        cur_q, snap.docs, sp, cur_enc, cur_pfx, k, sw,
+                        lw, bias=snap.bias, s_probe=s_probe,
+                        n_alive=n_alive,
                     )
                     st.merge(res.values, res.indices, res.exact)
                     if st.exact.all():
@@ -656,8 +668,9 @@ class Searcher:
                         fp = st.padded(fi)
                         cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
                         cur_enc = _subset_batch_rows(enc_s, fp, B)
+                        cur_pfx = _subset_batch_rows(pfx, fp, B)
                     else:
-                        cur_q, cur_enc = q, enc_s
+                        cur_q, cur_enc, cur_pfx = q, enc_s, pfx
                 from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
                 if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:

@@ -787,3 +787,36 @@ def test_subset_batch_rows_and_ladder_state(monkeypatch):
     assert st.exact.all()
     assert st.values[1, 0] == 9.0 and st.values[0, 0] == 1.0
     assert st.indices[3, 1] == 7 and st.indices[2, 1] == 1
+
+
+def test_prefix_rung_matches_direct(rng):
+    """super_prefix + hybrid_supertile_topk_rung must equal
+    hybrid_supertile_topk at every probe depth: rung r's probe set is
+    the first r columns of the prefix's bound-ordered candidates."""
+    from hybridsearch_tpu.ops.supertile import (
+        encode_super_queries,
+        hybrid_supertile_topk,
+        hybrid_supertile_topk_rung,
+        super_prefix,
+    )
+
+    vocab, bm25, docs = _mk_corpus(rng, 900, 60)
+    queries = [" ".join(rng.choice(vocab, size=3)) for _ in range(6)]
+    q = l2_normalize(jnp.asarray(
+        rng.standard_normal((6, 32)).astype(np.float32)))
+    sp = _sp_from_bm25(bm25, super_tiles=2)  # 256-doc supertiles
+    enc = encode_super_queries(sp, [bm25.vocab.encode(qq.split())
+                                    for qq in queries])
+    pfx = super_prefix(q, docs, sp, enc, s_max=4)
+    for s_probe in (1, 2, 4):
+        direct = hybrid_supertile_topk(q, docs, sp, enc, 5, 0.7, 0.3,
+                                       s_probe=s_probe)
+        rung = hybrid_supertile_topk_rung(q, docs, sp, enc, pfx, 5,
+                                          0.7, 0.3, s_probe=s_probe)
+        np.testing.assert_array_equal(np.asarray(rung.indices),
+                                      np.asarray(direct.indices))
+        np.testing.assert_allclose(np.asarray(rung.values),
+                                   np.asarray(direct.values),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_array_equal(np.asarray(rung.exact),
+                                      np.asarray(direct.exact))
