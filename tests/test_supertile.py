@@ -722,15 +722,15 @@ def test_ladder_compaction_parity(monkeypatch):
     monkeypatch.setattr(searcher_mod, "_MIN_ESCALATION_BUCKET", 2)
     seen_batches = []
     import hybridsearch_tpu.ops.supertile as sup_mod
-    real_topk = sup_mod.hybrid_supertile_topk
+    real_rung = sup_mod.hybrid_supertile_topk_rung
 
     def spy(q, *a, **kw):
         seen_batches.append(q.shape[0])
-        return real_topk(q, *a, **kw)
+        return real_rung(q, *a, **kw)
 
-    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk", spy)
+    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk_rung", spy)
     compacted = s.search_batch(queries, top_k=5, log=False)
-    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk", real_topk)
+    monkeypatch.setattr(sup_mod, "hybrid_supertile_topk_rung", real_rung)
     assert seen_batches and seen_batches[0] == len(queries)
     assert any(b < len(queries) for b in seen_batches[1:]), (
         f"no compacted rung ran: {seen_batches}")
