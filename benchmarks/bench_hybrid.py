@@ -560,6 +560,49 @@ def run(n_docs: int, batch: int, iters: int,
     else:
         _measure_loops = _host_measure_loops
 
+    ladder_info: dict = {}
+    if superhyb and os.environ.get("HST_BENCH_LADDER", "0") == "1":
+        # measure the ACTUAL serving path (retrieval/searcher.py
+        # supertile_ladder): one rung-invariant prefix, then compacted
+        # escalation of the uncertified tail — host round trips and the
+        # per-rung exact fetch included. The fixed-SP loops above answer
+        # "what does one rung cost"; this answers "what does serving a
+        # batch cost at full certification effort".
+        from hybridsearch_tpu.retrieval.searcher import supertile_ladder
+
+        def _roll_enc(off):
+            return enc_s._replace(
+                term_ids=jnp.roll(enc_s.term_ids, off, axis=0),
+                starts=jnp.roll(enc_s.starts, off, axis=0),
+                lens=jnp.roll(enc_s.lens, off, axis=0),
+                complete=np.roll(enc_s.complete, off, axis=0),
+                full_touched=np.roll(enc_s.full_touched, off, axis=0),
+            )
+
+        def _ladder_measure_loops(tag: int) -> list:
+            out = []
+            for loop in range(2):
+                rungs_tot = 0
+                exact_acc = 0.0
+                t0l = time.perf_counter()
+                for i in range(iters):
+                    off = tag * 100 + loop * iters + i + 1
+                    st_l, rungs = supertile_ladder(
+                        jnp.roll(q, off, axis=0), docs, sp,
+                        _roll_enc(off), TOP_K, 0.7, 0.3,
+                        n_alive=n_docs, valid_n=n_docs)
+                    rungs_tot += rungs
+                    exact_acc += float(st_l.exact.mean())
+                dt = time.perf_counter() - t0l
+                out.append(batch * iters / dt)
+                ladder_info["ladder_rungs_mean"] = round(
+                    rungs_tot / iters, 2)
+                ladder_info["ladder_exact_pct"] = round(
+                    100.0 * exact_acc / iters, 2)
+            return out
+
+        _measure_loops = _ladder_measure_loops
+
     qps_loops = _measure_loops(0)
     qps = qps_loops[-1]
 
@@ -600,6 +643,7 @@ def run(n_docs: int, batch: int, iters: int,
 
     return {
         **({"variants": variants} if variants else {}),
+        **ladder_info,
         "metric": (f"hybrid_impact_qps@{n_docs}docs_{D}d_k{TOP_K}_b{batch}"
                    + ("_super" if superhyb else "")
                    + ("_tile" if tilehyb and not superhyb else "")
