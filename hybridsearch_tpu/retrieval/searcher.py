@@ -139,6 +139,82 @@ class _LadderState:
             [fi, np.full(b - len(fi), fi[-1], dtype=fi.dtype)])
 
 
+def supertile_ladder(
+    q,
+    docs,
+    sp,
+    enc_s,
+    k: int,
+    sw: float,
+    lw: float,
+    bias=None,
+    n_alive: Optional[int] = None,
+    valid_n: Optional[int] = None,
+    ladder: Optional[Tuple[int, ...]] = None,
+) -> Tuple["_LadderState", int]:
+    """The supertile serving ladder: one rung-invariant prefix (full-
+    corpus stats sweep + bound selection, ops/supertile.super_prefix),
+    then probe-budget rungs that escalate ONLY the uncertified tail
+    (compacted to a pow2 bucket, _subset_batch_rows). Returns the merged
+    _LadderState (values/indices/exact in full-batch coordinates) and
+    the number of rungs run. Shared by Searcher._sparse_hybrid and
+    benchmarks/bench_hybrid's serving-ladder mode so the measured number
+    IS the serving path."""
+    from hybridsearch_tpu.ops.supertile import (
+        hybrid_supertile_topk_rung,
+        super_prefix,
+    )
+
+    ladder = _SUPER_LADDER if ladder is None else ladder
+    B = q.shape[0]
+    n = docs.shape[0] if valid_n is None else valid_n
+    n_alive = n if n_alive is None else n_alive
+    lmz = enc_s.full_touched < n_alive
+    certifiable = enc_s.complete & lmz
+    st = _LadderState(B)
+    pfx = super_prefix(q, docs, sp, enc_s, bias=bias, w_s=sw, w_l=lw,
+                       s_max=ladder[-1])
+    cur_q, cur_enc, cur_pfx = q, enc_s, pfx
+    prev_fails = None
+    rungs = 0
+    for s_probe in ladder:
+        res = hybrid_supertile_topk_rung(
+            cur_q, docs, sp, cur_enc, cur_pfx, k, sw, lw, bias=bias,
+            s_probe=s_probe, n_alive=n_alive,
+        )
+        rungs += 1
+        st.merge(res.values, res.indices, res.exact)
+        if st.exact.all():
+            return st, rungs
+        # certifiable-at-all: term-complete AND the lexical min is
+        # provably 0; deeper probes can't fix the rest
+        if not np.logical_and(~st.exact, certifiable).any():
+            return st, rungs
+        if s_probe * sp.super_docs >= n:
+            return st, rungs  # this rung already probed every supertile
+        # no-progress stop: when a deeper rung certifies nothing new,
+        # the remaining failures' bounds are not tightening — burning
+        # the rest of the ladder costs a dispatch + host round trip per
+        # rung and closes nothing
+        fails = int((~st.exact).sum())
+        if prev_fails is not None and fails >= prev_fails:
+            return st, rungs
+        prev_fails = fails
+        # compact: deeper rungs re-run ONLY the uncertified tail (padded
+        # to a pow2 bucket); certified rows keep their (exact) rung-r
+        # results — identical outputs, the deep rung costs O(tail)
+        # instead of O(B)
+        fi = st.next_rows()
+        if fi is not None:
+            fp = st.padded(fi)
+            cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
+            cur_enc = _subset_batch_rows(enc_s, fp, B)
+            cur_pfx = _subset_batch_rows(pfx, fp, B)
+        else:
+            cur_q, cur_enc, cur_pfx = q, enc_s, pfx
+    return st, rungs
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def _fuse_and_topk(
     sem: jax.Array,
@@ -620,67 +696,23 @@ class Searcher:
 
             sp, enc_s = bm25.encode_queries_super(list(queries))
             if sp is not None:
-                B = q.shape[0]
-                lmz = enc_s.full_touched < n_alive
-                certifiable = enc_s.complete & lmz
-                st = _LadderState(B)
-                # steps 1-3 (full-corpus stats sweep + bound selection)
-                # are probe-depth-invariant: ONE prefix serves every
-                # rung (45+6 ms of the 345 ms sp2 batch at B=1024/10M,
-                # benchmarks/attr_supertile.py) — and compacted rungs
-                # take a row-subset instead of re-sweeping the corpus
-                pfx = super_prefix(q, snap.docs, sp, enc_s,
-                                   bias=snap.bias, w_s=sw, w_l=lw,
-                                   s_max=_SUPER_LADDER[-1])
-                cur_q, cur_enc, cur_pfx = q, enc_s, pfx
-                prev_fails = None
-                for s_probe in _SUPER_LADDER:
-                    res = hybrid_supertile_topk_rung(
-                        cur_q, snap.docs, sp, cur_enc, cur_pfx, k, sw,
-                        lw, bias=snap.bias, s_probe=s_probe,
-                        n_alive=n_alive,
+                st, _rungs = supertile_ladder(
+                    q, snap.docs, sp, enc_s, k, sw, lw, bias=snap.bias,
+                    n_alive=n_alive, valid_n=snap.n)
+                if not st.exact.all():
+                    from hybridsearch_tpu.utils.tracing import (
+                        GLOBAL_COUNTERS,
                     )
-                    st.merge(res.values, res.indices, res.exact)
-                    if st.exact.all():
-                        return st.values, st.indices
-                    # certifiable-at-all: term-complete AND the lexical
-                    # min is provably 0; deeper probes can't fix the rest
-                    if not np.logical_and(~st.exact, certifiable).any():
-                        break
-                    if s_probe * sp.super_docs >= snap.n:
-                        break  # this rung already probed every supertile
-                    # no-progress stop: when a deeper rung certifies
-                    # nothing new, the remaining failures' bounds are not
-                    # tightening — burning the rest of the ladder costs a
-                    # dispatch + host round trip per rung and closes
-                    # nothing (chip loadgen: full-ladder serving measured
-                    # p50 575 ms/request batch)
-                    fails = int((~st.exact).sum())
-                    if prev_fails is not None and fails >= prev_fails:
-                        break
-                    prev_fails = fails
-                    # compact: deeper rungs re-run ONLY the uncertified
-                    # tail (padded to a pow2 bucket); certified rows keep
-                    # their (exact) rung-r results — identical outputs,
-                    # the deep rung costs O(tail) instead of O(B)
-                    fi = st.next_rows()
-                    if fi is not None:
-                        fp = st.padded(fi)
-                        cur_q = jnp.take(q, jnp.asarray(fp), axis=0)
-                        cur_enc = _subset_batch_rows(enc_s, fp, B)
-                        cur_pfx = _subset_batch_rows(pfx, fp, B)
-                    else:
-                        cur_q, cur_enc, cur_pfx = q, enc_s, pfx
-                from hybridsearch_tpu.utils.tracing import GLOBAL_COUNTERS
 
-                if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
-                    import warnings
+                    if GLOBAL_COUNTERS.inc("hybrid_sparse_uncertified") == 1:
+                        import warnings
 
-                    warnings.warn(
-                        "supertile hybrid certificate did not close after "
-                        "probe escalation; serving the best-effort top-k",
-                        RuntimeWarning,
-                    )
+                        warnings.warn(
+                            "supertile hybrid certificate did not close "
+                            "after probe escalation; serving the "
+                            "best-effort top-k",
+                            RuntimeWarning,
+                        )
                 return st.values, st.indices
         use_tiles = (self.indexer.config.index.layout == "clustered"
                      and _os.environ.get("HST_TILE_HYBRID", "1") != "0")
