@@ -76,17 +76,24 @@ def main() -> None:
         jax.block_until_ready(out.values)
         sup_s = jax.device_put(sup_s)
 
-        # stage the CSR windows ONCE; the micro rows time placement only
+        # stage the CSR windows ONCE for the pure-kernel rows — at a
+        # REDUCED batch: at 10M the per-slot caps ride the batch max
+        # (wcaps=(8192,)*8 -> TE=66k), so staging B=1024 x S=4 windows
+        # is ~4.4 GB on top of the 7.7 GB corpus + CSR tables and
+        # crashes the TPU worker (observed twice, 2026-08-19). Kernel
+        # cost is linear in BS; B=256 isolates the same per-pair cost.
+        bk = min(batch, int(os.environ.get("HST_MICRO_KB", "256")))
         l_cat, w_cat, _ovf = _resident_windows(
-            sp.sup_pos, sp.ids_rows, sp.ws_rows, term_ids, sup_s, sd,
-            wcaps)
+            sp.sup_pos, sp.ids_rows, sp.ws_rows, term_ids[:bk],
+            sup_s[:bk], sd, wcaps)
         B, S_, TEp = l_cat.shape
-        l2 = jax.device_put(l_cat.reshape(B * S_, TEp))
-        w2 = jax.device_put(w_cat.reshape(B * S_, TEp))
+        l2 = l_cat.reshape(B * S_, TEp)
+        w2 = w_cat.reshape(B * S_, TEp)
         jax.block_until_ready(w2)
-        row = {"n_docs": n_docs, "batch": batch, "S": S, "TE": int(TEp),
-               "BS": int(B * S_), "wcaps": list(wcaps),
-               "backend": backend, "iters": iters}
+        del l_cat, w_cat
+        row = {"n_docs": n_docs, "batch": batch, "kernel_batch": bk,
+               "S": S, "TE": int(TEp), "BS": int(B * S_),
+               "wcaps": list(wcaps), "backend": backend, "iters": iters}
 
         # i-dependent weight perturbation defeats loop-invariant hoisting
         # at ~one [BS, TE] f32 pass per iter; this row measures it so the
@@ -96,12 +103,12 @@ def main() -> None:
 
         row["perturb_ms"] = round(timed(f_perturb, (w2,), iters), 2)
 
-        def mk_pallas(tlhs):
+        def mk_pallas(tlhs, skip=False):
             def f(i, l_, w_):
                 wi = w_ * (1.0 + i.astype(jnp.float32) * 1e-9)
                 lex = pallas_place_windows(
                     l_, wi, sp.super_tiles, 128, ech=1024,
-                    interpret=_interpret_kernels(), tlhs=tlhs)
+                    interpret=_interpret_kernels(), tlhs=tlhs, skip=skip)
                 return jnp.sum(lex)
             return f
 
@@ -110,6 +117,11 @@ def main() -> None:
         print(json.dumps({"partial": True, **row}), flush=True)
         row["tlhs_ms"] = round(
             timed(mk_pallas(True), (l2, w2), iters), 2)
+        print(json.dumps({"partial": True, **row}), flush=True)
+        row["skip_ms"] = round(
+            timed(mk_pallas(False, skip=True), (l2, w2), iters), 2)
+        row["tlhs_skip_ms"] = round(
+            timed(mk_pallas(True, skip=True), (l2, w2), iters), 2)
         print(json.dumps({"partial": True, **row}), flush=True)
 
         if os.environ.get("HST_MICRO_JNP", "0") == "1":
@@ -125,11 +137,11 @@ def main() -> None:
 
         # end-to-end placement (gather + one-hot), both layouts — what
         # the serving path actually pays per rung
-        def mk_twostep(tlhs):
-            env = "1" if tlhs else "0"
-
+        def mk_twostep(tlhs, skip=False):
             def f(i, t_, s_, pos_, ids_, ws_):
-                os.environ["HST_PLACE_TLHS"] = env  # read at trace time
+                # env gates are read at trace time inside _place_windows
+                os.environ["HST_PLACE_TLHS"] = "1" if tlhs else "0"
+                os.environ["HST_PLACE_SKIP"] = "1" if skip else "0"
                 l_c, w_c, _o = _resident_windows(
                     pos_, ids_, ws_, jnp.roll(t_, i + 1, axis=0),
                     jnp.roll(s_, i, axis=0), sd, wcaps)
@@ -143,6 +155,8 @@ def main() -> None:
             timed(mk_twostep(False), args5, iters), 2)
         row["twostep_tlhs_ms"] = round(
             timed(mk_twostep(True), args5, iters), 2)
+        row["twostep_skip_ms"] = round(
+            timed(mk_twostep(False, skip=True), args5, iters), 2)
         print(json.dumps({"partial": True, **row}), flush=True)
 
         def f_fused(i, t_, s_, pos_, ids_, ws_):

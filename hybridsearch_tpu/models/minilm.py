@@ -46,6 +46,34 @@ def find_checkpoint(name: str) -> Optional[str]:
     explicit `checkpoint=` paths bypass discovery entirely."""
     if os.environ.get("HST_CKPT_DISCOVERY", "1") == "0":
         return None
+
+    def _has_weights(d: str) -> bool:
+        return any(os.path.exists(os.path.join(d, f)) for f in (
+            "pytorch_model.bin", "model.safetensors", "hst_params.npz"))
+
+    # explicit promotion first: models/PROMOTED.json maps a model name
+    # to the checkpoint dir the quality evals picked (e.g. successive
+    # in-repo trained candidates hst-bi-v* whose dir names don't carry
+    # the HF name). A key matches when either string contains the other,
+    # so "all-MiniLM-L6-v2" serves both find_checkpoint("MiniLM") and
+    # the full HF name without also capturing the ms-marco CROSS-encoder.
+    for base in _search_dirs():
+        pj = os.path.join(base, "PROMOTED.json") if base else ""
+        if pj and os.path.exists(pj):
+            import json
+
+            try:
+                with open(pj) as f:
+                    promoted = json.load(f)
+            except (OSError, ValueError):
+                promoted = {}
+            for key, rel in promoted.items():
+                if (key.lower() in name.lower()
+                        or name.lower() in key.lower()):
+                    d = rel if os.path.isabs(rel) else os.path.join(base,
+                                                                    rel)
+                    if os.path.isdir(d) and _has_weights(d):
+                        return d
     for base in _search_dirs():
         if not base or not os.path.isdir(base):
             continue

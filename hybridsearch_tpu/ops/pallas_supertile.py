@@ -340,29 +340,42 @@ def pallas_place_fused(
             for c0 in range(0, ms[j], 8):
                 rows = min(8, ms[j] - c0)
                 E = rows * ROW
-                ids = scr_ids[j][pl.ds(c0, rows)].reshape(E)
-                ws = scr_ws[j][pl.ds(c0, rows)].reshape(E)
-                # 2D position iota reshaped like the data (Mosaic has no
-                # 1D iota): pos of scratch entry (u, v) is
-                # (row0 + c0 + u) * ROW + v
-                gpos = ((row0s[j] + c0) * ROW
-                        + jax.lax.broadcasted_iota(
-                            jnp.int32, (rows, ROW), 0) * ROW
-                        + jax.lax.broadcasted_iota(
-                            jnp.int32, (rows, ROW), 1)).reshape(E)
-                w = jnp.where((gpos >= lo_j) & (gpos < hi_j), ws, 0.0)
-                l = ids - b_j
-                r_io = jax.lax.broadcasted_iota(
-                    jnp.int32, (E, super_tiles), 1)
-                c_io = jax.lax.broadcasted_iota(jnp.int32, (E, tile), 1)
-                # negative l floor-divides negative -> matches no row;
-                # l >= sd gives a row >= super_tiles -> also no match
-                wh = jnp.where(l[:, None] // tile == r_io, w[:, None], 0.0)
-                c_hot = (l[:, None] % tile == c_io).astype(jnp.bfloat16)
-                out_ref[0] += jax.lax.dot_general(
-                    wh, c_hot, (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+
+                def _chunk(j=j, c0=c0, rows=rows, E=E, lo_j=lo_j,
+                           hi_j=hi_j, b_j=b_j):
+                    ids = scr_ids[j][pl.ds(c0, rows)].reshape(E)
+                    ws = scr_ws[j][pl.ds(c0, rows)].reshape(E)
+                    # 2D position iota reshaped like the data (Mosaic
+                    # has no 1D iota): pos of scratch entry (u, v) is
+                    # (row0 + c0 + u) * ROW + v
+                    gpos = ((row0s[j] + c0) * ROW
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (rows, ROW), 0) * ROW
+                            + jax.lax.broadcasted_iota(
+                                jnp.int32, (rows, ROW), 1)).reshape(E)
+                    w = jnp.where((gpos >= lo_j) & (gpos < hi_j), ws, 0.0)
+                    l = ids - b_j
+                    r_io = jax.lax.broadcasted_iota(
+                        jnp.int32, (E, super_tiles), 1)
+                    c_io = jax.lax.broadcasted_iota(jnp.int32, (E, tile), 1)
+                    # negative l floor-divides negative -> matches no
+                    # row; l >= sd rows >= super_tiles -> also no match
+                    wh = jnp.where(l[:, None] // tile == r_io,
+                                   w[:, None], 0.0)
+                    c_hot = (l[:, None] % tile == c_io).astype(jnp.bfloat16)
+                    out_ref[0] += jax.lax.dot_general(
+                        wh, c_hot, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+                # scalar chunk skip: caps ride the batch max (wcaps =
+                # (8192,)*8 at 10M/B=1024) while a typical slot's true
+                # window is a few hundred entries — chunks past hi (or
+                # of an empty window) are entirely masked to zero, so
+                # skipping them is bit-exact and saves most of the
+                # one-hot + MXU work
+                pl.when(((row0s[j] + c0) * ROW < hi_j)
+                        & (hi_j > lo_j))(_chunk)
 
     out = pl.pallas_call(
         kernel,
@@ -377,7 +390,7 @@ def pallas_place_fused(
 
 @functools.partial(jax.jit,
                    static_argnames=("super_tiles", "tile", "ech",
-                                    "interpret", "tlhs"))
+                                    "interpret", "tlhs", "skip"))
 def pallas_place_windows(
     l_flat: jax.Array,  # [BS, TE] int32 local doc ids (invalid < 0 or >= R)
     w_flat: jax.Array,  # [BS, TE] float32 (invalid entries = 0)
@@ -387,6 +400,7 @@ def pallas_place_windows(
     #                   temporaries (~2.5 MB each) co-allocate on stack
     interpret: bool = False,
     tlhs: bool = False,
+    skip: bool = False,
 ) -> jax.Array:
     """[BS, super_tiles, tile] f32 resident lexical buffers. TE must be a
     multiple of `ech`; BS is padded to a multiple of 8 here (Mosaic:
@@ -398,7 +412,14 @@ def pallas_place_windows(
     default layout makes Mosaic relayout/transpose the f32 operand on
     the VPU every chunk, which chip attribution measured at ~392 ms of
     the 473 ms sp4/B=1024 placement stage (docs/HW_R4_LOG + attr2,
-    2026-08-19). Same values bit-for-bit: the one-hots are exact."""
+    2026-08-19). Same values bit-for-bit: the one-hots are exact.
+
+    skip=True predicates each (row, chunk) contraction on the chunk
+    holding ANY nonzero weight. At 10M/B=1024 the per-slot window caps
+    ride the batch max (wcaps=(8192,)*8 -> TE=66k entries/pair) while a
+    typical slot's true window is a few hundred entries — most chunks
+    are masked zeros, and a zero chunk contributes exactly zero, so
+    skipping preserves bit-exact output."""
     _ROWS = 8
     BS, TE = l_flat.shape
     ech = min(ech, TE)
@@ -423,26 +444,33 @@ def pallas_place_windows(
         for r in range(_ROWS):
             l = l_ref[r]  # [ech]
             w = w_ref[r]  # [ech]
-            # no explicit l >= 0 guard: a negative l floor-divides to a
-            # negative row, matching no r_iota row, so its c_hot column
-            # never receives weight. (A bool [ech] -> [ech, 1] reshape
-            # also trips Mosaic: "insertion of minor dim ... only
-            # supported for 32-bit types".)
-            c_hot = (l[:, None] % tile == c_iota).astype(jnp.bfloat16)
-            if tlhs:
-                wh_t = jnp.where(l[None, :] // tile == rt_iota,
-                                 w[None, :], 0.0)  # [St, ech] f32
-                out_ref[r] += jax.lax.dot_general(
-                    wh_t, c_hot, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                continue
-            r_hot = l[:, None] // tile == r_iota  # [ech, St]
-            wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 exact row select
-            out_ref[r] += jax.lax.dot_general(
-                wh, c_hot, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+
+            def _contract(l=l, w=w, r=r):
+                # no explicit l >= 0 guard: a negative l floor-divides
+                # to a negative row, matching no r_iota row, so its
+                # c_hot column never receives weight. (A bool [ech] ->
+                # [ech, 1] reshape also trips Mosaic: "insertion of
+                # minor dim ... only supported for 32-bit types".)
+                c_hot = (l[:, None] % tile == c_iota).astype(jnp.bfloat16)
+                if tlhs:
+                    wh_t = jnp.where(l[None, :] // tile == rt_iota,
+                                     w[None, :], 0.0)  # [St, ech] f32
+                    out_ref[r] += jax.lax.dot_general(
+                        wh_t, c_hot, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                else:
+                    r_hot = l[:, None] // tile == r_iota  # [ech, St]
+                    wh = jnp.where(r_hot, w[:, None], 0.0)  # f32 select
+                    out_ref[r] += jax.lax.dot_general(
+                        wh, c_hot, (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+            if skip:
+                pl.when(jnp.any(w != 0.0))(_contract)
+            else:
+                _contract()
 
     out = pl.pallas_call(
         kernel,

@@ -497,6 +497,7 @@ def _place_windows(l_cat, w_cat, super_tiles, use_pallas: bool,
             # + micro_place bench) — the round-4 lesson: never default a
             # lever the hardware hasn't run (VERDICT r4 weak-2)
             tlhs=_os.environ.get("HST_PLACE_TLHS", "0") == "1",
+            skip=_os.environ.get("HST_PLACE_SKIP", "0") == "1",
         ).reshape(B, S, super_tiles, TILE)
     r_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, super_tiles), 3)
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, TILE), 3)

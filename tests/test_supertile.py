@@ -344,6 +344,18 @@ def test_pallas_place_windows_interpret_parity(rng):
                                  super_tiles=St, tile=Tl, ech=512,
                                  interpret=True, tlhs=True)
     np.testing.assert_array_equal(np.asarray(out_t), np.asarray(out))
+    # chunk skipping drops only all-zero-weight chunks — bit-identical;
+    # zero a contiguous span so whole chunks actually skip
+    w2 = w.copy()
+    w2[:, 256:768] = 0.0
+    ref2 = pallas_place_windows(jnp.asarray(l), jnp.asarray(w2),
+                                super_tiles=St, tile=Tl, ech=512,
+                                interpret=True)
+    for tl in (False, True):
+        out_s = pallas_place_windows(jnp.asarray(l), jnp.asarray(w2),
+                                     super_tiles=St, tile=Tl, ech=512,
+                                     interpret=True, tlhs=tl, skip=True)
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(ref2))
 
 
 def test_pallas_super_scores_interpret_parity(rng):
