@@ -116,6 +116,8 @@ _PERF_ENV = {
     "dedup_mxu": ("HST_DEDUP_MXU", bool),
     "pallas_tpb": ("HST_PALLAS_TPB", int),
     "tile_stats_sub": ("HST_TILE_STATS_SUB", bool),
+    "place_tlhs": ("HST_PLACE_TLHS", bool),
+    "place_skip": ("HST_PLACE_SKIP", bool),
 }
 
 
@@ -139,6 +141,8 @@ class PerfConfig:
     dedup_mxu: Optional[bool] = None
     pallas_tpb: Optional[int] = None
     tile_stats_sub: Optional[bool] = None
+    place_tlhs: Optional[bool] = None
+    place_skip: Optional[bool] = None
 
     def apply_env(self) -> None:
         import os
