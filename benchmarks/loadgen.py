@@ -133,6 +133,10 @@ def main(argv: list | None = None) -> dict:
     ap.add_argument("--no-batching", action="store_true",
                     help="disable cross-request dynamic batching (A/B "
                          "the serving-layer coalescing)")
+    ap.add_argument("--layout", default="source",
+                    choices=["source", "clustered"],
+                    help="index layout (clustered engages the supertile "
+                         "serving ladder at >=200k docs)")
     args = ap.parse_args(argv)
 
     if args.encoder == "hashing":
@@ -149,6 +153,10 @@ def main(argv: list | None = None) -> dict:
     cfg = EngineConfig()
     if args.no_batching:
         cfg.serving.dynamic_batching = False
+    # layout decides the >=200k-doc query path: "clustered" serves the
+    # supertile ladder (the documented at-scale configuration, all the
+    # round-5 serving work), "source" the impact-pruned union ladder
+    cfg.index.layout = args.layout
     state = EngineState(encoder=enc, config=cfg)
     state.indexer.index_documents(synth_docs(args.docs))
 
@@ -183,7 +191,7 @@ def main(argv: list | None = None) -> dict:
         "offered_qps": None if args.closed else args.qps,
         "mode": "closed" if args.closed else "open",
         "encoder": type(enc).__name__,
-        "dynamic_batching": not args.no_batching,
+        "layout": args.layout, "dynamic_batching": not args.no_batching,
         **res,
     }
     if state.batcher is not None:
