@@ -542,8 +542,14 @@ def _use_fused_place() -> bool:
     """Gather-fused Pallas placement (HST_PLACE_FUSED=1 to enable, TPU
     only): DMAs CSR windows straight from HBM inside the placement
     kernel instead of staging [B, S, E] l_cat/w_cat arrays through HBM.
-    Off by default until the hardware measurement lands
-    (benchmarks/hw_session.py phase 12)."""
+
+    DO NOT ENABLE IN SERVING: at serving shapes (wcaps=(8192,)*8,
+    BS=512, 10M CSR) the kernel CRASHES the TPU worker — a runtime
+    kernel fault, not a compile error, so the compile gate passes it
+    (benchmarks/micro_place.py fused row, 2026-08-19; 'TPU worker
+    process crashed or restarted'). The two-step path with
+    HST_PLACE_SKIP=1 measured 3.4x faster than base anyway; fused is
+    kept for small-shape experiments and interpret-mode coverage."""
     import os
 
     return (_kernel_backend_ok()
