@@ -337,7 +337,8 @@ def _supervised_phases(remaining) -> None:
         for k_ in ("hybrid_qps", "hybrid_docs", "hybrid_exact_pct",
                    "hybrid_qps_loop1", "hybrid_variant", "hybrid_batch",
                    "hybrid_promoted_from", "hybrid_ab", "hybrid_note",
-                   "hybrid_error"):
+                   "hybrid_error", "hybrid_ladder_rungs_mean",
+                   "hybrid_ladder_exact_pct"):
             if k_ in hybrid:
                 line[k_] = hybrid[k_]
     _persist_last_good(line, line.get("value", 0.0),
@@ -466,6 +467,11 @@ def main() -> None:
                 "hybrid_exact_pct": hres.get("exact_pct"),
                 "hybrid_qps_loop1": hres.get("qps_loop1"),
             }
+            # serving-ladder mode (HST_BENCH_LADDER via the promoted
+            # env): certification effort + rung count ride along
+            for lk in ("ladder_rungs_mean", "ladder_exact_pct"):
+                if lk in hres:
+                    hybrid["hybrid_" + lk] = hres[lk]
             if promoted is not None:
                 hybrid["hybrid_variant"] = promoted.get("variant")
                 hybrid["hybrid_batch"] = hbatch
