@@ -176,6 +176,11 @@ class ServingConfig:
     # a request older than this in the queue fails with 503 (the engine
     # is not keeping up) instead of waiting forever
     queue_timeout_s: float = 30.0
+    # supertile-ladder certification effort: stop escalating once the
+    # uncertified tail of a batch is <= this fraction (chip, B=1024/10M:
+    # deeper rungs closed ~1 query each at a dispatch + round trip per
+    # rung). 0.0 = certify-or-exhaust (quality harnesses).
+    uncertified_tol: float = 0.005
 
 
 @dataclass

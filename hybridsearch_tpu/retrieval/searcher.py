@@ -151,6 +151,7 @@ def supertile_ladder(
     n_alive: Optional[int] = None,
     valid_n: Optional[int] = None,
     ladder: Optional[Tuple[int, ...]] = None,
+    uncertified_tol: float = 0.005,
 ) -> Tuple["_LadderState", int]:
     """The supertile serving ladder: one rung-invariant prefix (full-
     corpus stats sweep + bound selection, ops/supertile.super_prefix),
@@ -185,6 +186,14 @@ def supertile_ladder(
         rungs += 1
         st.merge(res.values, res.indices, res.exact)
         if st.exact.all():
+            return st, rungs
+        # serving contract: once the uncertified tail is below tol
+        # (default 0.5% of the batch), stop escalating — the chip ladder
+        # measured deeper rungs closing ~1 query each (fails 6->5->4 at
+        # B=1024/10M) while every rung costs a dispatch + host round
+        # trip; those queries are served best-effort like any ladder
+        # exhaustion. uncertified_tol=0 restores certify-or-exhaust.
+        if int((~st.exact).sum()) <= uncertified_tol * B:
             return st, rungs
         # certifiable-at-all: term-complete AND the lexical min is
         # provably 0; deeper probes can't fix the rest
@@ -698,7 +707,9 @@ class Searcher:
             if sp is not None:
                 st, _rungs = supertile_ladder(
                     q, snap.docs, sp, enc_s, k, sw, lw, bias=snap.bias,
-                    n_alive=n_alive, valid_n=snap.n)
+                    n_alive=n_alive, valid_n=snap.n,
+                    uncertified_tol=self.indexer.config.serving
+                    .uncertified_tol)
                 if not st.exact.all():
                     from hybridsearch_tpu.utils.tracing import (
                         GLOBAL_COUNTERS,
